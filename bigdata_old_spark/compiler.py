@@ -1,0 +1,815 @@
+"""SPARQL algebra → DataFrame compiler.
+
+Plays the role of the reference's AST2BOpUtility.convert
+(bigdata-rdf/.../sparql/ast/eval/AST2BOpUtility.java:205): walks the
+algebra bottom-up and emits a *declarative* DataFrame composition, so
+Catalyst picks join strategies, pushes filters into the Parquet scan,
+and AQE re-plans at runtime (replacing the reference's RTO,
+joinGraph/rto/JGraph.java).
+
+Solution representation: one DataFrame column per SPARQL variable,
+typed as a term struct (model.TERM_TYPE); unbound = NULL.  This is the
+reference's IBindingSet (bigdata/.../bop/IBindingSet.java:42) mapped
+onto columnar rows.
+
+Join semantics: SPARQL joins match on *shared* variables with
+"compatible bindings" (BOpContext.bind(), bop/BOpContext.java:711).
+The compiler tracks which variables are *certainly bound* on each side
+(the reference's static analysis does the same to pick join vars);
+certainly-bound shared vars become hash-join equality keys, while
+maybe-unbound shared vars get the NULL-compatible OR-condition +
+post-join coalesce.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_old_spark import algebra as A
+from bigdata_old_spark import functions as SF
+from bigdata_old_spark.model import (
+    KIND_LITERAL,
+    TERM_TYPE,
+    Term,
+    iri_col_to_term,
+    obj_cols_to_term,
+    term_lit,
+    term_to_iri_string,
+)
+
+_ids = itertools.count()
+
+
+def _fresh(prefix: str = "v") -> str:
+    return f"__{prefix}{next(_ids)}"
+
+
+@dataclass
+class Compiled:
+    df: DataFrame
+    certain: frozenset  # var names definitely bound in every solution
+
+    @property
+    def vars(self) -> list[str]:
+        return [c for c in self.df.columns if not c.startswith("__")]
+
+
+# ---------------------------------------------------------------------------
+# Expression compilation
+# ---------------------------------------------------------------------------
+
+def compile_expr(e, resolve: dict[str, Column], exists_cols: dict | None = None) -> Column:
+    """Expr AST → term-struct Column.  ``resolve`` maps var → Column."""
+    if isinstance(e, A.Var):
+        c = resolve.get(e.name)
+        return c if c is not None else SF.null_term()
+    if isinstance(e, A.Const):
+        return term_lit(e.term)
+    if isinstance(e, A.ExistsExpr):
+        if exists_cols is None or id(e) not in exists_cols:
+            raise NotImplementedError("EXISTS outside FILTER context")
+        b = exists_cols[id(e)]
+        return SF.boolean_term(~b if e.negated else b)
+    if isinstance(e, A.FuncCall):
+        args = [compile_expr(a, resolve, exists_cols) for a in e.args]
+        return SF.apply_builtin(e.name, args, list(e.args))
+    if isinstance(e, A.Aggregate):
+        c = resolve.get(("agg", id(e)))
+        if c is None:
+            raise ValueError("aggregate used outside aggregation context")
+        return c
+    raise NotImplementedError(f"expression {type(e)}")
+
+
+def _find_exists(e, acc: list) -> None:
+    if isinstance(e, A.ExistsExpr):
+        acc.append(e)
+    elif isinstance(e, A.FuncCall):
+        for a in e.args:
+            _find_exists(a, acc)
+
+
+def _find_aggregates(e, acc: list) -> None:
+    if isinstance(e, A.Aggregate):
+        acc.append(e)
+    elif isinstance(e, A.FuncCall):
+        for a in e.args:
+            _find_aggregates(a, acc)
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+class QueryCompiler:
+    """Compiles one query against a TripleStore's statements DataFrame."""
+
+    def __init__(self, store):
+        self.store = store
+
+    # -- pattern dispatch ---------------------------------------------------
+    def compile_pattern(self, node, graph=None) -> Compiled:
+        if isinstance(node, A.BGP):
+            return self.compile_bgp(node, graph)
+        if isinstance(node, A.Join):
+            return self.join(self.compile_pattern(node.left, graph), self.compile_pattern(node.right, graph))
+        if isinstance(node, A.LeftJoin):
+            return self.left_join(node, graph)
+        if isinstance(node, A.UnionPat):
+            return self.union(self.compile_pattern(node.left, graph), self.compile_pattern(node.right, graph))
+        if isinstance(node, A.MinusPat):
+            return self.minus(self.compile_pattern(node.left, graph), self.compile_pattern(node.right, graph))
+        if isinstance(node, A.FilterPat):
+            return self.filter(self.compile_pattern(node.child, graph), node.expr, graph)
+        if isinstance(node, A.Extend):
+            return self.extend(self.compile_pattern(node.child, graph), node.var, node.expr)
+        if isinstance(node, A.ValuesPat):
+            return self.values(node)
+        if isinstance(node, A.GraphPat):
+            return self.compile_pattern(node.child, graph=node.graph)
+        if isinstance(node, A.SubSelect):
+            return self.compile_subselect(node.query)
+        raise NotImplementedError(f"pattern {type(node)}")
+
+    # -- scans / BGP ---------------------------------------------------------
+    def _scan(self, graph) -> DataFrame:
+        """Statements scan restricted to the graph scope.  Constant
+        positions become Parquet-pushable flat-column filters (the
+        Spark analog of choosing the best SPO/POS/OSP key order,
+        reference SPOAccessPath.java:41)."""
+        df = self.store.statements
+        if graph is None:
+            return df.where(F.col("g").isNull())
+        if isinstance(graph, A.Var):
+            return df.where(F.col("g").isNotNull())
+        return df.where(F.col("g") == graph.lex)
+
+    def compile_triple(self, t: A.TriplePattern, graph) -> Compiled:
+        if not isinstance(t.p, (A.Var, Term)):
+            return self.compile_path_triple(t, graph)
+        df = self._scan(graph)
+        cond = []
+        proj: dict[str, Column] = {}
+
+        def bind(var_or_term, col_term: Column, flat_eq):
+            """Var → project; repeated var → intra-pattern equality;
+            constant → pushdown-friendly flat-column filter."""
+            if isinstance(var_or_term, A.Var):
+                if var_or_term.name in proj:
+                    cond.append(proj[var_or_term.name] == col_term)
+                else:
+                    proj[var_or_term.name] = col_term
+            else:
+                cond.extend(flat_eq(var_or_term))
+
+        bind(t.s, iri_col_to_term(F.col("s")), lambda o: [F.col("s") == _term_as_flat_string(o)])
+        bind(t.p, iri_col_to_term(F.col("p")), lambda o: [F.col("p") == o.lex])
+
+        def obj_eq(o: Term):
+            if o.kind == KIND_LITERAL:
+                return [
+                    F.col("o_kind") == KIND_LITERAL,
+                    F.col("o_lex") == o.lex,
+                    F.col("o_dt").eqNullSafe(F.lit(o.dt)),
+                    F.col("o_lang").eqNullSafe(F.lit(o.lang)),
+                ]
+            return [F.col("o_kind") == o.kind, F.col("o_lex") == o.lex]
+
+        bind(t.o, obj_cols_to_term(), obj_eq)
+        if isinstance(graph, A.Var) and graph.name not in proj:
+            proj[graph.name] = iri_col_to_term(F.col("g"))
+        for c in cond:
+            df = df.where(c)
+        if not proj:
+            out = df.select(F.lit(1).alias("__unit")).limit(1)
+            return Compiled(out, frozenset())
+        out = df.select(*[c.alias(v) for v, c in proj.items()])
+        return Compiled(out, frozenset(proj))
+
+    def compile_bgp(self, node: A.BGP, graph) -> Compiled:
+        if not node.triples:
+            # the empty group — one solution binding nothing
+            return Compiled(self.store.spark.range(1).select(F.lit(1).alias("__unit")), frozenset())
+        units = [self.compile_triple(t, graph) for t in node.triples]
+        return self._join_units(units, node.triples)
+
+    def _join_units(self, units: list[Compiled], triples) -> Compiled:
+        """Greedy selectivity-ordered join (the static analog of the
+        reference's ASTStaticJoinOptimizer.java:83): start from the
+        most-bound pattern, always join a pattern sharing a variable
+        with what's bound so far (avoids cartesians), most-bound
+        first.  AQE then fixes any misestimate at runtime."""
+
+        def score(i: int) -> int:
+            t = triples[i]
+            s = 0
+            if not isinstance(t.s, A.Var):
+                s += 4
+            if not isinstance(t.o, A.Var):
+                s += 3
+            if not isinstance(t.p, (A.Var,)) or isinstance(t.p, Term):
+                s += 2
+            return s
+
+        remaining = list(range(len(units)))
+        remaining.sort(key=score, reverse=True)
+        first = remaining.pop(0)
+        acc = units[first]
+        while remaining:
+            nxt = None
+            for i in remaining:
+                if set(units[i].vars) & set(acc.vars):
+                    nxt = i
+                    break
+            if nxt is None:
+                nxt = remaining[0]
+            remaining.remove(nxt)
+            acc = self.join(acc, units[nxt])
+        return acc
+
+    # -- joins ----------------------------------------------------------------
+    def join(self, l: Compiled, r: Compiled, how: str = "inner", extra=None, graph=None) -> Compiled:
+        lv, rv = set(l.vars), set(r.vars)
+        shared = lv & rv
+        certain_shared = shared & l.certain & r.certain
+        maybe_shared = shared - certain_shared
+
+        rdf = r.df.select(*[F.col(v).alias(f"__r_{v}") for v in r.df.columns])
+        conds = [l.df[v] == rdf[f"__r_{v}"] for v in sorted(certain_shared)]
+        conds += [
+            l.df[v].isNull() | rdf[f"__r_{v}"].isNull() | (l.df[v] == rdf[f"__r_{v}"])
+            for v in sorted(maybe_shared)
+        ]
+
+        merged_resolve = {}
+        for v in lv | rv:
+            if v in maybe_shared:
+                merged_resolve[v] = F.coalesce(l.df[v], rdf[f"__r_{v}"])
+            elif v in lv:
+                merged_resolve[v] = l.df[v]
+            else:
+                merged_resolve[v] = rdf[f"__r_{v}"]
+        if extra is not None:
+            exists_cols = self._exists_markers_none_check(extra)
+            conds.append(F.coalesce(SF.ebv(compile_expr(extra, merged_resolve)), F.lit(False)))
+
+        cond = None
+        for c in conds:
+            cond = c if cond is None else (cond & c)
+
+        if cond is None:
+            joined = l.df.crossJoin(rdf) if how == "inner" else l.df.join(rdf, F.lit(True), how)
+        else:
+            joined = l.df.join(rdf, cond, how)
+
+        out_cols = [merged_resolve[v].alias(v) for v in sorted(lv | rv)]
+        out = joined.select(*out_cols)
+        if how == "inner":
+            certain = l.certain | r.certain
+        else:  # left outer
+            certain = l.certain
+        return Compiled(out, frozenset(certain))
+
+    def _exists_markers_none_check(self, expr):
+        acc: list = []
+        _find_exists(expr, acc)
+        if acc:
+            raise NotImplementedError("EXISTS in join condition")
+        return None
+
+    def left_join(self, node: A.LeftJoin, graph) -> Compiled:
+        l = self.compile_pattern(node.left, graph)
+        r = self.compile_pattern(node.right, graph)
+        return self.join(l, r, how="left", extra=node.condition, graph=graph)
+
+    def union(self, l: Compiled, r: Compiled) -> Compiled:
+        lv, rv = set(l.vars), set(r.vars)
+        all_vars = sorted(lv | rv)
+        def pad(c: Compiled) -> DataFrame:
+            cols = []
+            for v in all_vars:
+                if v in c.df.columns:
+                    cols.append(F.col(v))
+                else:
+                    cols.append(SF.null_term().alias(v))
+            return c.df.select(*cols)
+        return Compiled(pad(l).unionByName(pad(r)), frozenset(l.certain & r.certain))
+
+    def minus(self, l: Compiled, r: Compiled) -> Compiled:
+        """SPARQL MINUS (JoinTypeEnum.NotExists on compatible bindings,
+        with the disjoint-domain rule: solutions with no overlapping
+        bound vars survive)."""
+        shared = set(l.vars) & set(r.vars)
+        if not shared:
+            return l
+        rdf = r.df.select(*[F.col(v).alias(f"__r_{v}") for v in shared]).dropDuplicates()
+        certain_shared = shared & l.certain & r.certain
+        compat = None
+        overlap = None
+        for v in sorted(shared):
+            lc, rc = l.df[v], rdf[f"__r_{v}"]
+            if v in certain_shared:
+                c = lc == rc
+            else:
+                c = lc.isNull() | rc.isNull() | (lc == rc)
+            compat = c if compat is None else (compat & c)
+            ov = lc.isNotNull() & rc.isNotNull()
+            overlap = ov if overlap is None else (overlap | ov)
+        out = l.df.join(rdf, compat & overlap, "left_anti")
+        return Compiled(out, l.certain)
+
+    # -- filter / extend / values ----------------------------------------------
+    def filter(self, c: Compiled, expr, graph) -> Compiled:
+        exists: list = []
+        _find_exists(expr, exists)
+        df = c.df
+        exists_cols: dict = {}
+        for ex in exists:
+            df, col = self._exists_marker(Compiled(df, c.certain), ex, graph)
+            exists_cols[id(ex)] = col
+        resolve = {v: df[v] for v in c.vars}
+        b = SF.ebv(compile_expr(expr, resolve, exists_cols))
+        out = df.where(F.coalesce(b, F.lit(False)))
+        out = out.select(*[v for v in c.df.columns])
+        return Compiled(out, c.certain)
+
+    def _exists_marker(self, c: Compiled, ex: A.ExistsExpr, graph):
+        """Attach a boolean column answering EXISTS{pattern} per row
+        (the ASTExistsOptimizer anonymous-variable trick, done with a
+        semi+anti join pair so no duplication can occur)."""
+        sub = self.compile_pattern(ex.pattern, graph)
+        shared = sorted(set(c.vars) & set(sub.vars))
+        marker = _fresh("ex")
+        if not shared:
+            nonempty = len(sub.df.take(1)) > 0
+            return c.df.withColumn(marker, F.lit(nonempty)), F.col(marker)
+        keys = sub.df.select(*[F.col(v).alias(f"__r_{v}") for v in shared]).dropDuplicates()
+        compat = None
+        for v in shared:
+            lc, rc = c.df[v], keys[f"__r_{v}"]
+            if v in c.certain and v in sub.certain:
+                cc = lc == rc
+            else:
+                cc = lc.isNull() | rc.isNull() | (lc == rc)
+            compat = cc if compat is None else (compat & cc)
+        pos = c.df.join(keys, compat, "left_semi").withColumn(marker, F.lit(True))
+        neg_ = c.df.join(keys, compat, "left_anti").withColumn(marker, F.lit(False))
+        return pos.unionByName(neg_), F.col(marker)
+
+    def extend(self, c: Compiled, var: str, expr) -> Compiled:
+        resolve = {v: c.df[v] for v in c.vars}
+        col = compile_expr(expr, resolve)
+        return Compiled(c.df.withColumn(var, col.cast(TERM_TYPE)), c.certain)
+
+    def values(self, node: A.ValuesPat) -> Compiled:
+        rows = []
+        for row in node.rows:
+            rows.append(tuple(t.as_row() if t is not None else None for t in row))
+        schema_fields = [(n, TERM_TYPE) for n in node.names]
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField(n, TERM_TYPE) for n in node.names])
+        df = self.store.spark.createDataFrame(rows, schema)
+        certain = frozenset(
+            n for i, n in enumerate(node.names) if all(r[i] is not None for r in node.rows)
+        )
+        return Compiled(df, certain)
+
+    # -- property paths ---------------------------------------------------------
+    def compile_path_triple(self, t: A.TriplePattern, graph) -> Compiled:
+        """Property-path pattern → DataFrame of (s, o) bindings.
+
+        Static operators (seq/alt/inverse/negated-set) expand to plain
+        DataFrame ops, mirroring the reference's
+        ASTPropertyPathOptimizer.java:62; * + {n,m} run the
+        ArbitraryLengthPathOp fixpoint (paths/ArbitraryLengthPathOp.java:87)
+        as a driver-side semi-naive loop with localCheckpoint.
+        """
+        s_name = t.s.name if isinstance(t.s, A.Var) else _fresh("ps")
+        o_name = t.o.name if isinstance(t.o, A.Var) else _fresh("po")
+        pairs = self._path_pairs(t.p, graph, t)
+        df = pairs.toDF("__src", "__dst") if pairs.columns != ["__src", "__dst"] else pairs
+        conds = []
+        if not isinstance(t.s, A.Var):
+            conds.append(F.col("__src") == term_lit(t.s))
+        if not isinstance(t.o, A.Var):
+            conds.append(F.col("__dst") == term_lit(t.o))
+        for c in conds:
+            df = df.where(c)
+        proj = []
+        names: list[str] = []
+        if isinstance(t.s, A.Var):
+            proj.append(F.col("__src").alias(s_name))
+            names.append(s_name)
+        if isinstance(t.o, A.Var):
+            if isinstance(t.s, A.Var) and t.o.name == t.s.name:
+                df = df.where(F.col("__src") == F.col("__dst"))
+            else:
+                proj.append(F.col("__dst").alias(o_name))
+                names.append(o_name)
+        if not proj:
+            proj = [F.lit(1).alias("__unit")]
+        out = df.select(*proj)
+        return Compiled(out, frozenset(names))
+
+    def _path_pairs(self, p, graph, t) -> DataFrame:
+        """Compile a path expression to a (src term, dst term) pair DF."""
+        if isinstance(p, Term):
+            p = A.PathLink(p.lex)
+        if isinstance(p, A.PathLink):
+            df = self._scan(graph).where(F.col("p") == p.iri)
+            return df.select(iri_col_to_term(F.col("s")).alias("__src"), obj_cols_to_term().alias("__dst"))
+        if isinstance(p, A.PathInv):
+            inner = self._path_pairs(p.path, graph, t)
+            return inner.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        if isinstance(p, A.PathAlt):
+            parts = [self._path_pairs(a, graph, t) for a in p.alts]
+            out = parts[0]
+            for d in parts[1:]:
+                out = out.unionByName(d)
+            return out
+        if isinstance(p, A.PathSeq):
+            out = self._path_pairs(p.steps[0], graph, t)
+            for step in p.steps[1:]:
+                nxt = self._path_pairs(step, graph, t).select(
+                    F.col("__src").alias("__m"), F.col("__dst").alias("__nd")
+                )
+                out = (
+                    out.join(nxt, out["__dst"] == nxt["__m"])
+                    .select(out["__src"].alias("__src"), nxt["__nd"].alias("__dst"))
+                )
+            return out
+        if isinstance(p, A.PathNeg):
+            scans = []
+            base = self._scan(graph)
+            fwd = base
+            if p.forward_iris:
+                fwd = fwd.where(~F.col("p").isin(*p.forward_iris))
+            scans.append(fwd.select(iri_col_to_term(F.col("s")).alias("__src"), obj_cols_to_term().alias("__dst")))
+            if p.inverse_iris:
+                inv = base.where(~F.col("p").isin(*p.inverse_iris))
+                scans.append(inv.select(obj_cols_to_term().alias("__src"), iri_col_to_term(F.col("s")).alias("__dst")))
+                if not p.forward_iris:
+                    scans.pop(0)
+            out = scans[0]
+            for d in scans[1:]:
+                out = out.unionByName(d)
+            return out
+        if isinstance(p, A.PathStar):
+            return self._path_closure(p, graph, t)
+        raise NotImplementedError(f"path {type(p)}")
+
+    def _path_closure(self, p: A.PathStar, graph, t) -> DataFrame:
+        edges = self._path_pairs(p.path, graph, t).dropDuplicates().localCheckpoint(eager=True)
+        min_len, max_len = p.min_len, p.max_len
+
+        seed_term = None
+        seed_side = None
+        if not isinstance(t.s, A.Var):
+            seed_term, seed_side = t.s, "src"
+        elif not isinstance(t.o, A.Var):
+            seed_term, seed_side = t.o, "dst"
+
+        if seed_term is not None:
+            # frontier expansion from the constant endpoint — the common,
+            # scalable case (BFS from one node instead of full closure)
+            if seed_side == "dst":
+                edges = edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+            seed = edges.sparkSession.createDataFrame(
+                [(seed_term.as_row(),)], "x struct<" + _term_ddl() + ">"
+            ).select(F.col("x").alias("__dst"))
+            reached = seed.select(F.col("__dst")) if min_len == 0 else None
+            frontier = seed
+            depth = 0
+            acc = reached
+            while max_len is None or depth < max_len:
+                nxt = (
+                    frontier.join(edges, frontier["__dst"] == edges["__src"])
+                    .select(edges["__dst"].alias("__dst"))
+                    .dropDuplicates()
+                )
+                depth += 1
+                if acc is not None:
+                    nxt = nxt.join(acc, nxt["__dst"] == acc["__dst"], "left_anti")
+                nxt = nxt.localCheckpoint(eager=True)
+                if nxt.isEmpty():
+                    break
+                if depth >= min_len or (min_len <= 1 and depth >= 1):
+                    acc = nxt if acc is None else acc.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+            if acc is None:
+                acc = seed.limit(0)
+            src_lit = term_lit(seed_term)
+            out = acc.select(src_lit.alias("__src"), F.col("__dst"))
+            if seed_side == "dst":
+                out = out.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+            return out
+
+        # var-var: full pair closure (semi-naive)
+        result = edges if max_len is None or max_len >= 1 else edges.limit(0)
+        frontier = edges
+        depth = 1
+        while (max_len is None or depth < max_len) and not frontier.isEmpty():
+            step = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.__dst") == F.col("e.__src"))
+                .select(F.col("f.__src").alias("__src"), F.col("e.__dst").alias("__dst"))
+                .dropDuplicates()
+            )
+            new = step.join(result, ["__src", "__dst"], "left_anti").localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            result = result.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+            depth += 1
+        if min_len == 0:
+            nodes = self._graph_nodes(graph)
+            zero = nodes.select(F.col("__n").alias("__src"), F.col("__n").alias("__dst"))
+            result = zero.unionByName(result).dropDuplicates()
+        return result
+
+    def _graph_nodes(self, graph) -> DataFrame:
+        base = self._scan(graph)
+        subs = base.select(iri_col_to_term(F.col("s")).alias("__n"))
+        objs = base.select(obj_cols_to_term().alias("__n"))
+        return subs.unionByName(objs).dropDuplicates()
+
+    # -- query forms -------------------------------------------------------------
+    def compile_select(self, q: A.SelectQuery) -> DataFrame:
+        c = self.compile_pattern(q.pattern)
+        if q.values is not None:
+            c = self.join(c, self.values(q.values))
+
+        has_agg = bool(q.group_by)
+        agg_nodes: list = []
+        for _, e in q.projection:
+            if e is not None:
+                _find_aggregates(e, agg_nodes)
+        for e in q.having:
+            _find_aggregates(e, agg_nodes)
+        for e, _ in q.order_by:
+            _find_aggregates(e, agg_nodes)
+        has_agg = has_agg or bool(agg_nodes)
+
+        if has_agg:
+            c, resolve = self._aggregate(c, q, agg_nodes)
+        else:
+            resolve = {v: c.df[v] for v in c.vars}
+
+        df = c.df
+
+        # projection expressions (SELECT (expr AS ?v) …), evaluated in order
+        proj_names: list[str] = []
+        if q.wildcard:
+            proj_names = sorted(c.vars) if not has_agg else sorted(k for k in resolve if isinstance(k, str))
+            for v in proj_names:
+                if v not in df.columns:
+                    df = df.withColumn(v, resolve[v].cast(TERM_TYPE))
+        else:
+            for name, e in q.projection:
+                if e is None:
+                    col = resolve.get(name)
+                    col = col if col is not None else SF.null_term()
+                else:
+                    col = compile_expr(e, resolve)
+                df = df.withColumn(f"__proj_{name}", col.cast(TERM_TYPE))
+                resolve = dict(resolve)
+                resolve[name] = F.col(f"__proj_{name}")
+                proj_names.append(name)
+
+        # HAVING (aggregates already materialized into resolve)
+        for e in q.having:
+            b = SF.ebv(compile_expr(e, resolve))
+            df = df.where(F.coalesce(b, F.lit(False)))
+
+        # ORDER BY before projection-rename (may reference non-projected vars)
+        if q.order_by:
+            sort_cols = []
+            for i, (e, asc) in enumerate(q.order_by):
+                k = SF.order_key(compile_expr(e, resolve))
+                df = df.withColumn(f"__sort_{i}", k)
+                sort_cols.append(F.col(f"__sort_{i}").asc() if asc else F.col(f"__sort_{i}").desc())
+            df = df.orderBy(*sort_cols)
+
+        if q.wildcard:
+            out = df.select(*proj_names)
+        else:
+            out = df.select(*[F.col(f"__proj_{n}").alias(n) if f"__proj_{n}" in df.columns else F.col(n) for n in proj_names])
+
+        if q.distinct or q.reduced:
+            if q.order_by:
+                # dropDuplicates would shuffle away the order; re-sort after
+                out = out.dropDuplicates()
+                # NB: for ordered+distinct we accept a re-sort
+                keys = []
+                for i, (e, asc) in enumerate(q.order_by):
+                    r2 = {v: out[v] for v in out.columns}
+                    try:
+                        k = SF.order_key(compile_expr(e, r2))
+                    except Exception:
+                        continue
+                    keys.append(k.asc() if asc else k.desc())
+                if keys:
+                    out = out.orderBy(*keys)
+            else:
+                out = out.dropDuplicates()
+
+        if q.offset:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+    def _aggregate(self, c: Compiled, q: A.SelectQuery, agg_nodes: list):
+        df = c.df
+        resolve_in = {v: df[v] for v in c.vars}
+        group_cols: list[str] = []
+        resolve_out: dict = {}
+        if q.group_by:
+            for i, (alias, e) in enumerate(q.group_by):
+                if isinstance(e, A.Var) and alias is None:
+                    name = e.name
+                    if name not in df.columns:
+                        df = df.withColumn(name, SF.null_term())
+                    group_cols.append(name)
+                    resolve_out[name] = F.col(name)
+                else:
+                    name = alias or _fresh("gk")
+                    df = df.withColumn(name, compile_expr(e, resolve_in).cast(TERM_TYPE))
+                    group_cols.append(name)
+                    resolve_out[name] = F.col(name)
+
+        aggs = []
+        seen: dict = {}
+        for node in agg_nodes:
+            if id(node) in seen:
+                continue
+            name = _fresh("agg")
+            seen[id(node)] = name
+            aggs.append(self._agg_expr(node, resolve_in).alias(name))
+        if not aggs:
+            aggs = [F.count(F.lit(1)).alias(_fresh("agg_dummy"))]
+
+        gdf = df.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs) if group_cols else df.groupBy().agg(*aggs)
+
+        resolve = dict(resolve_out)
+        for node in agg_nodes:
+            resolve[("agg", id(node))] = F.col(seen[id(node)])
+        certain = frozenset(g for g in group_cols)
+        return Compiled(gdf, certain), resolve
+
+    def _agg_expr(self, node: A.Aggregate, resolve: dict) -> Column:
+        """One SPARQL aggregate → a Spark aggregate expression returning a
+        term struct (reference bop/rdf/aggregate/COUNT|SUM|AVERAGE|MIN|
+        MAX|SAMPLE|GROUP_CONCAT.java)."""
+        n = node.name.upper()
+        col = compile_expr(node.expr, resolve) if node.expr is not None else None
+
+        if n == "COUNT":
+            if col is None:
+                v = F.count(F.lit(1))
+            elif node.distinct:
+                v = F.count_distinct(col)
+            else:
+                v = F.count(col)
+            return SF.integer_term(v)
+
+        if n in ("SUM", "AVG"):
+            err = F.max(F.when(col.isNotNull() & col["dbl"].isNull(), 1).otherwise(0))
+            rank = F.max(SF._num_rank(col))
+            if node.distinct:
+                s_num, s_dbl = F.sum_distinct(col["num"]), F.sum_distinct(col["dbl"])
+                cnt = F.count_distinct(col["num"]) + F.lit(0)  # approximation note in docstring
+                cnt_dbl = F.count_distinct(col["dbl"])
+            else:
+                s_num, s_dbl = F.sum(col["num"]), F.sum(col["dbl"])
+                cnt = F.count(col["num"])
+                cnt_dbl = F.count(col["dbl"])
+            if n == "AVG":
+                v_exact = (s_num / F.when(cnt != 0, cnt)).cast("decimal(38,18)")
+                v_dbl = s_dbl / F.when(cnt_dbl != 0, cnt_dbl)
+            else:
+                v_exact, v_dbl = s_num, s_dbl
+            exact_term = (
+                F.when(rank <= 0, SF.integer_term(F.coalesce(v_exact, F.lit(0))))
+                .when(rank == 1, SF.decimal_term(v_exact))
+                .otherwise(SF.double_term(v_dbl))
+            )
+            # sticky type error (reference SUM.java:53): any non-numeric
+            # bound value in the group poisons the aggregate → unbound
+            return (
+                F.when(err == 1, SF.null_term())
+                .when(rank.isNull(), SF.integer_term(F.lit(0)))
+                .otherwise(exact_term)
+            )
+
+        if n in ("MIN", "MAX"):
+            pair = F.when(col.isNotNull(), F.struct(SF.order_key(col).alias("k"), col.alias("v")))
+            agg = F.min(pair) if n == "MIN" else F.max(pair)
+            return agg["v"]
+
+        if n == "SAMPLE":
+            return F.first(col, ignorenulls=True)
+
+        if n == "GROUP_CONCAT":
+            vals = F.collect_set(col["lex"]) if node.distinct else F.collect_list(col["lex"])
+            return SF.string_term(F.array_join(vals, node.separator))
+
+        raise NotImplementedError(f"aggregate {n}")
+
+    def compile_subselect(self, q: A.SelectQuery) -> Compiled:
+        df = self.compile_select(q)
+        inner = self.compile_pattern(q.pattern)
+        if q.wildcard:
+            certain = inner.certain
+        else:
+            certain = frozenset(n for n, e in q.projection if e is None) & inner.certain
+        return Compiled(df, certain)
+
+    def compile_ask(self, q: A.AskQuery) -> DataFrame:
+        c = self.compile_pattern(q.pattern)
+        if q.values is not None:
+            c = self.join(c, self.values(q.values))
+        nonempty = len(c.df.take(1)) > 0
+        return self.store.spark.createDataFrame([(nonempty,)], "ask boolean")
+
+    def compile_construct(self, q: A.ConstructQuery) -> DataFrame:
+        """CONSTRUCT template instantiation (ASTConstructIterator.java:88)
+        → a statements-shaped DataFrame of term structs."""
+        c = self.compile_pattern(q.pattern)
+        df = c.df
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        # per-solution fresh bnodes for template bnodes
+        df = df.withColumn("__row", F.expr("uuid()"))
+        resolve = {v: df[v] for v in c.vars}
+        outs = []
+        for tp in q.template:
+            def pos(x, role):
+                if isinstance(x, A.Var):
+                    return resolve.get(x.name, SF.null_term())
+                if x.kind == 1:  # template bnode → fresh per solution
+                    from bigdata_old_spark.model import mk_term_col, KIND_BNODE
+
+                    return mk_term_col(kind=F.lit(KIND_BNODE), lex=F.concat(F.lit(x.lex + "-"), F.col("__row")))
+                return term_lit(x)
+
+            s, p, o = pos(tp.s, "s"), pos(tp.p, "p"), pos(tp.o, "o")
+            valid = (
+                s.isNotNull() & p.isNotNull() & o.isNotNull()
+                & (s["kind"] != KIND_LITERAL) & (p["kind"] == 0)
+            )
+            outs.append(df.where(valid).select(s.alias("s"), p.alias("p"), o.alias("o")))
+        out = outs[0]
+        for d in outs[1:]:
+            out = out.unionByName(d)
+        return out.dropDuplicates()
+
+    def compile_describe(self, q: A.DescribeQuery) -> DataFrame:
+        """DESCRIBE — CBD-lite: all statements whose subject is a
+        described resource (DescribeModeEnum.java:47; SCBD/CBD variants
+        collapse to forward properties in v1)."""
+        spark = self.store.spark
+        if q.pattern is not None and any(isinstance(t, A.Var) for t in q.terms):
+            c = self.compile_pattern(q.pattern)
+            var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
+            nodes = None
+            for v in var_names:
+                d = c.df.select(term_to_iri_string(F.col(v)).alias("__s")).where(F.col("__s").isNotNull())
+                nodes = d if nodes is None else nodes.unionByName(d)
+            nodes = nodes.dropDuplicates()
+        else:
+            rows = [(t.lex,) for t in q.terms if isinstance(t, Term)]
+            nodes = spark.createDataFrame(rows, "__s string")
+        stmts = self.store.statements
+        out = stmts.join(F.broadcast(nodes), stmts["s"] == nodes["__s"], "left_semi")
+        return out.select(
+            iri_col_to_term(F.col("s")).alias("s"),
+            iri_col_to_term(F.col("p")).alias("p"),
+            obj_cols_to_term().alias("o"),
+        ).dropDuplicates()
+
+    def compile_query(self, q) -> DataFrame:
+        if isinstance(q, A.SelectQuery):
+            return self.compile_select(q)
+        if isinstance(q, A.AskQuery):
+            return self.compile_ask(q)
+        if isinstance(q, A.ConstructQuery):
+            return self.compile_construct(q)
+        if isinstance(q, A.DescribeQuery):
+            return self.compile_describe(q)
+        raise NotImplementedError(type(q))
+
+
+def _term_as_flat_string(t: Term) -> str:
+    return f"_:{t.lex}" if t.kind == 1 else t.lex
+
+
+def _term_ddl() -> str:
+    return "kind tinyint, lex string, dt string, lang string, num decimal(38,18), dbl double, dtm timestamp, bool boolean"

@@ -1,0 +1,139 @@
+"""W3C-direct-mapping triplifier for the driver's TPC-H-ish tables.
+
+Turns each relational row into RDF triples (FIXTURES.md §6):
+
+  subject    <urn:tpch:{table}:{pk}>           (composite keys joined by ':')
+  predicate  <urn:tpch:{table}#{column}>
+  object     typed literal from the column value; FK columns additionally
+             emit  <urn:tpch:{table}#{fk}_ref> → <urn:tpch:{ref}:{v}> .
+
+This is the bridge that lets the RDF/SPARQL engine be validated against
+a SQL oracle on the same data: any SQL join/filter/group-by over the
+relational form has an equivalent SPARQL query over the triplified form.
+
+Scale note: the triplify is a single narrow scan per table — each row
+emits an array of statement structs that is exploded JVM-side (no
+Python in the loop).  At 100 TB you would write the triplified form
+once, partitioned by ``p`` (predicate), and query that; predicate
+partitioning is the Parquet analog of the reference's POS index
+(SPOKeyOrder.java:89).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_old_spark.model import (
+    DECIMAL_T,
+    KIND_IRI,
+    KIND_LITERAL,
+    STATEMENTS_SCHEMA,
+    STYPE_EXPLICIT,
+    XSD_DATETIME,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+
+# table → (primary key columns, {fk column → referenced table})
+TPCH_KEYS: dict[str, tuple[list[str], dict[str, str]]] = {
+    "region": (["r_regionkey"], {}),
+    "nation": (["n_nationkey"], {"n_regionkey": "region"}),
+    "customer": (["c_custkey"], {"c_nationkey": "nation"}),
+    "supplier": (["s_suppkey"], {"s_nationkey": "nation"}),
+    "part": (["p_partkey"], {}),
+    "orders": (["o_orderkey"], {"o_custkey": "customer"}),
+    "lineitem": (
+        ["l_orderkey", "l_linenumber"],
+        {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+    ),
+    "events": (["event_id"], {}),
+    "documents": (["doc_id"], {}),
+}
+
+
+def _subject_expr(table: str, pk_cols: list[str]) -> F.Column:
+    parts = [F.lit(f"urn:tpch:{table}:")]
+    for i, c in enumerate(pk_cols):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append(F.col(c).cast("string"))
+    return F.concat(*parts)
+
+
+def _stmt_struct(p: str, kind, lex, dt=None, num=None, dbl=None, dtm=None) -> F.Column:
+    null = F.lit(None)
+    return F.struct(
+        F.lit(p).alias("p"),
+        F.lit(kind).cast(T.ByteType()).alias("o_kind"),
+        lex.cast("string").alias("o_lex"),
+        (F.lit(dt) if dt else null).cast("string").alias("o_dt"),
+        null.cast("string").alias("o_lang"),
+        (num if num is not None else null).cast(DECIMAL_T).alias("o_num"),
+        (dbl if dbl is not None else null).cast("double").alias("o_dbl"),
+        (dtm if dtm is not None else null).cast("timestamp").alias("o_dtm"),
+        null.cast("boolean").alias("o_bool"),
+    )
+
+
+def triplify_table(df: DataFrame, table: str) -> DataFrame:
+    """One relational table → statements DataFrame (default graph)."""
+    pk_cols, fks = TPCH_KEYS[table]
+    stmts: list[F.Column] = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        pred = f"urn:tpch:{table}#{field.name}"
+        dtype = field.dataType
+        if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+            stmts.append(_stmt_struct(pred, KIND_LITERAL, c, XSD_INTEGER,
+                                      num=c, dbl=c))
+        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+            stmts.append(_stmt_struct(pred, KIND_LITERAL, c, XSD_DOUBLE, dbl=c))
+        elif isinstance(dtype, T.TimestampType):
+            lex = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+            stmts.append(_stmt_struct(pred, KIND_LITERAL, lex, XSD_DATETIME, dtm=c))
+        elif isinstance(dtype, T.StringType):
+            stmts.append(_stmt_struct(pred, KIND_LITERAL, c, XSD_STRING))
+        else:
+            continue  # arrays/binaries are not triplified (stay relational)
+        if field.name in fks:
+            ref = fks[field.name]
+            ref_iri = F.concat(F.lit(f"urn:tpch:{ref}:"), c.cast("string"))
+            stmts.append(_stmt_struct(pred + "_ref", KIND_IRI, ref_iri))
+    out = (
+        df.select(
+            _subject_expr(table, pk_cols).alias("s"),
+            F.explode(F.array(*stmts)).alias("t"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("g"),
+            "s",
+            F.col("t.p").alias("p"),
+            F.col("t.o_kind").alias("o_kind"),
+            F.col("t.o_lex").alias("o_lex"),
+            F.col("t.o_dt").alias("o_dt"),
+            F.col("t.o_lang").alias("o_lang"),
+            F.col("t.o_num").alias("o_num"),
+            F.col("t.o_dbl").alias("o_dbl"),
+            F.col("t.o_dtm").alias("o_dtm"),
+            F.col("t.o_bool").alias("o_bool"),
+            F.lit(STYPE_EXPLICIT).cast(T.ByteType()).alias("stype"),
+        )
+        .where(F.col("o_lex").isNotNull())
+    )
+    return out
+
+
+def triplify_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> DataFrame:
+    """Triplify every mapped table under a testdata scale-factor dir."""
+    tables = tables or list(TPCH_KEYS)
+    dfs = [
+        triplify_table(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
+        for t in tables
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,94 @@
+"""TripleStore — the engine facade.
+
+The Spark re-expression of the reference's AbstractTripleStore
+(bigdata-rdf/.../store/AbstractTripleStore.java): holds the statements
+DataFrame (triples or quads — g NULL = default graph) and exposes
+query / load / closure / search entry points.  There is no journal, no
+B+Tree, no lexicon: Parquet + shuffle + Catalyst replace the storage
+engine wholesale (SURVEY.md §1, §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.model import STATEMENTS_SCHEMA, statements_df_from_terms
+
+
+class TripleStore:
+    def __init__(self, spark: SparkSession, statements: DataFrame):
+        self.spark = spark
+        self.statements = statements
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def from_parquet(spark: SparkSession, path: str) -> "TripleStore":
+        return TripleStore(spark, spark.read.schema(STATEMENTS_SCHEMA).parquet(path))
+
+    @staticmethod
+    def from_rows(spark: SparkSession, rows: list[tuple]) -> "TripleStore":
+        """rows: (g, s, p, o[, stype]) with o a Term or plain Python value."""
+        return TripleStore(spark, statements_df_from_terms(rows, spark))
+
+    @staticmethod
+    def from_tpch_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None, cache: bool = True) -> "TripleStore":
+        """Triplified view of the driver's TPC-H-ish parquet tables."""
+        from bigdata_old_spark.mapping import triplify_dir
+
+        df = triplify_dir(spark, sf_dir, tables)
+        if cache:
+            df = df.persist()
+        return TripleStore(spark, df)
+
+    @staticmethod
+    def from_turtle(spark: SparkSession, text: str, graph: str | None = None) -> "TripleStore":
+        from bigdata_old_spark.rio import parse_turtle
+
+        rows = [(graph, s, p, o) for s, p, o in parse_turtle(text)]
+        return TripleStore.from_rows(spark, rows)
+
+    # -- query ---------------------------------------------------------------
+    def query(self, sparql: str) -> DataFrame:
+        """SPARQL string → result DataFrame (term-struct columns for
+        SELECT; s/p/o term structs for CONSTRUCT/DESCRIBE; one boolean
+        row for ASK)."""
+        from bigdata_old_spark.compiler import QueryCompiler
+        from bigdata_old_spark.parser import parse_query
+
+        q = parse_query(sparql)
+        return QueryCompiler(self).compile_query(q)
+
+    def query_algebra(self, q) -> DataFrame:
+        from bigdata_old_spark.compiler import QueryCompiler
+
+        return QueryCompiler(self).compile_query(q)
+
+    def explain(self, sparql: str) -> str:
+        """The EXPLAIN surface (reference QueryServlet ?explain)."""
+        df = self.query(sparql)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    # -- mutation (SPARQL UPDATE analog — batch Parquet rewrite) --------------
+    def add(self, other: DataFrame) -> "TripleStore":
+        return TripleStore(self.spark, self.statements.unionByName(other).dropDuplicates())
+
+    def remove(self, other: DataFrame) -> "TripleStore":
+        keys = [c for c in self.statements.columns if c != "stype"]
+        return TripleStore(self.spark, self.statements.join(other.select(*keys).dropDuplicates(), keys, "left_anti"))
+
+    def persist(self) -> "TripleStore":
+        self.statements = self.statements.persist()
+        return self
+
+    def write_parquet(self, path: str, partition_by_predicate: bool = False) -> None:
+        """Canonical store sink.  ``partition_by_predicate`` is the
+        Parquet analog of the reference's POS index (predicate-major
+        key order) — partition pruning then serves bound-predicate
+        scans without touching other predicates' files."""
+        w = self.statements.write.mode("overwrite")
+        if partition_by_predicate:
+            w = w.partitionBy("p")
+        w.parquet(path)

@@ -1,0 +1,145 @@
+"""Core algebra→DataFrame compilation, hand-built ASTs (no parser)."""
+
+from bigdata_old_spark import algebra as A
+from bigdata_old_spark.model import FOAF, RDF_TYPE, RDFS, Term
+
+FOAF_PERSON = Term.iri(FOAF + "Person")
+KNOWS = Term.iri(FOAF + "knows")
+LABEL = Term.iri(RDFS + "label")
+EX = "http://example.org/"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def lexes(df, col):
+    return sorted(r[col]["lex"] for r in df.collect() if r[col] is not None)
+
+
+def test_bgp_join(small_store):
+    q = A.SelectQuery(
+        pattern=A.BGP([
+            A.TriplePattern(A.Var("x"), KNOWS, A.Var("y")),
+            A.TriplePattern(A.Var("y"), LABEL, A.Var("name")),
+        ]),
+        projection=[("name", None)],
+    )
+    df = small_store.query_algebra(q)
+    assert lexes(df, "name") == ["Bryan", "Bryan", "Mike"]
+
+
+def test_filter_ne(small_store):
+    q = A.SelectQuery(
+        pattern=A.FilterPat(
+            A.FuncCall("!=", (A.Var("name"), A.Const(Term.literal("Bryan")))),
+            A.BGP([
+                A.TriplePattern(A.Var("x"), KNOWS, A.Var("y")),
+                A.TriplePattern(A.Var("y"), LABEL, A.Var("name")),
+            ]),
+        ),
+        projection=[("name", None)],
+    )
+    df = small_store.query_algebra(q)
+    assert lexes(df, "name") == ["Mike"]
+
+
+def test_optional_unbound(small_store):
+    # Martyn has no label → label unbound
+    q = A.SelectQuery(
+        pattern=A.LeftJoin(
+            A.BGP([A.TriplePattern(A.Var("p"), Term.iri(RDF_TYPE), FOAF_PERSON)]),
+            A.BGP([A.TriplePattern(A.Var("p"), LABEL, A.Var("label"))]),
+        ),
+        projection=[("p", None), ("label", None)],
+    )
+    out = {r["p"]["lex"]: (r["label"]["lex"] if r["label"] else None) for r in small_store.query_algebra(q).collect()}
+    assert out == {EX + "Mike": "Mike", EX + "Bryan": "Bryan", EX + "Martyn": None}
+
+
+def test_union(small_store):
+    q = A.SelectQuery(
+        pattern=A.UnionPat(
+            A.BGP([A.TriplePattern(A.Var("x"), LABEL, A.Var("v"))]),
+            A.BGP([A.TriplePattern(A.Var("x"), Term.iri(RDF_TYPE), A.Var("v"))]),
+        ),
+        projection=[("x", None), ("v", None)],
+    )
+    df = small_store.query_algebra(q)
+    # labels: Mike, Bryan, DC = 3; rdf:type: 3 persons
+    assert df.count() == 6
+
+
+def test_minus(small_store):
+    # persons MINUS labeled things → Martyn
+    q = A.SelectQuery(
+        pattern=A.MinusPat(
+            A.BGP([A.TriplePattern(A.Var("p"), Term.iri(RDF_TYPE), FOAF_PERSON)]),
+            A.BGP([A.TriplePattern(A.Var("p"), LABEL, A.Var("l"))]),
+        ),
+        projection=[("p", None)],
+    )
+    assert lexes(small_store.query_algebra(q), "p") == [EX + "Martyn"]
+
+
+def test_distinct_orderby_limit(small_store):
+    q = A.SelectQuery(
+        pattern=A.BGP([A.TriplePattern(A.Var("x"), KNOWS, A.Var("y"))]),
+        projection=[("x", None)],
+        distinct=True,
+        order_by=[(A.Var("x"), True)],
+        limit=2,
+    )
+    df = small_store.query_algebra(q)
+    got = [r["x"]["lex"] for r in df.collect()]
+    assert got == [EX + "Bryan", EX + "Martyn"]
+
+
+def test_bind_and_exists(small_store):
+    # BIND(STRLEN(?name) AS ?n) FILTER EXISTS { ?x foaf:knows ?z }
+    q = A.SelectQuery(
+        pattern=A.FilterPat(
+            A.ExistsExpr(A.BGP([A.TriplePattern(A.Var("x"), KNOWS, A.Var("z"))])),
+            A.Extend(
+                A.BGP([A.TriplePattern(A.Var("x"), LABEL, A.Var("name"))]),
+                "n",
+                A.FuncCall("STRLEN", (A.Var("name"),)),
+            ),
+        ),
+        projection=[("x", None), ("n", None)],
+    )
+    out = {r["x"]["lex"]: r["n"]["lex"] for r in small_store.query_algebra(q).collect()}
+    assert out == {EX + "Mike": "4", EX + "Bryan": "5"}
+
+
+def test_aggregate_count_group(small_store):
+    # how many people does each person know?
+    q = A.SelectQuery(
+        pattern=A.BGP([A.TriplePattern(A.Var("x"), KNOWS, A.Var("y"))]),
+        projection=[("x", None), ("cnt", A.Aggregate("COUNT", A.Var("y")))],
+        group_by=[(None, A.Var("x"))],
+    )
+    out = {r["x"]["lex"]: int(r["cnt"]["lex"]) for r in small_store.query_algebra(q).collect()}
+    assert out == {EX + "Mike": 1, EX + "Bryan": 2, EX + "Martyn": 1}
+
+
+def test_property_path_plus(small_store):
+    # :Martyn foaf:knows+ ?y → Bryan, Mike, Martyn (cycle)
+    q = A.SelectQuery(
+        pattern=A.BGP([
+            A.TriplePattern(Term.iri(EX + "Martyn"), A.PathStar(A.PathLink(FOAF + "knows"), 1, None), A.Var("y")),
+        ]),
+        projection=[("y", None)],
+    )
+    assert lexes(small_store.query_algebra(q), "y") == [EX + "Bryan", EX + "Martyn", EX + "Mike"]
+
+
+def test_values(small_store):
+    q = A.SelectQuery(
+        pattern=A.Join(
+            A.BGP([A.TriplePattern(A.Var("x"), LABEL, A.Var("name"))]),
+            A.ValuesPat(["name"], [[Term.literal("Mike")], [Term.literal("DC")]]),
+        ),
+        projection=[("x", None)],
+    )
+    assert lexes(small_store.query_algebra(q), "x") == [EX + "DC", EX + "Mike"]
