@@ -565,7 +565,9 @@ class QueryCompiler:
         # projection expressions (SELECT (expr AS ?v) …), evaluated in order
         proj_names: list[str] = []
         if q.wildcard:
-            proj_names = sorted(c.vars) if not has_agg else sorted(k for k in resolve if isinstance(k, str))
+            # SELECT * excludes non-distinguished (bnode-sugar) vars
+            pool = c.vars if not has_agg else [k for k in resolve if isinstance(k, str)]
+            proj_names = sorted(v for v in pool if not v.startswith("_bnode_"))
             for v in proj_names:
                 if v not in df.columns:
                     df = df.withColumn(v, resolve[v].cast(TERM_TYPE))
