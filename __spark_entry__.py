@@ -1,10 +1,11 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: SPARQL-on-Spark engine vs DuckDB SQL oracle.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry runs a SPARQL query through the bigdata_old_spark engine
+over the W3C-direct-mapped triplification of the driver's TPC-H-ish
+parquet (FIXTURES.md §6) and unwraps the result to plain columns; the
+oracle is the equivalent SQL over the *relational* form.  A match
+proves the whole stack: triplifier → parser → algebra → DataFrame
+compilation → term semantics.
 """
 
 from __future__ import annotations
@@ -13,26 +14,220 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+PREFIXES = """
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+PREFIX c: <urn:tpch:customer#>
+PREFIX n: <urn:tpch:nation#>
+PREFIX r: <urn:tpch:region#>
+PREFIX s: <urn:tpch:supplier#>
+PREFIX p: <urn:tpch:part#>
+PREFIX o: <urn:tpch:orders#>
+PREFIX l: <urn:tpch:lineitem#>
+PREFIX e: <urn:tpch:events#>
+PREFIX d: <urn:tpch:documents#>
+"""
+
+_STORES: dict = {}
+
+
+def _store(spark: SparkSession, sf_dir: str):
+    from bigdata_old_spark.store import TripleStore
+
+    key = (id(spark), sf_dir)
+    if key not in _STORES:
+        st = TripleStore.from_tpch_dir(spark, sf_dir)
+        st.statements.count()  # materialize the persisted triplification once
+        _STORES[key] = st
+    return _STORES[key]
+
+
+def _sparql(sparql: str, **out_types: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdata_old_spark.results import plain
+
+        df = _store(spark, sf_dir).query(PREFIXES + sparql)
+        return plain(df, **out_types)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# SPARQL queries + SQL oracles (keys must match between the two dicts)
+# ---------------------------------------------------------------------------
+
+_SPARQL_QUERIES: dict[str, tuple[str, dict, str]] = {
+    # (sparql, plain-output types, oracle sql)
+    "q01_filter_project": (
+        """SELECT ?c_custkey ?c_acctbal WHERE {
+             ?c c:c_custkey ?c_custkey ; c:c_acctbal ?c_acctbal .
+             FILTER(?c_acctbal > 9000.0)
+           }""",
+        dict(c_custkey="long", c_acctbal="double"),
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0",
+    ),
+    "q02_join_group_count": (
+        """SELECT ?n_name (COUNT(?c) AS ?cnt) WHERE {
+             ?c c:c_nationkey_ref ?nat . ?nat n:n_name ?n_name
+           } GROUP BY ?n_name""",
+        dict(n_name="str", cnt="long"),
+        """SELECT n_name, count(*) AS cnt
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name""",
+    ),
+    "q03_tpch_q1": (
+        """SELECT ?l_returnflag ?l_linestatus
+                  (SUM(xsd:decimal(?qty)) AS ?sum_qty)
+                  (SUM(xsd:decimal(?ep)) AS ?sum_base_price)
+                  (COUNT(*) AS ?count_order)
+           WHERE {
+             ?l l:l_returnflag ?l_returnflag ; l:l_linestatus ?l_linestatus ;
+                l:l_quantity ?qty ; l:l_extendedprice ?ep ; l:l_shipdate ?sd .
+             FILTER(?sd <= "1998-09-02T00:00:00"^^xsd:dateTime)
+           } GROUP BY ?l_returnflag ?l_linestatus""",
+        dict(l_returnflag="str", l_linestatus="str", sum_qty="decimal2",
+             sum_base_price="decimal2", count_order="long"),
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                  count(*) AS count_order
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "q04_topk": (
+        """SELECT ?o_orderkey ?o_totalprice WHERE {
+             ?o o:o_orderkey ?o_orderkey ; o:o_totalprice ?o_totalprice
+           } ORDER BY DESC(?o_totalprice) ?o_orderkey LIMIT 10""",
+        dict(o_orderkey="long", o_totalprice="double"),
+        """SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    ),
+    "q05_optional_left_join": (
+        """SELECT ?c_custkey ?o_orderkey WHERE {
+             ?c c:c_custkey ?c_custkey .
+             OPTIONAL { ?ord o:o_custkey_ref ?c ; o:o_orderkey ?o_orderkey }
+           }""",
+        dict(c_custkey="long", o_orderkey="long"),
+        """SELECT c_custkey, o_orderkey
+           FROM customer LEFT JOIN orders ON o_custkey = c_custkey""",
+    ),
+    "q06_union": (
+        """SELECT ?name WHERE {
+             { ?x c:c_name ?name } UNION { ?x s:s_name ?name }
+           }""",
+        dict(name="str"),
+        "SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier",
+    ),
+    "q07_not_exists": (
+        """SELECT ?c_custkey WHERE {
+             ?c c:c_custkey ?c_custkey .
+             FILTER NOT EXISTS { ?o o:o_custkey_ref ?c }
+           }""",
+        dict(c_custkey="long"),
+        """SELECT c_custkey FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ),
+    "q08_minus": (
+        """SELECT ?p_partkey WHERE {
+             { ?p p:p_partkey ?p_partkey ; p:p_size ?sz . FILTER(?sz < 10) }
+             MINUS { ?p p:p_type ?t . FILTER(CONTAINS(?t, "BRASS")) }
+           }""",
+        dict(p_partkey="long"),
+        """SELECT p_partkey FROM part WHERE p_size < 10
+           AND p_partkey NOT IN (SELECT p_partkey FROM part WHERE p_type LIKE '%BRASS%')""",
+    ),
+    "q09_distinct": (
+        """SELECT DISTINCT ?seg WHERE { ?c c:c_mktsegment ?seg }""",
+        dict(seg="str"),
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    ),
+    "q10_string_funcs": (
+        """SELECT ?c_custkey (UCASE(SUBSTR(?nm, 1, 8)) AS ?up) WHERE {
+             ?c c:c_custkey ?c_custkey ; c:c_name ?nm .
+             FILTER(STRENDS(?nm, "1"))
+           }""",
+        dict(c_custkey="long", up="str"),
+        """SELECT c_custkey, UPPER(SUBSTRING(c_name, 1, 8)) AS up
+           FROM customer WHERE c_name LIKE '%1'""",
+    ),
+    "q12_property_path_fk_chain": (
+        """SELECT ?n_name (COUNT(*) AS ?cnt) WHERE {
+             ?l l:l_suppkey_ref/s:s_nationkey_ref/n:n_name ?n_name
+           } GROUP BY ?n_name""",
+        dict(n_name="str", cnt="long"),
+        """SELECT n_name, count(*) AS cnt
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                         JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name""",
+    ),
+    "q13_having": (
+        """SELECT ?n_name (COUNT(?c) AS ?cnt) WHERE {
+             ?c c:c_nationkey_ref ?nat . ?nat n:n_name ?n_name
+           } GROUP BY ?n_name HAVING (COUNT(?c) > 50)""",
+        dict(n_name="str", cnt="long"),
+        """SELECT n_name, count(*) AS cnt
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name HAVING count(*) > 50""",
+    ),
+    "q14_agg_min_max": (
+        """SELECT ?seg (MIN(?bal) AS ?minb) (MAX(?bal) AS ?maxb) (COUNT(*) AS ?n)
+           WHERE { ?c c:c_mktsegment ?seg ; c:c_acctbal ?bal }
+           GROUP BY ?seg""",
+        dict(seg="str", minb="double", maxb="double", n="long"),
+        """SELECT c_mktsegment AS seg, MIN(c_acctbal) AS minb,
+                  MAX(c_acctbal) AS maxb, count(*) AS n
+           FROM customer GROUP BY c_mktsegment""",
+    ),
+    "q15_subselect": (
+        """SELECT ?n_name ?cnt WHERE {
+             ?nat n:n_name ?n_name .
+             { SELECT ?nat (COUNT(?s) AS ?cnt) WHERE { ?s s:s_nationkey_ref ?nat } GROUP BY ?nat }
+           } ORDER BY DESC(?cnt) ?n_name LIMIT 5""",
+        dict(n_name="str", cnt="long"),
+        """SELECT n_name, cnt FROM nation
+           JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY s_nationkey) t
+             ON n_nationkey = s_nationkey
+           ORDER BY cnt DESC, n_name LIMIT 5""",
+    ),
+    "q16_year_extract": (
+        """SELECT ?yr (COUNT(*) AS ?cnt) WHERE {
+             ?o o:o_orderdate ?d
+           } GROUP BY (YEAR(?d) AS ?yr)""",
+        dict(yr="long", cnt="long"),
+        """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt
+           FROM orders GROUP BY 1""",
+    ),
+    "q17_values_in": (
+        """SELECT ?o_orderkey ?pri WHERE {
+             VALUES ?pri { "1-URGENT" "2-HIGH" }
+             ?o o:o_orderkey ?o_orderkey ; o:o_orderpriority ?pri .
+           }""",
+        dict(o_orderkey="long", pri="str"),
+        """SELECT o_orderkey, o_orderpriority AS pri FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    ),
+    "q18_events_agg": (
+        """SELECT ?event_type (COUNT(*) AS ?cnt) (MIN(?v) AS ?minv) (MAX(?v) AS ?maxv)
+           WHERE { ?e e:event_type ?event_type ; e:value ?v }
+           GROUP BY ?event_type""",
+        dict(event_type="str", cnt="long", minv="double", maxv="double"),
+        """SELECT event_type, count(*) AS cnt, MIN(value) AS minv, MAX(value) AS maxv
+           FROM events GROUP BY event_type""",
+    ),
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style aggregation via SPARQL on sf0.001."""
+    sparql, out_types, _ = _SPARQL_QUERIES["q03_tpch_q1"]
+    return _sparql(sparql, **out_types)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (sparql, out_types, _) in _SPARQL_QUERIES.items():
+        out[name] = _sparql(sparql, **out_types)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, _, sql) in _SPARQL_QUERIES.items()}

@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The metric is total wall-clock over the headline query set (excluding
+the one-time triplification, which is reported separately inside
+"queries" as "_triplify" — at scale that cost is paid once at load
+time, matching the reference's bulk-load-then-query lifecycle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from bigdata_old_spark.session import get_spark
+
+HEADLINE = [
+    "q01_filter_project",
+    "q02_join_group_count",
+    "q03_tpch_q1",
+    "q04_topk",
+    "q05_optional_left_join",
+    "q07_not_exists",
+    "q08_minus",
+    "q12_property_path_fk_chain",
+    "q15_subselect",
+    "q16_year_extract",
+    "q18_events_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    entry_mod._store(spark, sf_dir)  # triplify + persist + materialize once
+    timings["_triplify"] = round(time.perf_counter() - t0, 3)
+
+    qs = entry_mod.queries()
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_query_set_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

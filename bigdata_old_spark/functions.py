@@ -341,6 +341,8 @@ def apply_builtin(name: str, args: list[Column], raw_args: list | None = None) -
     ``args`` are term-struct Columns.  Boolean-valued builtins return
     BOOLEAN-term structs so they compose; FILTER unwraps via ebv().
     """
+    if name.startswith("http://www.w3.org/2001/XMLSchema#"):
+        return xsd_cast(name, args[0])
     n = name.upper()
 
     # --- logical (3-valued with error propagation per AndBOp/OrBOp) ---

@@ -45,8 +45,11 @@ TPCH_KEYS: dict[str, tuple[list[str], dict[str, str]]] = {
     "supplier": (["s_suppkey"], {"s_nationkey": "nation"}),
     "part": (["p_partkey"], {}),
     "orders": (["o_orderkey"], {"o_custkey": "customer"}),
+    # NB: the synthetic data's (l_orderkey, l_linenumber) is NOT unique
+    # (TPC-H-*ish*); [] means "content-hash of the full row" so each row
+    # gets a distinct, deterministic subject IRI.
     "lineitem": (
-        ["l_orderkey", "l_linenumber"],
+        [],
         {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
     ),
     "events": (["event_id"], {}),
@@ -54,7 +57,12 @@ TPCH_KEYS: dict[str, tuple[list[str], dict[str, str]]] = {
 }
 
 
-def _subject_expr(table: str, pk_cols: list[str]) -> F.Column:
+def _subject_expr(table: str, pk_cols: list[str], all_cols: list[str]) -> F.Column:
+    if not pk_cols:  # no unique key → deterministic full-row content hash
+        return F.concat(
+            F.lit(f"urn:tpch:{table}:"),
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in all_cols])),
+        )
     parts = [F.lit(f"urn:tpch:{table}:")]
     for i, c in enumerate(pk_cols):
         if i:
@@ -91,7 +99,8 @@ def triplify_table(df: DataFrame, table: str) -> DataFrame:
                                       num=c, dbl=c))
         elif isinstance(dtype, (T.DoubleType, T.FloatType)):
             stmts.append(_stmt_struct(pred, KIND_LITERAL, c, XSD_DOUBLE, dbl=c))
-        elif isinstance(dtype, T.TimestampType):
+        elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            c = c.cast("timestamp")
             lex = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
             stmts.append(_stmt_struct(pred, KIND_LITERAL, lex, XSD_DATETIME, dtm=c))
         elif isinstance(dtype, T.StringType):
@@ -104,7 +113,7 @@ def triplify_table(df: DataFrame, table: str) -> DataFrame:
             stmts.append(_stmt_struct(pred + "_ref", KIND_IRI, ref_iri))
     out = (
         df.select(
-            _subject_expr(table, pk_cols).alias("s"),
+            _subject_expr(table, pk_cols, [f.name for f in df.schema.fields]).alias("s"),
             F.explode(F.array(*stmts)).alias("t"),
         )
         .select(
@@ -126,11 +135,28 @@ def triplify_table(df: DataFrame, table: str) -> DataFrame:
     return out
 
 
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read robust to TIMESTAMP(NANOS) columns (Spark refuses
+    them natively): detect ns columns from the footer via pyarrow, read
+    them as long, convert to micros-precision timestamps (= DuckDB's
+    TIMESTAMP precision, so oracle comparisons line up)."""
+    import pyarrow.parquet as pq
+
+    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
 def triplify_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> DataFrame:
     """Triplify every mapped table under a testdata scale-factor dir."""
     tables = tables or list(TPCH_KEYS)
     dfs = [
-        triplify_table(spark.read.parquet(f"{sf_dir}/{t}.parquet"), t)
+        triplify_table(read_table(spark, f"{sf_dir}/{t}.parquet"), t)
         for t in tables
     ]
     out = dfs[0]
