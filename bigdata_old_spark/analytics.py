@@ -1,0 +1,149 @@
+"""GAS graph analytics — BFS / SSSP / CC / PageRank on DataFrames.
+
+The reference ships a Gather-Apply-Scatter engine over its SPO indexes
+(bigdata-gas: IGASProgram.java:43, GASEngine.java:73) with four
+shipped algorithms (analytics/BFS.java:47, SSSP.java:53, CC.java:71,
+PR.java:78).  GraphX has no Python API, so the Spark-native expression
+is frontier/fixpoint DataFrame iteration — every round is a shuffle
+join over the edge table, which is exactly the scatter step; AQE
+handles skewed hubs.
+
+A generic ``gas_iterate`` driver plays IGASProgram: the caller
+supplies the per-round (state ⨝ edges → messages → new state) logic as
+DataFrame transforms.
+
+Edges come from the statements table: (s → o) for triples whose object
+is a resource, optionally restricted by predicate — the same
+"statements ARE the graph" view the reference takes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.model import KIND_LITERAL
+
+
+def edges_of(statements: DataFrame, predicate: str | None = None) -> DataFrame:
+    """(src, dst) edge DataFrame from resource-object triples."""
+    df = statements.where(F.col("o_kind") != KIND_LITERAL)
+    if predicate is not None:
+        df = df.where(F.col("p") == predicate)
+    dst = F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex"))).otherwise(F.col("o_lex"))
+    return df.select(F.col("s").alias("src"), dst.alias("dst")).dropDuplicates()
+
+
+def bfs(edges: DataFrame, source: str, max_depth: int | None = None, directed: bool = True) -> DataFrame:
+    """Level-synchronous BFS with predecessors (reference BFS.java:47).
+    Returns: v | depth | pred  (pred NULL at the source)."""
+    spark = edges.sparkSession
+    if not directed:
+        edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates()
+    edges = edges.localCheckpoint(eager=True)
+    visited = spark.createDataFrame([(source, 0, None)], "v string, depth int, pred string")
+    frontier = visited.select("v")
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        nxt = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("src").alias("pred"))  # deterministic predecessor
+        )
+        depth += 1
+        nxt = (
+            nxt.join(visited.select("v"), "v", "left_anti")
+            .select("v", F.lit(depth).alias("depth"), "pred")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("v")
+    return visited
+
+
+def sssp(edges: DataFrame, source: str, directed: bool = True) -> DataFrame:
+    """Single-source shortest paths with unit edge weights — this
+    version of the reference treats every hop as cost 1 (SSSP.java:53
+    javadoc: link weights of 1.0) so SSSP ≡ BFS depth."""
+    return bfs(edges, source, directed=directed).select("v", F.col("depth").alias("dist"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Undirected CC by label propagation to the min vertex id
+    (reference CC.java:71).  Returns: v | component."""
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .dropDuplicates()
+        .withColumn("component", F.col("v"))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            labels.join(und, labels["v"] == und["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "v", "left")
+            .select("v", F.least(F.col("component"), F.col("nbr_min")).alias("component"),
+                    (F.col("nbr_min") < F.col("component")).alias("chg"))
+        )
+        changed = new_labels.where(F.col("chg")).isEmpty() is False
+        labels = new_labels.select("v", "component").localCheckpoint(eager=True)
+        if not changed:
+            break
+    return labels
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20, tol: float | None = None) -> DataFrame:
+    """Synchronous PageRank, damping 0.85 (reference PR.java:78).
+    Returns: v | rank.  Ranks sum to ~N (GraphX convention)."""
+    edges = edges.localCheckpoint(eager=True)
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for i in range(max_iter):
+        contrib = (
+            ranks.join(outdeg, "v")
+            .join(edges, F.col("v") == edges["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
+        )
+        new_ranks = (
+            verts.join(contrib, "v", "left")
+            .select("v", (F.lit(1 - damping) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n").join(ranks.alias("o"), "v")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+def gas_iterate(state: DataFrame, edges: DataFrame, round_fn, max_iter: int = 50) -> DataFrame:
+    """Generic GAS driver (IGASProgram.java:43 analog): round_fn(state,
+    edges) → (new_state, converged: bool); loops with lineage cuts."""
+    for _ in range(max_iter):
+        state, done = round_fn(state, edges)
+        state = state.localCheckpoint(eager=True)
+        if done:
+            break
+    return state

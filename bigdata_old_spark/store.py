@@ -72,6 +72,18 @@ class TripleStore:
         )
 
     # -- mutation (SPARQL UPDATE analog — batch Parquet rewrite) --------------
+    def update(self, sparql_update: str) -> "TripleStore":
+        """Execute a SPARQL UPDATE request; returns the new store."""
+        from bigdata_old_spark.update import execute_update
+
+        return execute_update(self, sparql_update)
+
+    def closure(self) -> "TripleStore":
+        """RDFS forward closure (inference.rdfs_closure)."""
+        from bigdata_old_spark.inference import rdfs_closure
+
+        return TripleStore(self.spark, rdfs_closure(self.statements))
+
     def add(self, other: DataFrame) -> "TripleStore":
         return TripleStore(self.spark, self.statements.unionByName(other).dropDuplicates())
 

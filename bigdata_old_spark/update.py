@@ -1,0 +1,388 @@
+"""SPARQL 1.1 UPDATE — parsed ops + batch Parquet-rewrite execution.
+
+The reference routes UPDATE through AST2BOpUpdate.convertUpdateSwitch
+(eval/AST2BOpUpdate.java:213,378-416) with op types Create/Drop/Clear/
+Copy/Move/Add/Load/InsertData/DeleteData/DeleteInsert
+(UpdateType.java:38) and physical ops InsertDataOp/RemoveStatementsOp/
+InsertStatementsOp/ParseOp/CommitOp (bop/rdf/update/).
+
+Spark semantics: every op is a pure statements-DataFrame rewrite —
+DELETE = null-safe anti-join, INSERT = union + distinct — and the new
+TripleStore replaces the old (batch, not transactional OLTP, per
+BASELINE.json).  At scale each op is one shuffle over the statements
+table; the WHERE clause of DELETE/INSERT reuses the whole query
+compiler.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_old_spark import algebra as A
+from bigdata_old_spark.model import (
+    KIND_LITERAL,
+    STATEMENTS_SCHEMA,
+    STYPE_EXPLICIT,
+    Term,
+    term_to_iri_string,
+)
+from bigdata_old_spark.parser import ParseError, _Parser
+
+# ---------------------------------------------------------------------------
+# Op dataclasses (UpdateType.java analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class InsertData:
+    quads: list  # (g|None, s Term, p Term, o Term)
+
+
+@dataclass
+class DeleteData:
+    quads: list
+
+
+@dataclass
+class DeleteInsert:
+    delete_template: list  # [(g, TriplePattern)]
+    insert_template: list
+    pattern: object
+    with_graph: str | None = None
+
+
+@dataclass
+class ClearOp:
+    target: str  # 'default' | 'named' | 'all' | graph IRI
+    silent: bool = False
+
+
+@dataclass
+class DropOp:
+    target: str
+    silent: bool = False
+
+
+@dataclass
+class CreateOp:
+    graph: str
+    silent: bool = False
+
+
+@dataclass
+class CopyOp:
+    src: str  # 'default' or IRI
+    dst: str
+    move: bool = False
+    add: bool = False
+
+
+@dataclass
+class LoadOp:
+    source: str
+    graph: str | None = None
+    silent: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Parser (extends the query parser's token machinery)
+# ---------------------------------------------------------------------------
+
+
+class _UpdateParser(_Parser):
+    def parse_update(self) -> list:
+        ops = []
+        while True:
+            self.parse_prologue()
+            if self.peek()[0] is None:
+                break
+            ops.append(self.parse_update_op())
+            if not self.take_op(";"):
+                break
+        if self.peek()[0] is not None:
+            raise ParseError(f"trailing tokens at {self.peek()}")
+        return ops
+
+    def parse_update_op(self):
+        if self.take_word("INSERT"):
+            if self.take_word("DATA"):
+                return InsertData(self.parse_quad_data(ground=True))
+            return self.parse_modify(delete_first=False)
+        if self.take_word("DELETE"):
+            if self.take_word("DATA"):
+                return DeleteData(self.parse_quad_data(ground=True))
+            if self.take_word("WHERE"):
+                tmpl = self.parse_quad_patterns()
+                pattern = _quads_to_pattern(tmpl)
+                return DeleteInsert(tmpl, [], pattern)
+            return self.parse_modify(delete_first=True)
+        if self.take_word("WITH"):
+            g = self.parse_iri().lex
+            if self.take_word("DELETE"):
+                return self.parse_modify(delete_first=True, with_graph=g)
+            self.expect_word("INSERT")
+            return self.parse_modify(delete_first=False, with_graph=g)
+        if self.take_word("CLEAR"):
+            silent = self.take_word("SILENT")
+            return ClearOp(self.parse_graph_target(), silent)
+        if self.take_word("DROP"):
+            silent = self.take_word("SILENT")
+            return DropOp(self.parse_graph_target(), silent)
+        if self.take_word("CREATE"):
+            silent = self.take_word("SILENT")
+            self.expect_word("GRAPH")
+            return CreateOp(self.parse_iri().lex, silent)
+        if self.take_word("COPY") or self.at_word("MOVE", "ADD"):
+            move = add = False
+            if self.take_word("MOVE"):
+                move = True
+            elif self.take_word("ADD"):
+                add = True
+            src = self.parse_graph_or_default()
+            self.expect_word("TO")
+            dst = self.parse_graph_or_default()
+            return CopyOp(src, dst, move=move, add=add)
+        if self.take_word("LOAD"):
+            silent = self.take_word("SILENT")
+            src = self.parse_iri().lex
+            g = None
+            if self.take_word("INTO"):
+                self.expect_word("GRAPH")
+                g = self.parse_iri().lex
+            return LoadOp(src, g, silent)
+        raise ParseError(f"unknown update op at {self.peek()}")
+
+    def parse_graph_target(self) -> str:
+        if self.take_word("DEFAULT"):
+            return "default"
+        if self.take_word("NAMED"):
+            return "named"
+        if self.take_word("ALL"):
+            return "all"
+        self.expect_word("GRAPH")
+        return self.parse_iri().lex
+
+    def parse_graph_or_default(self) -> str:
+        if self.take_word("DEFAULT"):
+            return "default"
+        self.take_word("GRAPH")
+        return self.parse_iri().lex
+
+    def parse_modify(self, delete_first: bool, with_graph: str | None = None):
+        del_tmpl: list = []
+        ins_tmpl: list = []
+        if delete_first:
+            del_tmpl = self.parse_quad_patterns()
+            if self.take_word("INSERT"):
+                ins_tmpl = self.parse_quad_patterns()
+        else:
+            ins_tmpl = self.parse_quad_patterns()
+        while self.take_word("USING"):  # parsed, dataset scoping ignored (v1)
+            self.take_word("NAMED")
+            self.parse_iri()
+        self.expect_word("WHERE")
+        pattern = self.parse_group()
+        return DeleteInsert(del_tmpl, ins_tmpl, pattern, with_graph)
+
+    def parse_quad_patterns(self) -> list:
+        """{ triples (GRAPH g { triples })* } → [(g|None, TriplePattern)]"""
+        self.expect_op("{")
+        out = []
+        while not self.at_op("}"):
+            if self.take_word("GRAPH"):
+                k, v = self.peek()
+                g = self.parse_var() if k == "VAR" else self.parse_iri()
+                self.expect_op("{")
+                bgp = A.BGP()
+                while not self.at_op("}"):
+                    self.parse_triples_same_subject(bgp)
+                    self.take_op(".")
+                self.expect_op("}")
+                out.extend((g, t) for t in bgp.triples)
+            else:
+                bgp = A.BGP()
+                self.parse_triples_same_subject(bgp)
+                self.take_op(".")
+                out.extend((None, t) for t in bgp.triples)
+        self.expect_op("}")
+        return out
+
+    def parse_quad_data(self, ground: bool) -> list:
+        quads = self.parse_quad_patterns()
+        for g, t in quads:
+            for pos in (t.s, t.p, t.o):
+                if isinstance(pos, A.Var) and not pos.name.startswith("_bnode_"):
+                    raise ParseError("variables not allowed in INSERT/DELETE DATA")
+        return quads
+
+
+def parse_update(text: str) -> list:
+    return _UpdateParser(text).parse_update()
+
+
+def _quads_to_pattern(quads: list):
+    """DELETE WHERE shorthand: the template is also the pattern."""
+    default = A.BGP([t for g, t in quads if g is None])
+    node = default if default.triples else None
+    from collections import defaultdict
+
+    by_g: dict = defaultdict(list)
+    for g, t in quads:
+        if g is not None:
+            by_g[g].append(t)
+    for g, triples in by_g.items():
+        gp = A.GraphPat(g, A.BGP(triples))
+        node = gp if node is None else A.Join(node, gp)
+    return node if node is not None else A.BGP()
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+_KEYS = ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+
+
+def _ground_quads_df(spark, quads: list, default_graph: str | None = None) -> DataFrame:
+    rows = []
+    for g, t in quads:
+        gname = g.lex if isinstance(g, Term) else default_graph
+        s = t.s.lex if t.s.kind != 1 else f"_:{t.s.lex}"
+        kind, lex, dt, lang, num, dbl, dtm, b = t.o.as_row()
+        rows.append((gname, s, t.p.lex, kind, lex, dt, lang, num, dbl, dtm, b, STYPE_EXPLICIT))
+    return spark.createDataFrame(rows, STATEMENTS_SCHEMA)
+
+
+def _anti_remove(base: DataFrame, victims: DataFrame) -> DataFrame:
+    v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
+    cond = None
+    for k in _KEYS:
+        c = base[k].eqNullSafe(v[f"__v_{k}"])
+        cond = c if cond is None else (cond & c)
+    return base.join(v, cond, "left_anti")
+
+
+def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_graph: str | None) -> DataFrame:
+    """Instantiate quad templates against WHERE solutions → statements DF
+    (the ASTConstructIterator analog for update templates)."""
+    outs = []
+    from bigdata_old_spark.compiler import compile_expr
+    from bigdata_old_spark.functions import null_term
+    from bigdata_old_spark.model import term_lit
+
+    for g, tp in template:
+        def pos(x):
+            if isinstance(x, A.Var):
+                return resolve.get(x.name, null_term())
+            return term_lit(x)
+
+        s, p, o = pos(tp.s), pos(tp.p), pos(tp.o)
+        if isinstance(g, A.Var):
+            gcol = term_to_iri_string(resolve.get(g.name, null_term()))
+        elif isinstance(g, Term):
+            gcol = F.lit(g.lex)
+        else:
+            gcol = F.lit(default_graph).cast("string")
+        valid = s.isNotNull() & p.isNotNull() & o.isNotNull() & (s["kind"] != KIND_LITERAL) & (p["kind"] == 0)
+        outs.append(
+            sol_df.where(valid).select(
+                gcol.alias("g"),
+                term_to_iri_string(s).alias("s"),
+                p["lex"].alias("p"),
+                o["kind"].alias("o_kind"),
+                o["lex"].alias("o_lex"),
+                F.when(o["kind"] == KIND_LITERAL, o["dt"]).alias("o_dt"),
+                o["lang"].alias("o_lang"),
+                o["num"].alias("o_num"),
+                o["dbl"].alias("o_dbl"),
+                o["dtm"].alias("o_dtm"),
+                o["bool"].alias("o_bool"),
+                F.lit(STYPE_EXPLICIT).cast("tinyint").alias("stype"),
+            )
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def execute_update(store, text: str):
+    """Run a SPARQL UPDATE request; returns the NEW TripleStore."""
+    from bigdata_old_spark.compiler import QueryCompiler
+    from bigdata_old_spark.store import TripleStore
+
+    for op in parse_update(text):
+        store = _execute_one(store, op)
+    return store
+
+
+def _execute_one(store, op):
+    from bigdata_old_spark.compiler import QueryCompiler
+    from bigdata_old_spark.rio import load_ntriples
+    from bigdata_old_spark.store import TripleStore
+
+    spark, df = store.spark, store.statements
+
+    if isinstance(op, InsertData):
+        add = _ground_quads_df(spark, op.quads)
+        return TripleStore(spark, df.unionByName(_anti_new_stmts(add, df)))
+    if isinstance(op, DeleteData):
+        return TripleStore(spark, _anti_remove(df, _ground_quads_df(spark, op.quads)))
+    if isinstance(op, DeleteInsert):
+        comp = QueryCompiler(store)
+        pattern = op.pattern
+        if op.with_graph:
+            pattern = A.GraphPat(Term.iri(op.with_graph), pattern)
+        c = comp.compile_pattern(pattern)
+        sol = c.df.localCheckpoint(eager=True)  # snapshot BEFORE mutation
+        resolve = {v: sol[v] for v in c.vars}
+        out = df
+        if op.delete_template:
+            victims = _template_to_statements(sol, op.delete_template, resolve, op.with_graph)
+            out = _anti_remove(out, victims)
+        if op.insert_template:
+            adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
+            out = out.unionByName(_anti_new_stmts(adds, out))
+        return TripleStore(spark, out)
+    if isinstance(op, ClearOp) or isinstance(op, DropOp):
+        t = op.target
+        if t == "default":
+            return TripleStore(spark, df.where(F.col("g").isNotNull()))
+        if t == "named":
+            return TripleStore(spark, df.where(F.col("g").isNull()))
+        if t == "all":
+            return TripleStore(spark, spark.createDataFrame([], STATEMENTS_SCHEMA))
+        return TripleStore(spark, df.where(~F.col("g").eqNullSafe(F.lit(t))))
+    if isinstance(op, CreateOp):
+        return store  # graphs are implicit (no catalog) — no-op
+    if isinstance(op, CopyOp):
+        src_cond = F.col("g").isNull() if op.src == "default" else F.col("g") == op.src
+        dst_val = F.lit(None).cast("string") if op.dst == "default" else F.lit(op.dst)
+        moved = df.where(src_cond).withColumn("g", dst_val)
+        if op.add:
+            rest = df
+        else:  # COPY/MOVE replace the destination graph
+            dst_cond = F.col("g").isNull() if op.dst == "default" else F.col("g") == op.dst
+            rest = df.where(~dst_cond)
+        if op.move:
+            rest = rest.where(~src_cond)
+        return TripleStore(spark, rest.unionByName(_anti_new_stmts(moved, rest)))
+    if isinstance(op, LoadOp):
+        path = op.source
+        if path.startswith("file://"):
+            path = path[7:]
+        add = load_ntriples(spark, path, graph=op.graph)
+        return TripleStore(spark, df.unionByName(_anti_new_stmts(add, df)))
+    raise NotImplementedError(type(op))
+
+
+def _anti_new_stmts(cand: DataFrame, base: DataFrame) -> DataFrame:
+    b = base.select(*[F.col(k).alias(f"__b_{k}") for k in _KEYS]).dropDuplicates()
+    cond = None
+    for k in _KEYS:
+        c = cand[k].eqNullSafe(b[f"__b_{k}"])
+        cond = c if cond is None else (cond & c)
+    return cand.dropDuplicates(_KEYS).join(b, cond, "left_anti")

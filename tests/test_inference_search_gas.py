@@ -1,0 +1,93 @@
+"""RDFS closure, full-text search, GAS analytics — golden answers
+mirroring the reference's tiny-graph test style (TestBFS/TestCC/TestPR,
+rules/* closure tests)."""
+
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.analytics import bfs, connected_components, edges_of, pagerank, sssp
+from bigdata_old_spark.inference import rdfs_closure
+from bigdata_old_spark.model import FOAF, RDF_TYPE, RDFS, STYPE_INFERRED, Term
+from bigdata_old_spark.search import build_text_index, search
+from bigdata_old_spark.store import TripleStore
+
+EX = "http://example.org/"
+
+
+def test_rdfs_closure(spark):
+    rows = [
+        (None, EX + "Fido", RDF_TYPE, Term.iri(EX + "Dog")),
+        (None, EX + "Dog", RDFS + "subClassOf", Term.iri(EX + "Mammal")),
+        (None, EX + "Mammal", RDFS + "subClassOf", Term.iri(EX + "Animal")),
+        (None, EX + "Fido", EX + "hasOwner", Term.iri(EX + "Alice")),
+        (None, EX + "hasOwner", RDFS + "subPropertyOf", Term.iri(EX + "knows")),
+        (None, EX + "hasOwner", RDFS + "domain", Term.iri(EX + "Pet")),
+        (None, EX + "hasOwner", RDFS + "range", Term.iri(EX + "Person")),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    closed = rdfs_closure(st.statements)
+    inferred = {
+        (r["s"], r["p"], r["o_lex"])
+        for r in closed.where(F.col("stype") == STYPE_INFERRED).collect()
+    }
+    assert (EX + "Fido", RDF_TYPE, EX + "Mammal") in inferred      # rdfs9
+    assert (EX + "Fido", RDF_TYPE, EX + "Animal") in inferred      # rdfs9 via rdfs11
+    assert (EX + "Dog", RDFS + "subClassOf", EX + "Animal") in inferred  # rdfs11
+    assert (EX + "Fido", EX + "knows", EX + "Alice") in inferred   # rdfs7
+    assert (EX + "Fido", RDF_TYPE, EX + "Pet") in inferred         # rdfs2
+    assert (EX + "Alice", RDF_TYPE, EX + "Person") in inferred     # rdfs3
+    # idempotent: closing the closure adds nothing
+    assert rdfs_closure(closed).count() == closed.count()
+
+
+def test_fulltext_search(spark):
+    rows = [
+        (None, EX + "d1", RDFS + "label", "the quick brown fox"),
+        (None, EX + "d2", RDFS + "label", "the lazy dog sleeps"),
+        (None, EX + "d3", RDFS + "label", "quick quick dog"),
+        (None, EX + "d4", RDFS + "comment", "nothing relevant here"),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    idx = build_text_index(st.statements)
+    hits = search(idx, "quick dog").collect()
+    by_s = {r["s"]: r for r in hits}
+    assert set(by_s) == {EX + "d1", EX + "d2", EX + "d3"}
+    # d3 matches both tokens (one twice) → top rank
+    assert min(hits, key=lambda r: r["rank"])["s"] == EX + "d3"
+    assert by_s[EX + "d3"]["relevance"] == 1.0
+    # match-all-terms keeps only d3
+    all_hits = search(idx, "quick dog", match_all_terms=True).collect()
+    assert {r["s"] for r in all_hits} == {EX + "d3"}
+    # rank cutoff
+    top1 = search(idx, "quick dog", max_rank=1).collect()
+    assert len(top1) == 1
+
+
+def test_bfs_sssp(small_store):
+    edges = edges_of(small_store.statements, FOAF + "knows")
+    out = {r["v"]: (r["depth"], r["pred"]) for r in bfs(edges, EX + "Mike").collect()}
+    assert out[EX + "Mike"] == (0, None)
+    assert out[EX + "Bryan"] == (1, EX + "Mike")
+    assert out[EX + "Martyn"] == (2, EX + "Bryan")
+    d = {r["v"]: r["dist"] for r in sssp(edges, EX + "Martyn").collect()}
+    assert d == {EX + "Martyn": 0, EX + "Bryan": 1, EX + "Mike": 2}
+
+
+def test_connected_components(spark, small_store):
+    edges = edges_of(small_store.statements, FOAF + "knows")
+    cc = {r["v"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(set(cc.values())) == 1  # one knows-component
+    # add an isolated pair → second component
+    extra = TripleStore.from_rows(spark, [(None, EX + "x1", EX + "e", Term.iri(EX + "x2"))])
+    both = small_store.statements.unionByName(extra.statements)
+    cc2 = {r["v"]: r["component"] for r in connected_components(edges_of(both)).collect()}
+    comps = set(cc2.values())
+    assert len(comps) == 2
+    assert cc2[EX + "x1"] == cc2[EX + "x2"]
+
+
+def test_pagerank(small_store):
+    edges = edges_of(small_store.statements, FOAF + "knows")
+    pr = {r["v"]: r["rank"] for r in pagerank(edges, max_iter=30).collect()}
+    # Bryan is pointed at by both others → highest rank
+    assert max(pr, key=pr.get) == EX + "Bryan"
+    assert abs(sum(pr.values()) - 3.0) < 0.2
