@@ -216,6 +216,115 @@ _SPARQL_QUERIES: dict[str, tuple[str, dict, str]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Pipeline operators (dedup / similarity / text analysis) — DataFrame-native
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from bigdata_old_spark.mapping import read_table
+
+    return read_table(spark, f"{sf_dir}/{table}.parquet")
+
+
+def _p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("content_hash", "keep_id", F.col("n_dups").cast("long").alias("n_dups"))
+
+
+def _p_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(c).cast("long").alias("n_chars_m"),
+    )
+
+
+def _p_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, queries_df, k=10)
+    return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
+def _p_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, min_jaccard=0.4).select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 5).alias("jaccard")
+    )
+
+
+def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_old_spark.pipeline.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8)
+
+
+def _p_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_old_spark.pipeline.text import analyze
+
+    docs = _read(spark, sf_dir, "documents")
+    return analyze(docs).select("doc_id", "n_tokens", "n_tokens_bpe", "quality", "lang_pred", "fingerprint")
+
+
+_PIPELINE_QUERIES: dict[str, tuple] = {
+    # name: (callable, oracle sql | None)
+    "p01_dedup_exact": (
+        _p_dedup_exact,
+        """SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+                  min(doc_id) AS keep_id, count(*) AS n_dups
+           FROM documents GROUP BY 1""",
+    ),
+    "p02_text_profile": (
+        _p_text_profile,
+        """SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                  length(text) AS n_chars_m
+           FROM documents""",
+    ),
+    "p03_ann_bruteforce_topk": (
+        _p_ann_topk,
+        """SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.embedding, e.embedding), 5) AS sim,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                  ) AS rnk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN embeddings e
+           QUALIFY rnk <= 10""",
+    ),
+    # LSH/SimHash signatures are not SQL-expressible → rows-only checks
+    "p04_minhash_lsh_pairs": (_p_minhash_pairs, None),
+    "p05_simhash_pairs": (_p_simhash_pairs, None),
+    "p06_quality_langid": (_p_quality_lang, None),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1-style aggregation via SPARQL on sf0.001."""
     sparql, out_types, _ = _SPARQL_QUERIES["q03_tpch_q1"]
@@ -226,8 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (sparql, out_types, _) in _SPARQL_QUERIES.items():
         out[name] = _sparql(sparql, **out_types)
+    for name, (fn, _) in _PIPELINE_QUERIES.items():
+        out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, _, sql) in _SPARQL_QUERIES.items()}
+    out = {name: sql for name, (_, _, sql) in _SPARQL_QUERIES.items()}
+    out.update({name: sql for name, (_, sql) in _PIPELINE_QUERIES.items() if sql is not None})
+    return out

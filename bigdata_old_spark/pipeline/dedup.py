@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the whole point of each design):
+  * exact: one hash-shuffle groupBy — linear.
+  * MinHash-LSH: signatures are per-row map work; candidate generation
+    is a self-join on (band, band_hash) buckets, so the quadratic blowup
+    is confined to same-bucket collisions instead of all pairs.
+  * SimHash: per-row 64-bit signature; near-dup candidates via exact
+    bucket match on rotated signature halves (Hamming ≤ radius).
+  * verification joins recompute true Jaccard only on candidates.
+
+All signature math is Catalyst array expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.pipeline.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """Groups of documents with identical (normalized) content.
+    Returns: content_hash | keep_id (min) | n_dups | doc_ids."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    h = F.md5(c)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """Keep one representative (min id) per identical content."""
+    groups = exact_duplicates(df, id_col, text_col, normalize)
+    keep = groups.select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingle strings (distinct)."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))) \
+          .otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(sh: Column, num_hashes: int = 32) -> list[Column]:
+    """num_hashes independent min-hashes; independence via salting the
+    64-bit hash with the permutation index."""
+    return [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float | None = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified
+    with true shingle Jaccard.  Returns: id_a | id_b | jaccard (a<b)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select("id", "sh", *band_cols)
+    # candidate pairs: same hash in ANY band → explode to (band_idx, key)
+    buckets = sig.select(
+        "id", "sh",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(bands)]).alias("b"),
+                F.array(*[F.col(f"band{b}") for b in range(bands)]).alias("h"),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.b").alias("b"), F.col("bk.h").alias("h"))
+    l = buckets.alias("l")
+    r = buckets.select(F.col("id").alias("rid"), F.col("sh").alias("rsh"), "b", "h").alias("r")
+    pairs = (
+        l.join(r, ["b", "h"])
+        .where(F.col("l.id") < F.col("rid"))
+        .select(F.col("l.id").alias("id_a"), F.col("rid").alias("id_b"),
+                jaccard(F.col("l.sh"), F.col("rsh")).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if min_jaccard is not None:
+        pairs = pairs.where(F.col("jaccard") >= min_jaccard)
+    return pairs
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw) -> DataFrame:
+    """Drop near-duplicates: greedy keep-lowest-id via connected pairs.
+    (One union-find round — sufficient when duplicate clusters are
+    shallow; run to fixpoint for deep chains.)"""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kw)
+    drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over tokens: per-bit signed vote weighted by
+    token occurrences, sign → bit.  Pure array-expression
+    implementation; the bit loop unrolls into a static Catalyst
+    expression (shift amounts must be Python ints)."""
+    toks = tokens(F.lower(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_at(i: int) -> Column:
+        def merge(acc, h):
+            return acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0).cast("long"), merge)
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        sig = sig + F.when(vote_at(i) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole the 64 bits into ``blocks``
+    segments — any pair within Hamming ≤ blocks-1 shares ≥1 exact
+    segment, so candidates come from equality joins on segments.
+    Returns: id_a | id_b | hamming."""
+    width = 64 // blocks
+    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    seg = base.select(
+        "id", "sig",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(blocks)]).alias("b"),
+                F.array(*[
+                    F.shiftrightunsigned(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"s{b}")
+                    for b in range(blocks)
+                ]).alias("k"),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    l = seg.alias("l")
+    r = seg.select(F.col("id").alias("rid"), F.col("sig").alias("rsig"), "b", "k").alias("r")
+    return (
+        l.join(r, ["b", "k"])
+        .where(F.col("l.id") < F.col("rid"))
+        .select(F.col("l.id").alias("id_a"), F.col("rid").alias("id_b"),
+                hamming64(F.col("l.sig"), F.col("rsig")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, min_jaccard: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold.  O(n²) — the exactness
+    baseline the LSH variants are verified against; at scale use
+    minhash_lsh_pairs."""
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+    l, r = base.alias("l"), base.select(F.col("id").alias("rid"), F.col("sh").alias("rsh")).alias("r")
+    return (
+        l.crossJoin(r)
+        .where(F.col("id") < F.col("rid"))
+        .select(F.col("id").alias("id_a"), F.col("rid").alias("id_b"),
+                jaccard(F.col("sh"), F.col("rsh")).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )

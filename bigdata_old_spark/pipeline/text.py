@@ -1,0 +1,129 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (no Python UDFs) so they run inside
+whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword-hit
+# heuristic language identifier.  (A real deployment would plug in a
+# fastText-style model via a pandas UDF; the heuristic keeps the
+# operator dependency-free and JVM-side.)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"],
+    "zh": [],  # handled by CJK codepoint ratio below
+}
+
+_STOPWORDS = _LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (the baseline token counter)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """A BPE-ish regex segmentation: word pieces, numbers, punctuation
+    runs — approximates subword token counts without a vocab."""
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]{1,6}|\d{1,3}|[^\sA-Za-z\d]"), 0),
+        lambda t: t != "",
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_classes(col: Column) -> dict[str, Column]:
+    total = F.greatest(F.length(col), F.lit(1))
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    space = F.length(F.regexp_replace(col, r"[^\s]", ""))
+    cjk = F.length(F.regexp_replace(col, r"[^\x{4e00}-\x{9fff}]", ""))
+    return {
+        "alpha_ratio": alpha / total,
+        "digit_ratio": digit / total,
+        "punct_ratio": punct / total,
+        "space_ratio": space / total,
+        "cjk_ratio": cjk / total,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality score: length band + alpha ratio +
+    stopword presence − punctuation/digit noise (the usual pre-training
+    corpus filters, cf. C4/Gopher rules)."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    cls = char_classes(col)
+    stop_hits = F.size(F.array_intersect(F.transform(toks, F.lower), F.array(*[F.lit(w) for w in _STOPWORDS])))
+    mean_word_len = F.length(col) / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.when(n_tok >= 10, F.lit(0.3)).otherwise(n_tok.cast("double") * 0.03)
+        + F.least(cls["alpha_ratio"] * 0.4, F.lit(0.4))
+        + F.when(stop_hits > 0, 0.15).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.15).otherwise(0.0)
+        - F.least(cls["punct_ratio"] * 0.5, F.lit(0.25))
+        - F.least(cls["digit_ratio"] * 0.3, F.lit(0.15))
+    )
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK codepoint ratio → zh, else argmax of
+    per-language function-word hit counts, default en."""
+    toks = F.transform(tokens(col), F.lower)
+    cls = char_classes(col)
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()
+        if words
+    }
+    best = F.lit("en")
+    best_n = F.lit(0)
+    for lang, h in hits.items():
+        cond = h > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, h).otherwise(best_n)
+    return F.when(cls["cjk_ratio"] > 0.25, F.lit("zh")).otherwise(best)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: 64-bit hash of the
+    whitespace/case-normalized text (content identity for exact dedup
+    across formatting variants)."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.xxhash64(norm)
+
+
+def shingle_fingerprints(col: Column, k: int = 5) -> Column:
+    """Rolling k-token shingle hashes (winnowing-style fingerprint set)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: token counts, quality, language, fingerprint."""
+    c = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": token_count(c),
+        "n_tokens_bpe": F.size(bpe_ish_tokens(c)),
+        "quality": F.round(quality_score(c), 4),
+        "lang_pred": lang_id(c),
+        "fingerprint": fingerprint(c),
+    })

@@ -1,0 +1,126 @@
+"""Dedup / similarity / text-analysis / multimodal pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bigdata_old_spark.pipeline.multimodal import extract_image_features, frame_sample_plan, synth_media
+from bigdata_old_spark.pipeline.similarity import brute_force_topk, cosine_near_dup_pairs, lsh_topk
+from bigdata_old_spark.pipeline.text import analyze
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit → high jaccard
+OTHER = "completely different content about spark dataframes shuffles partitions and catalyst optimizer internals"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE), (2, BASE), (3, NEAR), (4, OTHER),
+        (5, "short text"), (6, "  THE   quick brown fox jumps over the lazy dog and runs far away into the woods tonight "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicates(docs).where(F.col("n_dups") > 1).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2, 6]  # 6 = same after normalization
+    assert exact_dedup(docs).count() == 4
+
+
+def test_minhash_lsh(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, min_jaccard=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_matches_lsh(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, min_jaccard=0.5).collect()}
+    assert lsh <= exact  # LSH never invents pairs (it verifies)
+    assert (1, 3) in lsh  # and catches the near-dup
+
+
+def test_simhash(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_text_analyze(spark):
+    rows = [
+        (1, "The cat and the dog played in the garden with a ball of yarn."),
+        (2, "el perro y el gato en la casa de los abuelos por una tarde"),
+        (3, "le chat et le chien dans les jardins de la maison est une"),
+        (4, "der Hund und die Katze ist ein nicht mit den kindern von"),
+        (5, "你好世界这是中文文本内容测试"),
+        (6, "!!! ??? ### $$$ %%%"),
+    ]
+    df = analyze(spark.createDataFrame(rows, "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in df.collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "es"
+    assert out[3]["lang_pred"] == "fr"
+    assert out[4]["lang_pred"] == "de"
+    assert out[5]["lang_pred"] == "zh"
+    assert out[1]["quality"] > 0.6 > out[6]["quality"]
+    assert out[1]["n_tokens"] == 14
+    # fingerprint is whitespace/case-normalizing
+    variant = analyze(
+        spark.createDataFrame(
+            [(9, "  The CAT and the dog  played in the garden with a ball of yarn.  ")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]["fingerprint"]
+    assert variant == out[1]["fingerprint"]
+
+
+def test_similarity_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = brute_force_topk(emb, queries, k=5)
+    rows = exact.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = min(rs, key=lambda r: r["rnk"])
+        assert best["vec_id"] == qid and best["sim"] > 0.999  # self is nearest
+    # LSH recall: top-1 (self) always found; most of top-5 recovered
+    approx = lsh_topk(emb, queries, k=5)
+    a_ids = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    e_ids = {(r["q_id"], r["vec_id"]) for r in rows}
+    assert all((q, q) in a_ids for q in by_q)
+    assert len(a_ids & e_ids) >= len(e_ids) * 0.5
+
+
+def test_cosine_near_dup(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    twin = emb.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    df = emb.unionByName(twin)
+    pairs = cosine_near_dup_pairs(df, min_sim=0.99).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
+
+
+def test_multimodal_stub(spark):
+    media = synth_media(spark, 12)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == 16 and r["n_bytes"] == 64
+    # deterministic: same content → same sha/feature
+    again = {r["media_id"]: r["sha256"] for r in extract_image_features(media).collect()}
+    assert all(again[r["media_id"]] == r["sha256"] for r in feats)
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.where(F.col("media_id") == 2).count() == 5  # 5s video @1fps
