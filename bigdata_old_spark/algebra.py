@@ -190,6 +190,15 @@ class ServicePat:
 
 
 @dataclass
+class Dataset:
+    """FROM / FROM NAMED clauses (reference DataSetJoin,
+    bop/rdf/join/DataSetJoin.java:67: theta/IN restriction on ?g)."""
+
+    default_graphs: Optional[list] = None  # None = the real default graph
+    named_graphs: Optional[list] = None    # None = all named graphs
+
+
+@dataclass
 class SelectQuery:
     pattern: object
     # list of (var_name, Expr|None) — None means plain variable projection;
@@ -204,12 +213,14 @@ class SelectQuery:
     limit: Optional[int] = None
     offset: Optional[int] = None
     values: Optional[ValuesPat] = None
+    dataset: Optional[Dataset] = None
 
 
 @dataclass
 class AskQuery:
     pattern: object
     values: Optional[ValuesPat] = None
+    dataset: Optional[Dataset] = None
 
 
 @dataclass
@@ -219,6 +230,7 @@ class ConstructQuery:
     limit: Optional[int] = None
     offset: Optional[int] = None
     values: Optional[ValuesPat] = None
+    dataset: Optional[Dataset] = None
 
 
 @dataclass
@@ -226,6 +238,7 @@ class DescribeQuery:
     terms: list  # list[Var|Term]
     pattern: Optional[object] = None
     values: Optional[ValuesPat] = None
+    dataset: Optional[Dataset] = None
 
 
 Query = U[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]

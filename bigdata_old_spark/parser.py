@@ -217,12 +217,18 @@ class _Parser:
             raise ParseError(f"trailing tokens at {self.peek()}")
         return q
 
-    def skip_dataset_clauses(self):
-        # FROM / FROM NAMED parsed and ignored in v1 (the store IS the
-        # dataset); the reference's DataSetJoin analog comes with quads
+    def parse_dataset_clauses(self):
+        """FROM <g> / FROM NAMED <g> → Dataset (DataSetJoin analog)."""
+        default: list = []
+        named: list = []
         while self.take_word("FROM"):
-            self.take_word("NAMED")
-            self.parse_iri()
+            if self.take_word("NAMED"):
+                named.append(self.parse_iri().lex)
+            else:
+                default.append(self.parse_iri().lex)
+        if not default and not named:
+            return None
+        return A.Dataset(default or None, named or None)
 
     def parse_select(self, top: bool = False) -> A.SelectQuery:
         self.expect_word("SELECT")
@@ -247,7 +253,7 @@ class _Parser:
                     q.projection.append((var.name, e))
                 else:
                     break
-        self.skip_dataset_clauses()
+        q.dataset = self.parse_dataset_clauses()
         self.take_word("WHERE")
         q.pattern = self.parse_group()
         self.parse_solution_modifiers(q)
@@ -257,26 +263,27 @@ class _Parser:
 
     def parse_ask(self) -> A.AskQuery:
         self.expect_word("ASK")
-        self.skip_dataset_clauses()
+        ds = self.parse_dataset_clauses()
         self.take_word("WHERE")
         pattern = self.parse_group()
         values = self.parse_values_body() if self.take_word("VALUES") else None
-        return A.AskQuery(pattern, values)
+        return A.AskQuery(pattern, values, ds)
 
     def parse_construct(self) -> A.ConstructQuery:
         self.expect_word("CONSTRUCT")
+        ds = None
         if self.at_op("{"):
             template = self.parse_construct_template()
-            self.skip_dataset_clauses()
+            ds = self.parse_dataset_clauses()
             self.take_word("WHERE")
             pattern = self.parse_group()
         else:  # CONSTRUCT WHERE { triples } shorthand
-            self.skip_dataset_clauses()
+            ds = self.parse_dataset_clauses()
             self.expect_word("WHERE")
             template_pat = self.parse_group()
             pattern = template_pat
             template = _collect_triples(template_pat)
-        q = A.ConstructQuery(template, pattern)
+        q = A.ConstructQuery(template, pattern, dataset=ds)
         mods = A.SelectQuery(pattern=None)
         self.parse_solution_modifiers(mods)
         q.limit, q.offset = mods.limit, mods.offset
@@ -296,13 +303,13 @@ class _Parser:
                     terms.append(self.parse_iri())
                 else:
                     break
-        self.skip_dataset_clauses()
+        ds = self.parse_dataset_clauses()
         pattern = None
         if self.take_word("WHERE") or self.at_op("{"):
             pattern = self.parse_group()
         mods = A.SelectQuery(pattern=None)
         self.parse_solution_modifiers(mods)
-        return A.DescribeQuery(terms, pattern)
+        return A.DescribeQuery(terms, pattern, dataset=ds)
 
     def parse_construct_template(self) -> list:
         self.expect_op("{")

@@ -48,6 +48,19 @@ class TripleStore:
         rows = [(graph, s, p, o) for s, p, o in parse_turtle(text)]
         return TripleStore.from_rows(spark, rows)
 
+    # -- full-text index (lazy, cached) ----------------------------------------
+    _text_index = None
+
+    def text_index(self):
+        """Inverted index over string literals (search.build_text_index),
+        built on first use and persisted — the analog of the reference's
+        maintained FullTextIndex."""
+        if self._text_index is None:
+            from bigdata_old_spark.search import build_text_index
+
+            self._text_index = build_text_index(self.statements).persist()
+        return self._text_index
+
     # -- query ---------------------------------------------------------------
     def query(self, sparql: str) -> DataFrame:
         """SPARQL string → result DataFrame (term-struct columns for

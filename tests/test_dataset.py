@@ -1,0 +1,45 @@
+"""FROM / FROM NAMED dataset clauses (DataSetJoin analog)."""
+
+import pytest
+
+from bigdata_old_spark.store import TripleStore
+
+P = "PREFIX : <http://example.org/>\n"
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def quad_store(spark):
+    st = TripleStore.from_turtle(spark, "@prefix : <http://example.org/> . :d :p :v0 .")
+    return st.update(P + """
+        INSERT DATA {
+          GRAPH :g1 { :a :p :v1 }
+          GRAPH :g2 { :b :p :v2 }
+          GRAPH :g3 { :c :p :v3 }
+        }""")
+
+
+def lex(df, col):
+    return sorted(r[col]["lex"] for r in df.collect())
+
+
+def test_from_merges_named_into_default(quad_store):
+    df = quad_store.query(P + "SELECT ?s FROM :g1 FROM :g2 WHERE { ?s :p ?o }")
+    assert lex(df, "s") == [EX + "a", EX + "b"]
+
+
+def test_default_graph_without_from(quad_store):
+    df = quad_store.query(P + "SELECT ?s WHERE { ?s :p ?o }")
+    assert lex(df, "s") == [EX + "d"]
+
+
+def test_from_named_restricts_graph_var(quad_store):
+    df = quad_store.query(P + """
+        SELECT ?g FROM NAMED :g1 FROM NAMED :g3 WHERE { GRAPH ?g { ?s :p ?o } }""")
+    assert lex(df, "g") == [EX + "g1", EX + "g3"]
+
+
+def test_from_named_excludes_unlisted_constant(quad_store):
+    df = quad_store.query(P + """
+        SELECT ?s FROM NAMED :g1 WHERE { GRAPH :g2 { ?s :p ?o } }""")
+    assert df.count() == 0
