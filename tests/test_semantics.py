@@ -1,0 +1,149 @@
+"""SPARQL semantics corner cases, mirroring the reference's data-driven
+fixture corpus (aggregate-*.rq mixed-type groups, TestUnionMinus,
+TestOptionals — AbstractDataDrivenSPARQLTestCase style)."""
+
+import pytest
+
+from bigdata_old_spark.store import TripleStore
+
+P = """
+PREFIX : <http://example.org/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+"""
+EX = "http://example.org/"
+
+# FIXTURES.md §3: mixed numeric datatypes + strings + dateTime under :p
+AGG_TTL = """
+@prefix : <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+:s1 :p "1"^^xsd:int , "2"^^xsd:integer , "3.5"^^xsd:decimal .
+:s2 :p "2.0"^^xsd:double , "x" .
+:s3 :p "2024-01-01T00:00:00"^^xsd:dateTime .
+:s1 :q 5 . :s2 :q 7 .
+"""
+
+
+@pytest.fixture(scope="module")
+def agg_store(spark):
+    return TripleStore.from_turtle(spark, AGG_TTL).persist()
+
+
+def one(df, col):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0][col]
+
+
+def test_max_numeric_promotion(agg_store):
+    # aggregate-max fixture: MAX over mixed numerics picks 3.5 (decimal)
+    v = one(agg_store.query(P + "SELECT (MAX(?o) AS ?m) WHERE { :s1 :p ?o }"), "m")
+    assert v["lex"] == "3.5" and float(v["dbl"]) == 3.5
+
+
+def test_min_cross_datatype(agg_store):
+    v = one(agg_store.query(P + "SELECT (MIN(?o) AS ?m) WHERE { :s1 :p ?o }"), "m")
+    assert float(v["dbl"]) == 1.0
+
+
+def test_sum_sticky_type_error(agg_store):
+    # SUM.java:53 — a non-numeric in the group poisons the aggregate
+    v = one(agg_store.query(P + "SELECT (SUM(?o) AS ?m) WHERE { :s2 :p ?o }"), "m")
+    assert v is None
+    # …but the clean subject sums fine, promoted to decimal
+    v2 = one(agg_store.query(P + "SELECT (SUM(?o) AS ?m) WHERE { :s1 :p ?o }"), "m")
+    assert float(v2["num"]) == 6.5 and v2["dt"].endswith("decimal")
+
+
+def test_avg_and_integer_division(agg_store):
+    v = one(agg_store.query(P + "SELECT (AVG(?o) AS ?m) WHERE { ?s :q ?o }"), "m")
+    assert float(v["num"]) == 6.0
+    # SPARQL: integer / integer → decimal
+    v2 = one(agg_store.query(P + "SELECT (?a / ?b AS ?r) WHERE { :s1 :q ?a . :s2 :q ?b }"), "r")
+    assert v2["dt"].endswith("decimal")
+    assert abs(float(v2["dbl"]) - 5 / 7) < 1e-6
+
+
+def test_count_distinct_terms(agg_store):
+    # 1^^int, 2^^integer, 3.5^^decimal → 3 distinct terms for :s1
+    v = one(agg_store.query(P + "SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { :s1 :p ?o }"), "n")
+    assert v["lex"] == "3"
+
+
+def test_value_equality_across_datatypes(agg_store):
+    # FILTER(?o = 2.0) matches 2^^xsd:integer AND 2.0^^xsd:double
+    df = agg_store.query(P + "SELECT ?s WHERE { ?s :p ?o . FILTER(?o = 2.0) }")
+    assert sorted(r["s"]["lex"] for r in df.collect()) == [EX + "s1", EX + "s2"]
+    # …but a pattern constant is TERM match: "2.0"^^xsd:double only matches :s2
+    df2 = agg_store.query(P + 'SELECT ?s WHERE { ?s :p "2.0"^^xsd:double }')
+    assert [r["s"]["lex"] for r in df2.collect()] == [EX + "s2"]
+
+
+def test_type_error_filter_drops_row(agg_store):
+    # ?o < 3 over a group containing a string: error rows are dropped,
+    # not errored-out (SPARQLConstraint error→false)
+    df = agg_store.query(P + "SELECT ?o WHERE { :s2 :p ?o . FILTER(?o < 3) }")
+    assert [r["o"]["lex"] for r in df.collect()] == ["2.0"]
+
+
+def test_minus_disjoint_domains(agg_store):
+    # MINUS with no shared variables removes nothing (spec §8.3.3)
+    df = agg_store.query(P + "SELECT ?s WHERE { ?s :q ?o MINUS { ?x :p ?y } }")
+    assert df.count() == 2
+    # NOT EXISTS with the same (uncorrelated) pattern removes everything
+    df2 = agg_store.query(P + "SELECT ?s WHERE { ?s :q ?o FILTER NOT EXISTS { ?x :p ?y } }")
+    assert df2.count() == 0
+
+
+def test_optional_filter_references_outer_var(agg_store):
+    # the LeftJoin(condition) case — filter uses vars from both sides
+    df = agg_store.query(P + """
+        SELECT ?s ?o2 WHERE {
+          ?s :q ?o .
+          OPTIONAL { ?s :p ?o2 . FILTER(?o2 > ?o) }
+        }""")
+    got = {(r["s"]["lex"], r["o2"]["lex"] if r["o2"] else None) for r in df.collect()}
+    # :s1 q 5 — no p value > 5 → unbound; :s2 q 7 — none → unbound
+    assert got == {(EX + "s1", None), (EX + "s2", None)}
+
+
+def test_order_by_type_groups(agg_store):
+    # IVComparator: numerics sort before dateTimes before plain strings
+    df = agg_store.query(P + "SELECT ?o WHERE { ?s :p ?o } ORDER BY ?o")
+    kinds = [r["o"]["dt"].rsplit("#", 1)[-1] for r in df.collect()]
+    assert kinds.index("dateTime") > max(i for i, k in enumerate(kinds) if k in ("int", "integer", "decimal", "double"))
+    assert kinds.index("string") > kinds.index("dateTime")
+
+
+def test_coalesce_and_if_error_recovery(agg_store):
+    # COALESCE recovers from the type error that IF/comparison produce
+    df = agg_store.query(P + """
+        SELECT ?o (COALESCE(?o + 1, "err") AS ?r) WHERE { :s2 :p ?o } ORDER BY ?o""")
+    got = [(r["o"]["lex"], r["r"]["lex"]) for r in df.collect()]
+    assert ("x", "err") in got and ("2.0", "3.0") in got
+
+
+def test_langmatches_and_lang(spark):
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        :a :label "colour"@en-GB . :b :label "color"@en . :c :label "couleur"@fr . :d :label "plain" .
+    """)
+    df = st.query(P + 'SELECT ?s WHERE { ?s :label ?l . FILTER(LANGMATCHES(LANG(?l), "en")) }')
+    assert sorted(r["s"]["lex"] for r in df.collect()) == [EX + "a", EX + "b"]
+    df2 = st.query(P + 'SELECT ?s WHERE { ?s :label ?l . FILTER(LANG(?l) = "") }')
+    assert [r["s"]["lex"] for r in df2.collect()] == [EX + "d"]
+
+
+def test_union_unbound_columns(agg_store):
+    df = agg_store.query(P + """
+        SELECT ?a ?b WHERE { { :s1 :q ?a } UNION { :s2 :q ?b } }""")
+    got = {(r["a"]["lex"] if r["a"] else None, r["b"]["lex"] if r["b"] else None) for r in df.collect()}
+    assert got == {("5", None), (None, "7")}
+
+
+def test_sameterm_vs_equals(agg_store):
+    # 2^^integer = 2.0^^double (value) but not sameTerm
+    df = agg_store.query(P + """
+        SELECT ?x ?y WHERE { :s1 :p ?x . :s2 :p ?y .
+          FILTER(?x = ?y) FILTER(!SAMETERM(?x, ?y)) }""")
+    rows = [(r["x"]["lex"], r["y"]["lex"]) for r in df.collect()]
+    assert rows == [("2", "2.0")]
