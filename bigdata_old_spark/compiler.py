@@ -134,7 +134,26 @@ class QueryCompiler:
             return self.compile_pattern(node.child, graph=node.graph)
         if isinstance(node, A.SubSelect):
             return self.compile_subselect(node.query)
+        if isinstance(node, A.ServicePat):
+            return self.compile_service(node, graph)
         raise NotImplementedError(f"pattern {type(node)}")
+
+    def compile_service(self, node: A.ServicePat, graph) -> Compiled:
+        """SERVICE <iri> {…} → registered handler (ServiceRegistry
+        analog, sparql/ast/service/ServiceRegistry.java:34).  Remote
+        SPARQL endpoints are not dialed from this environment; a
+        handler can implement that via mapInPandas if deployed."""
+        from bigdata_old_spark.registry import lookup_service
+
+        handler = lookup_service(node.iri.lex)
+        if handler is None:
+            if node.silent:  # SERVICE SILENT: failure → empty solutions
+                return Compiled(
+                    self.store.spark.range(1).select(F.lit(1).alias("__unit")).limit(1),
+                    frozenset(),
+                )
+            raise NotImplementedError(f"no service registered for <{node.iri.lex}>")
+        return handler(self.store, node.child, self)
 
     # -- scans / BGP ---------------------------------------------------------
     def _scan(self, graph) -> DataFrame:
@@ -371,38 +390,54 @@ class QueryCompiler:
         return Compiled(g.select(*proj), frozenset(names))
 
     def _join_units(self, units: list[Compiled], triples) -> Compiled:
-        """Greedy selectivity-ordered join (the static analog of the
-        reference's ASTStaticJoinOptimizer.java:83): start from the
-        most-bound pattern, always join a pattern sharing a variable
-        with what's bound so far (avoids cartesians), most-bound
-        first.  AQE then fixes any misestimate at runtime."""
-
-        def score(i: int) -> int:
-            t = triples[i]
-            s = 0
-            if not isinstance(t.s, A.Var):
-                s += 4
-            if not isinstance(t.o, A.Var):
-                s += 3
-            if not isinstance(t.p, (A.Var,)) or isinstance(t.p, Term):
-                s += 2
-            return s
-
+        """Greedy cardinality-ordered join (the static analog of the
+        reference's ASTStaticJoinOptimizer.java:83 over rangeCount
+        estimates): start from the smallest estimated pattern, always
+        join a pattern sharing a variable with what's bound so far
+        (avoids cartesians), smallest next.  AQE then fixes residual
+        misestimates at runtime (broadcast conversion, skew split)."""
+        cards = [self._estimate_card(t) for t in triples]
         remaining = list(range(len(units)))
-        remaining.sort(key=score, reverse=True)
+        remaining.sort(key=lambda i: cards[i])
         first = remaining.pop(0)
         acc = units[first]
         while remaining:
-            nxt = None
-            for i in remaining:
-                if set(units[i].vars) & set(acc.vars):
-                    nxt = i
-                    break
-            if nxt is None:
-                nxt = remaining[0]
+            sharing = [i for i in remaining if set(units[i].vars) & set(acc.vars)]
+            nxt = min(sharing, key=lambda i: cards[i]) if sharing else remaining[0]
             remaining.remove(nxt)
             acc = self.join(acc, units[nxt])
         return acc
+
+    def _estimate_card(self, t) -> float:
+        """Estimated solutions for one (possibly as-bound) pattern from
+        the store's predicate stats — count(p) scaled by 1/ndv for each
+        bound position (the classic rangeCount heuristic)."""
+        try:
+            st = self.store.stats()
+        except Exception:
+            st = None
+        p_iri = None
+        if isinstance(t.p, Term):
+            p_iri = t.p.lex
+        elif isinstance(t.p, A.PathLink):
+            p_iri = t.p.iri
+        if st is None:
+            base = 1e6
+            ndv_s = ndv_o = 1e3
+        elif p_iri is not None:
+            n, ns, no = st["by_p"].get(p_iri, (0, 1, 1))
+            base, ndv_s, ndv_o = float(max(n, 1)) if n else 0.5, float(ns), float(no)
+        else:
+            base = float(max(st["total"], 1))
+            ndv_s = ndv_o = max(base / 10.0, 1.0)
+        card = base
+        if not isinstance(t.s, A.Var):
+            card /= ndv_s
+        if not isinstance(t.o, A.Var) and isinstance(t.o, Term):
+            card /= ndv_o
+        if not isinstance(t.p, (A.Var, Term, A.PathLink)):
+            card *= 2  # complex path: closure expands
+        return card
 
     # -- joins ----------------------------------------------------------------
     def join(self, l: Compiled, r: Compiled, how: str = "inner", extra=None, graph=None) -> Compiled:

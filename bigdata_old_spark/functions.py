@@ -566,6 +566,13 @@ def apply_builtin(name: str, args: list[Column], raw_args: list | None = None) -
     if n.startswith("http://www.w3.org/2001/XMLSchema#"):
         return xsd_cast(n, args[0])
 
+    # --- user-registered extension functions (FunctionRegistry analog) ---
+    from bigdata_old_spark.registry import lookup_function
+
+    builder = lookup_function(name)
+    if builder is not None:
+        return builder(args)
+
     raise NotImplementedError(f"SPARQL builtin {name}")
 
 

@@ -48,6 +48,31 @@ class TripleStore:
         rows = [(graph, s, p, o) for s, p, o in parse_turtle(text)]
         return TripleStore.from_rows(spark, rows)
 
+    # -- statistics (lazy, cached) ----------------------------------------------
+    _stats = None
+
+    def stats(self) -> dict:
+        """Cardinality statistics for join ordering: total triples and,
+        per predicate, (count, ndv(subject), ndv(object)).  The Spark
+        replacement for the reference's rangeCount-based estimates
+        (AccessPath.rangeCount, ASTRangeCountOptimizer) — one
+        aggregation pass, cached; ~#predicates rows on the driver."""
+        if self._stats is None:
+            from pyspark.sql import functions as F
+
+            rows = (
+                self.statements.groupBy("p")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct("s").alias("ns"),
+                    F.approx_count_distinct("o_lex").alias("no"),
+                )
+                .collect()
+            )
+            by_p = {r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1)) for r in rows}
+            self._stats = {"total": sum(v[0] for v in by_p.values()), "by_p": by_p}
+        return self._stats
+
     # -- full-text index (lazy, cached) ----------------------------------------
     _text_index = None
 

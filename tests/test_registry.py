@@ -1,0 +1,52 @@
+"""Custom function + service registries (FunctionRegistry /
+ServiceRegistry parity, SURVEY §2.10)."""
+
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.compiler import Compiled
+from bigdata_old_spark.functions import string_term
+from bigdata_old_spark.registry import register_function, register_service
+
+P = """
+PREFIX : <http://example.org/>
+PREFIX fn: <http://example.org/fn#>
+PREFIX svc: <http://example.org/svc#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+"""
+EX = "http://example.org/"
+
+
+def test_custom_function(small_store):
+    register_function(
+        "http://example.org/fn#shout",
+        lambda args: string_term(F.concat(F.upper(args[0]["lex"]), F.lit("!"))),
+    )
+    df = small_store.query(P + """
+        SELECT ?x (fn:shout(?l) AS ?s) WHERE { ?x rdfs:label ?l . FILTER(?l = "Mike") }""")
+    rows = df.collect()
+    assert rows[0]["s"]["lex"] == "MIKE!"
+
+
+def test_custom_service(small_store):
+    def handler(store, pattern, compiler):
+        df = store.spark.createDataFrame(
+            [("Mike",), ("Zed",)], "name string"
+        ).select(string_term(F.col("name")).alias("name"))
+        return Compiled(df, frozenset(["name"]))
+
+    register_service("http://example.org/svc#names", handler)
+    df = small_store.query(P + """
+        SELECT ?x WHERE {
+          SERVICE svc:names { }
+          ?x rdfs:label ?name .
+        }""")
+    assert [r["x"]["lex"] for r in df.collect()] == [EX + "Mike"]
+
+
+def test_service_silent_unregistered(small_store):
+    df = small_store.query(P + """
+        SELECT ?x WHERE {
+          SERVICE SILENT svc:nope { }
+          ?x rdfs:label ?name . FILTER(?name = "DC")
+        }""")
+    assert [r["x"]["lex"] for r in df.collect()] == [EX + "DC"]
