@@ -872,6 +872,38 @@ class QueryCompiler:
         certain = frozenset(g for g in group_cols)
         return Compiled(gdf, certain), resolve
 
+    @staticmethod
+    def _static_rank(e):
+        """Static numeric-rank inference (0 int / 1 decimal / 2 float /
+        3 double, None unknown) — lets statically-typed aggregates skip
+        the runtime promotion + sticky-error machinery (the analog of
+        the reference's IV type annotations on value expressions)."""
+        from bigdata_old_spark.model import INTEGER_DTS, XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT
+
+        def rank_of_dt(dt):
+            if dt in INTEGER_DTS:
+                return 0
+            if dt == XSD_DECIMAL:
+                return 1
+            if dt == XSD_FLOAT:
+                return 2
+            if dt == XSD_DOUBLE:
+                return 3
+            return None
+
+        if isinstance(e, A.Const):
+            return rank_of_dt(e.term.dt)
+        if isinstance(e, A.FuncCall):
+            n = e.name
+            if n.startswith("http://www.w3.org/2001/XMLSchema#"):
+                return rank_of_dt(n)
+            if n in ("+", "-", "*", "/"):
+                ranks = [QueryCompiler._static_rank(a) for a in e.args]
+                if all(r is not None for r in ranks):
+                    r = max(ranks)
+                    return max(r, 1) if n == "/" else r
+        return None
+
     def _agg_expr(self, node: A.Aggregate, resolve: dict) -> Column:
         """One SPARQL aggregate → a Spark aggregate expression returning a
         term struct (reference bop/rdf/aggregate/COUNT|SUM|AVERAGE|MIN|
@@ -889,6 +921,20 @@ class QueryCompiler:
             return SF.integer_term(v)
 
         if n in ("SUM", "AVG"):
+            srank = self._static_rank(node.expr)
+            if srank is not None and not node.distinct:
+                # statically-typed input → single-column aggregate
+                if srank <= 1:
+                    s, cnt = F.sum(col["num"]), F.count(col["num"])
+                    if n == "AVG":
+                        v = (s / F.when(cnt != 0, cnt)).cast("decimal(38,18)")
+                        return F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.decimal_term(v))
+                    if srank == 0:
+                        return SF.integer_term(F.coalesce(s, F.lit(0)))
+                    return F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.decimal_term(s))
+                s, cnt = F.sum(col["dbl"]), F.count(col["dbl"])
+                v = s / F.when(cnt != 0, cnt) if n == "AVG" else s
+                return F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.double_term(v))
             err = F.max(F.when(col.isNotNull() & col["dbl"].isNull(), 1).otherwise(0))
             rank = F.max(SF._num_rank(col))
             if node.distinct:
