@@ -217,6 +217,80 @@ _SPARQL_QUERIES: dict[str, tuple[str, dict, str]] = {
 
 
 # ---------------------------------------------------------------------------
+# Other query forms: CONSTRUCT / ASK / GAS analytics
+# ---------------------------------------------------------------------------
+
+def _q_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT template instantiation, flattened to comparable strings."""
+    from pyspark.sql import functions as F
+
+    df = _store(spark, sf_dir).query(PREFIXES + """
+        CONSTRUCT { ?c <urn:tpch:viz#inNation> ?n_name }
+        WHERE { ?c c:c_nationkey_ref ?nat . ?nat n:n_name ?n_name }""")
+    return df.select(
+        F.col("s")["lex"].alias("s"),
+        F.col("p")["lex"].alias("p"),
+        F.col("o")["lex"].alias("o"),
+    )
+
+
+def _q_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).query(PREFIXES + """
+        ASK { ?c c:c_acctbal ?b . FILTER(?b > 9000.0) }""")
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS depths over the reversed FK graph from region 0 (GAS parity,
+    oracle = DuckDB recursive CTE)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.analytics import bfs
+
+    st = _store(spark, sf_dir)
+    fwd = st.statements.where(F.col("p").isin(
+        "urn:tpch:nation#n_regionkey_ref",
+        "urn:tpch:customer#c_nationkey_ref",
+        "urn:tpch:supplier#s_nationkey_ref",
+    ))
+    edges = fwd.select(F.col("o_lex").alias("src"), F.col("s").alias("dst")).dropDuplicates()
+    out = bfs(edges, "urn:tpch:region:0")
+    return out.select(F.col("v"), F.col("depth").cast("long").alias("depth"))
+
+
+_FORM_QUERIES: dict[str, tuple] = {
+    "q20_construct": (
+        _q_construct,
+        """SELECT DISTINCT 'urn:tpch:customer:' || c_custkey AS s,
+                  'urn:tpch:viz#inNation' AS p, n_name AS o
+           FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    ),
+    "q21_ask": (
+        _q_ask,
+        "SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000.0) AS ask",
+    ),
+    "q22_gas_bfs": (
+        _q_bfs,
+        """WITH RECURSIVE walk(v, depth) AS (
+             SELECT 'urn:tpch:region:0', 0
+             UNION
+             SELECT e.dst, walk.depth + 1
+             FROM walk JOIN (
+               SELECT 'urn:tpch:region:' || n_regionkey AS src,
+                      'urn:tpch:nation:' || n_nationkey AS dst FROM nation
+               UNION ALL
+               SELECT 'urn:tpch:nation:' || c_nationkey,
+                      'urn:tpch:customer:' || c_custkey FROM customer
+               UNION ALL
+               SELECT 'urn:tpch:nation:' || s_nationkey,
+                      'urn:tpch:supplier:' || s_suppkey FROM supplier
+             ) e ON e.src = walk.v
+           )
+           SELECT v, min(depth) AS depth FROM walk GROUP BY v""",
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
 # Pipeline operators (dedup / similarity / text analysis) — DataFrame-native
 # ---------------------------------------------------------------------------
 
@@ -337,10 +411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sparql(sparql, **out_types)
     for name, (fn, _) in _PIPELINE_QUERIES.items():
         out[name] = fn
+    for name, (fn, _) in _FORM_QUERIES.items():
+        out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_, _, sql) in _SPARQL_QUERIES.items()}
     out.update({name: sql for name, (_, sql) in _PIPELINE_QUERIES.items() if sql is not None})
+    out.update({name: sql for name, (_, sql) in _FORM_QUERIES.items() if sql is not None})
     return out

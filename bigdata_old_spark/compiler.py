@@ -125,7 +125,13 @@ class QueryCompiler:
         if isinstance(node, A.MinusPat):
             return self.minus(self.compile_pattern(node.left, graph), self.compile_pattern(node.right, graph))
         if isinstance(node, A.FilterPat):
-            return self.filter(self.compile_pattern(node.child, graph), node.expr, graph)
+            ranges = _extract_ranges(node.expr) if isinstance(node.child, A.BGP) else {}
+            child = (
+                self.compile_bgp(node.child, graph, ranges)
+                if ranges
+                else self.compile_pattern(node.child, graph)
+            )
+            return self.filter(child, node.expr, graph)
         if isinstance(node, A.Extend):
             return self.extend(self.compile_pattern(node.child, graph), node.var, node.expr)
         if isinstance(node, A.ValuesPat):
@@ -178,7 +184,7 @@ class QueryCompiler:
             return df.limit(0)
         return df.where(F.col("g") == graph.lex)
 
-    def compile_triple(self, t: A.TriplePattern, graph) -> Compiled:
+    def compile_triple(self, t: A.TriplePattern, graph, ranges: dict | None = None) -> Compiled:
         if not isinstance(t.p, (A.Var, Term)):
             return self.compile_path_triple(t, graph)
         df = self._scan(graph)
@@ -210,6 +216,14 @@ class QueryCompiler:
             return [F.col("o_kind") == o.kind, F.col("o_lex") == o.lex]
 
         bind(t.o, obj_cols_to_term(), obj_eq)
+        # range pushdown (ASTRangeOptimizer analog, optimizers/
+        # ASTRangeOptimizer.java → RangeBOp): a FILTER like (?o > 5)
+        # becomes a flat-column predicate at the scan, reaching Parquet
+        # min/max stats; the original FILTER still runs for exact
+        # SPARQL error semantics.
+        if ranges and isinstance(t.o, A.Var) and t.o.name in ranges:
+            for flat_cond in ranges[t.o.name]:
+                cond.append(flat_cond)
         if isinstance(graph, A.Var) and graph.name not in proj:
             proj[graph.name] = iri_col_to_term(F.col("g"))
         for c in cond:
@@ -220,7 +234,7 @@ class QueryCompiler:
         out = df.select(*[c.alias(v) for v, c in proj.items()])
         return Compiled(out, frozenset(proj))
 
-    def compile_bgp(self, node: A.BGP, graph) -> Compiled:
+    def compile_bgp(self, node: A.BGP, graph, ranges: dict | None = None) -> Compiled:
         if not node.triples:
             # the empty group — one solution binding nothing
             return Compiled(self.store.spark.range(1).select(F.lit(1).alias("__unit")), frozenset())
@@ -230,7 +244,7 @@ class QueryCompiler:
         star_groups, rest = self._split_star_groups(triples)
         units = search_units
         units += [self.compile_star(s_name, ts, graph) for s_name, ts in star_groups]
-        units += [self.compile_triple(t, graph) for t in rest]
+        units += [self.compile_triple(t, graph, ranges) for t in rest]
         reps = ([ts[0] for _, ts in star_groups] + rest) if not search_units else None
         if reps is not None and len(reps) == len(units):
             return self._join_units(units, reps)
@@ -1063,6 +1077,49 @@ class QueryCompiler:
         if isinstance(q, A.DescribeQuery):
             return self.compile_describe(q)
         raise NotImplementedError(type(q))
+
+
+_CMP_OPS = {"<", "<=", ">", ">=", "="}
+
+
+def _extract_ranges(expr) -> dict:
+    """Top-level conjuncts of the form (?v op const) → flat-column scan
+    predicates keyed by var name.  Only predicates IMPLIED by the
+    filter are emitted (rows they drop would be dropped by the filter
+    anyway), so attaching them is always sound."""
+    out: dict = {}
+
+    def emit(var: A.Var, op: str, t: Term):
+        conds = []
+        dbl = t.dbl_key()
+        dtm = t.dtm_key()
+        if dbl is not None:
+            c = F.col("o_dbl")
+            conds.append({"<": c < dbl, "<=": c <= dbl, ">": c > dbl, ">=": c >= dbl, "=": c == dbl}[op])
+        elif dtm is not None:
+            c = F.col("o_dtm")
+            conds.append({"<": c < dtm, "<=": c <= dtm, ">": c > dtm, ">=": c >= dtm, "=": c == dtm}[op])
+        elif t.kind == 2 and t.dt in (None, "http://www.w3.org/2001/XMLSchema#string") and not t.lang:
+            c = F.col("o_lex")
+            conds.append({"<": c < t.lex, "<=": c <= t.lex, ">": c > t.lex, ">=": c >= t.lex, "=": c == t.lex}[op])
+        if conds:
+            out.setdefault(var.name, []).extend(conds)
+
+    def walk(e):
+        if isinstance(e, A.FuncCall):
+            if e.name == "&&":
+                walk(e.args[0])
+                walk(e.args[1])
+            elif e.name in _CMP_OPS and len(e.args) == 2:
+                a, b = e.args
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+                if isinstance(a, A.Var) and isinstance(b, A.Const):
+                    emit(a, e.name, b.term)
+                elif isinstance(b, A.Var) and isinstance(a, A.Const):
+                    emit(b, flip[e.name], a.term)
+
+    walk(expr)
+    return out
 
 
 def _term_as_flat_string(t: Term) -> str:

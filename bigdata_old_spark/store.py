@@ -27,6 +27,14 @@ class TripleStore:
         return TripleStore(spark, spark.read.schema(STATEMENTS_SCHEMA).parquet(path))
 
     @staticmethod
+    def from_parquet_partitioned(spark: SparkSession, path: str) -> "TripleStore":
+        """Read a store written with partition_by_predicate=True —
+        schema inference picks up `p` as a partition column, so
+        bound-predicate scans prune to single directories."""
+        df = spark.read.parquet(path)
+        return TripleStore(spark, df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]))
+
+    @staticmethod
     def from_rows(spark: SparkSession, rows: list[tuple]) -> "TripleStore":
         """rows: (g, s, p, o[, stype]) with o a Term or plain Python value."""
         return TripleStore(spark, statements_df_from_terms(rows, spark))
