@@ -31,6 +31,12 @@ RDFS_SUBPROP = RDFS + "subPropertyOf"
 RDFS_DOMAIN = RDFS + "domain"
 RDFS_RANGE = RDFS + "range"
 
+from bigdata_old_spark.model import OWL  # noqa: E402
+
+OWL_INVERSE = OWL + "inverseOf"
+OWL_TRANSITIVE = OWL + "TransitiveProperty"
+OWL_SYMMETRIC = OWL + "SymmetricProperty"
+
 
 def _iri_obj_triples(df: DataFrame, p: str) -> DataFrame:
     """Schema triples (s, o_lex) for a predicate with IRI objects."""
@@ -43,11 +49,12 @@ def _iri_obj_triples(df: DataFrame, p: str) -> DataFrame:
 
 def _mk_triples(df: DataFrame, s="s", p=None, o=None) -> DataFrame:
     """Build inferred statements rows: object is always an IRI here
-    (RDFS closure only derives IRI-object triples)."""
+    (the closure rules only derive IRI-object triples).  ``p`` may be a
+    literal IRI string or a Column."""
     return df.select(
         F.lit(None).cast("string").alias("g"),
         F.col(s).alias("s"),
-        (F.lit(p) if isinstance(p, str) else F.col(p)).cast("string").alias("p"),
+        (F.lit(p) if isinstance(p, str) else p).cast("string").alias("p"),
         F.lit(KIND_IRI).cast("tinyint").alias("o_kind"),
         F.col(o).alias("o_lex"),
         F.lit(None).cast("string").alias("o_dt"),
@@ -76,7 +83,7 @@ def _transitive_closure(rel: DataFrame) -> DataFrame:
         result = result.unionByName(new).localCheckpoint(eager=True)
 
 
-def rdfs_closure(statements: DataFrame, max_rounds: int = 50) -> DataFrame:
+def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = True) -> DataFrame:
     """Compute the RDFS closure; returns statements ∪ inferred.
 
     Rules (reference rule classes in bigdata-rdf/.../rules/):
@@ -99,6 +106,19 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50) -> DataFrame:
     subp = _transitive_closure(_iri_obj_triples(df, RDFS_SUBPROP))
     dom = _iri_obj_triples(df, RDFS_DOMAIN)
     rng = _iri_obj_triples(df, RDFS_RANGE)
+    # OWL-subset schema (RuleOwlInverseOf / SymmetricProperty /
+    # TransitiveProperty — bigdata-rdf/.../rules/RuleOwl*.java)
+    inv = _iri_obj_triples(df, OWL_INVERSE)
+
+    def _typed_props(cls: str) -> DataFrame:
+        return (
+            df.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == cls))
+            .select("s")
+            .dropDuplicates()
+        )
+
+    sym = _typed_props(OWL_SYMMETRIC)
+    trans = _typed_props(OWL_TRANSITIVE)
 
     out = df
     # schema-closure triples themselves (rdfs5 / rdfs11 results)
@@ -127,6 +147,39 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50) -> DataFrame:
         # rdfs2: (x P y), (P domain C) → (x type C)
         j = cur.join(F.broadcast(dom.withColumnRenamed("s", "p")), "p")
         fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
+
+        # owl:inverseOf (RuleOwlInverseOf): (x P y), (P inverseOf Q),
+        # y resource → (y Q x); plus symmetric properties (RuleOwl
+        # SymmetricProperty) as self-inverse
+        if with_owl:
+            inv2 = inv.unionByName(inv.select(F.col("o").alias("s"), F.col("s").alias("o")))
+            sym2 = sym.select(F.col("s"), F.col("s").alias("o"))
+            inv_all = inv2.unionByName(sym2).dropDuplicates()
+            j = (
+                cur.where(F.col("o_kind") != 2)
+                .join(F.broadcast(inv_all.withColumnRenamed("s", "p")), "p")
+                .select(
+                    F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
+                    .otherwise(F.col("o_lex")).alias("ns"),
+                    F.col("o").alias("np"),
+                    F.col("s").alias("no"),
+                )
+            )
+            fresh.append(_mk_triples(j, s="ns", p=F.col("np"), o="no"))
+
+            # owl:TransitiveProperty (RuleOwlTransitiveProperty):
+            # (x P y), (y P z), P transitive → (x P z)
+            tp = cur.join(F.broadcast(trans.withColumnRenamed("s", "p")), "p").where(F.col("o_kind") != 2)
+            l = tp.select(
+                F.col("s").alias("x"), F.col("p"),
+                F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex"))).otherwise(F.col("o_lex")).alias("y"),
+            )
+            r = tp.select(
+                F.col("s").alias("y"), F.col("p").alias("p2"),
+                F.col("o_lex").alias("z"),
+            )
+            step = l.join(r, (l["y"] == r["y"]) & (l["p"] == r["p2"])).select("x", "p", "z")
+            fresh.append(_mk_triples(step, s="x", p=F.col("p"), o="z"))
 
         # rdfs3: (x P y), (P range C), y is IRI/bnode → (y type C)
         j = (

@@ -39,6 +39,27 @@ def test_rdfs_closure(spark):
     assert rdfs_closure(closed).count() == closed.count()
 
 
+def test_owl_rules(spark):
+    OWL = "http://www.w3.org/2002/07/owl#"
+    rows = [
+        (None, EX + "hasPart", OWL + "inverseOf", Term.iri(EX + "partOf")),
+        (None, EX + "car", EX + "hasPart", Term.iri(EX + "wheel")),
+        (None, EX + "near", RDF_TYPE, Term.iri(OWL + "SymmetricProperty")),
+        (None, EX + "a", EX + "near", Term.iri(EX + "b")),
+        (None, EX + "anc", RDF_TYPE, Term.iri(OWL + "TransitiveProperty")),
+        (None, EX + "x", EX + "anc", Term.iri(EX + "y")),
+        (None, EX + "y", EX + "anc", Term.iri(EX + "z")),
+        (None, EX + "z", EX + "anc", Term.iri(EX + "w")),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    closed = rdfs_closure(st.statements)
+    got = {(r["s"], r["p"], r["o_lex"]) for r in closed.collect()}
+    assert (EX + "wheel", EX + "partOf", EX + "car") in got       # inverseOf
+    assert (EX + "b", EX + "near", EX + "a") in got               # symmetric
+    assert (EX + "x", EX + "anc", EX + "z") in got                # transitive 1 hop
+    assert (EX + "x", EX + "anc", EX + "w") in got                # transitive closure
+
+
 def test_fulltext_search(spark):
     rows = [
         (None, EX + "d1", RDFS + "label", "the quick brown fox"),
