@@ -129,11 +129,11 @@ _SPARQL_QUERIES: dict[str, tuple[str, dict, str]] = {
     "q08_minus": (
         """SELECT ?p_partkey WHERE {
              { ?p p:p_partkey ?p_partkey ; p:p_size ?sz . FILTER(?sz < 10) }
-             MINUS { ?p p:p_type ?t . FILTER(CONTAINS(?t, "BRASS")) }
+             MINUS { ?p p:p_type ?t . FILTER(CONTAINS(?t, "PROMO")) }
            }""",
         dict(p_partkey="long"),
         """SELECT p_partkey FROM part WHERE p_size < 10
-           AND p_partkey NOT IN (SELECT p_partkey FROM part WHERE p_type LIKE '%BRASS%')""",
+           AND p_partkey NOT IN (SELECT p_partkey FROM part WHERE p_type LIKE '%PROMO%')""",
     ),
     "q09_distinct": (
         """SELECT DISTINCT ?seg WHERE { ?c c:c_mktsegment ?seg }""",
@@ -204,6 +204,54 @@ _SPARQL_QUERIES: dict[str, tuple[str, dict, str]] = {
         dict(o_orderkey="long", pri="str"),
         """SELECT o_orderkey, o_orderpriority AS pri FROM orders
            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    ),
+    "q19_group_concat": (
+        """SELECT ?r_name (GROUP_CONCAT(?n_name; SEPARATOR="|") AS ?nations)
+                  (COUNT(DISTINCT ?n) AS ?n_nations)
+           WHERE { ?n n:n_regionkey_ref ?r . ?r r:r_name ?r_name . ?n n:n_name ?n_name }
+           GROUP BY ?r_name""",
+        dict(r_name="str", nations="str", n_nations="long"),
+        """SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+                  count(DISTINCT n_nationkey) AS n_nations
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name""",
+    ),
+    "q23_regex": (
+        """SELECT ?p_partkey ?t WHERE {
+             ?p p:p_partkey ?p_partkey ; p:p_type ?t .
+             FILTER(REGEX(?t, "^(econ|sm)", "i"))
+           }""",
+        dict(p_partkey="long", t="str"),
+        """SELECT p_partkey, p_type AS t FROM part
+           WHERE regexp_matches(p_type, '(?i)^(econ|sm)')""",
+    ),
+    "q24_minmax_strings": (
+        """SELECT (MIN(?nm) AS ?first_name) (MAX(?nm) AS ?last_name)
+           WHERE { ?c c:c_name ?nm }""",
+        dict(first_name="str", last_name="str"),
+        "SELECT MIN(c_name) AS first_name, MAX(c_name) AS last_name FROM customer",
+    ),
+    "q25_path_star_seeded": (
+        """SELECT ?x WHERE {
+             <urn:tpch:orders:1> (o:o_custkey_ref|c:c_nationkey_ref|n:n_regionkey_ref)+ ?x
+           }""",
+        dict(x="str"),
+        """SELECT 'urn:tpch:customer:' || o_custkey AS x FROM orders WHERE o_orderkey = 1
+           UNION
+           SELECT 'urn:tpch:nation:' || c_nationkey FROM orders
+             JOIN customer ON c_custkey = o_custkey WHERE o_orderkey = 1
+           UNION
+           SELECT 'urn:tpch:region:' || n_regionkey FROM orders
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation ON n_nationkey = c_nationkey WHERE o_orderkey = 1""",
+    ),
+    "q26_avg_decimal": (
+        """SELECT ?seg (AVG(xsd:decimal(?bal)) AS ?avg_bal)
+           WHERE { ?c c:c_mktsegment ?seg ; c:c_acctbal ?bal } GROUP BY ?seg""",
+        dict(seg="str", avg_bal="decimal6"),
+        """SELECT c_mktsegment AS seg,
+                  CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,6)) AS avg_bal
+           FROM customer GROUP BY c_mktsegment""",
     ),
     "q18_events_agg": (
         """SELECT ?event_type (COUNT(*) AS ?cnt) (MIN(?v) AS ?minv) (MAX(?v) AS ?maxv)

@@ -987,7 +987,10 @@ class QueryCompiler:
 
         if n == "GROUP_CONCAT":
             vals = F.collect_set(col["lex"]) if node.distinct else F.collect_list(col["lex"])
-            return SF.string_term(F.array_join(vals, node.separator))
+            # SPARQL leaves concatenation order implementation-defined;
+            # sorting makes results deterministic across shuffles (and
+            # oracle-comparable)
+            return SF.string_term(F.array_join(F.sort_array(vals), node.separator))
 
         raise NotImplementedError(f"aggregate {n}")
 

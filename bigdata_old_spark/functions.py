@@ -481,7 +481,7 @@ def apply_builtin(name: str, args: list[Column], raw_args: list | None = None) -
     if n == "REGEX":
         t = args[0]
         pat = _regex_pattern(args[1]["lex"], args[2]["lex"] if len(args) > 2 else None)
-        return boolean_term(F.when(_is_string_lit(t), t["lex"].rlike(pat)))
+        return boolean_term(F.when(_is_string_lit(t), F.regexp_like(t["lex"], pat)))
     if n == "REPLACE":
         t = args[0]
         pat = _regex_pattern(args[1]["lex"], args[3]["lex"] if len(args) > 3 else None)

@@ -514,6 +514,11 @@ class _Parser:
 
     def parse_var_or_term(self, bgp: A.BGP):
         k, v = self.peek()
+        if k == "OP" and v in ("}", ".", ";", ",", ")"):
+            raise ParseError(
+                f"incomplete triple pattern: expected a term before {v!r} "
+                "(subject predicate object required)"
+            )
         if k == "VAR":
             return self.parse_var()
         if k == "BNODE":

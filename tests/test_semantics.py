@@ -140,6 +140,23 @@ def test_union_unbound_columns(agg_store):
     assert got == {("5", None), (None, "7")}
 
 
+def test_aggregate_inside_expression(agg_store):
+    # aggregates composed in projection expressions (GroupByRewriter case)
+    v = one(agg_store.query(P + """
+        SELECT (SUM(?o) / COUNT(?o) AS ?mean) WHERE { ?s :q ?o }"""), "mean")
+    assert float(v["dbl"]) == 6.0
+
+
+def test_parse_error_message(agg_store):
+    from bigdata_old_spark.parser import ParseError
+
+    try:
+        agg_store.query("SELECT ?x WHERE { ?x ?y }")
+        assert False, "should have raised"
+    except ParseError as e:
+        assert "incomplete triple pattern" in str(e)
+
+
 def test_sameterm_vs_equals(agg_store):
     # 2^^integer = 2.0^^double (value) but not sameTerm
     df = agg_store.query(P + """
