@@ -35,6 +35,7 @@ def _store(spark: SparkSession, sf_dir: str):
     Parquet store — bound-predicate scans then prune to single partition
     directories (measured ~2× faster than an in-memory cached full-scan
     at sf0.1, and the only layout that survives 100 TB)."""
+    import os
     import re
     import tempfile
 
@@ -45,7 +46,11 @@ def _store(spark: SparkSession, sf_dir: str):
     if key not in _STORES:
         tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
         path = f"{tempfile.gettempdir()}/bdos_store_{tag}"
-        TripleStore(spark, triplify_dir(spark, sf_dir)).write_parquet(path, partition_by_predicate=True)
+        # reuse a completed store across processes (marker = _SUCCESS);
+        # set BDOS_REBUILD=1 to force re-triplification
+        done = os.path.exists(f"{path}/_SUCCESS") and not os.environ.get("BDOS_REBUILD")
+        if not done:
+            TripleStore(spark, triplify_dir(spark, sf_dir)).write_parquet(path, partition_by_predicate=True)
         _STORES[key] = TripleStore.from_parquet_partitioned(spark, path)
     return _STORES[key]
 

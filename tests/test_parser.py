@@ -128,6 +128,20 @@ def test_blank_node_pattern(small_store):
     assert lexes(df, "x") == [EX + "Martyn", EX + "Mike"]
 
 
+def test_construct_where_shorthand(small_store):
+    df = small_store.query(PREFIXES + "CONSTRUCT WHERE { ?x foaf:knows ?y }")
+    assert df.count() == 4
+    preds = {r["p"]["lex"] for r in df.collect()}
+    assert preds == {"http://xmlns.com/foaf/0.1/knows"}
+
+
+def test_describe_with_pattern(small_store):
+    df = small_store.query(PREFIXES + """
+        DESCRIBE ?x WHERE { ?x rdfs:label "DC" }""")
+    rows = {(r["s"]["lex"], r["p"]["lex"]) for r in df.collect()}
+    assert rows == {(EX + "DC", "http://www.w3.org/2000/01/rdf-schema#label")}
+
+
 def test_if_coalesce_in(small_store):
     df = small_store.query(PREFIXES + """
         SELECT ?x (IF(?x IN (:Mike, :DC), "yes", "no") AS ?flag)
