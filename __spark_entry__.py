@@ -319,7 +319,69 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("v"), F.col("depth").cast("long").alias("depth"))
 
 
+def _q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS closure: declare customer/supplier ⊑ party, count inferred
+    party instances per class — oracle = plain relational counts."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.inference import rdfs_closure
+    from bigdata_old_spark.model import RDF_TYPE, RDFS, Term, statements_df_from_terms
+
+    st = _store(spark, sf_dir)
+    axioms = statements_df_from_terms(
+        [
+            (None, "urn:tpch:class:customer", RDFS + "subClassOf", Term.iri("urn:tpch:class:party")),
+            (None, "urn:tpch:class:supplier", RDFS + "subClassOf", Term.iri("urn:tpch:class:party")),
+        ],
+        spark,
+    )
+    closed = rdfs_closure(st.statements.unionByName(axioms))
+    return (
+        closed.where((F.col("p") == RDF_TYPE) & (F.col("o_lex") == "urn:tpch:class:party"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_party"))
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→nation→region FK graph (rows-only)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.analytics import edges_of, pagerank
+
+    st = _store(spark, sf_dir)
+    edges = edges_of(
+        st.statements.where(F.col("p").isin(
+            "urn:tpch:customer#c_nationkey_ref", "urn:tpch:nation#n_regionkey_ref"
+        ))
+    )
+    pr = pagerank(edges, max_iter=15)
+    return pr.select("v", F.round(F.col("rank"), 4).alias("rank")).orderBy(F.desc("rank"), F.asc("v")).limit(30)
+
+
+def _q_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bds:search over the triplified documents text (rows-only:
+    tf·idf relevance is engine-defined)."""
+    st = _store(spark, sf_dir)
+    df = st.query(PREFIXES + """
+        SELECT ?doc ?rank WHERE {
+          ?lit <http://www.bigdata.com/rdf/search#search> "spark query join" .
+          ?lit <http://www.bigdata.com/rdf/search#rank> ?rank .
+          ?lit <http://www.bigdata.com/rdf/search#maxRank> "20" .
+          ?doc d:text ?lit .
+        }""")
+    from bigdata_old_spark.results import plain
+
+    return plain(df, doc="str", rank="long")
+
+
 _FORM_QUERIES: dict[str, tuple] = {
+    "q27_rdfs_inference": (
+        _q_inference,
+        """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_party""",
+    ),
+    "q28_pagerank": (_q_pagerank, None),
+    "q29_fulltext_docs": (_q_fulltext, None),
     "q20_construct": (
         _q_construct,
         """SELECT DISTINCT 'urn:tpch:customer:' || c_custkey AS s,

@@ -88,8 +88,13 @@ def _stmt_struct(p: str, kind, lex, dt=None, num=None, dbl=None, dtm=None) -> F.
 
 def triplify_table(df: DataFrame, table: str) -> DataFrame:
     """One relational table → statements DataFrame (default graph)."""
+    from bigdata_old_spark.model import RDF_TYPE
+
     pk_cols, fks = TPCH_KEYS[table]
     stmts: list[F.Column] = []
+    # W3C direct mapping emits a class triple per row:
+    #   <row> rdf:type <urn:tpch:class:{table}>
+    stmts.append(_stmt_struct(RDF_TYPE, KIND_IRI, F.lit(f"urn:tpch:class:{table}")))
     for field in df.schema.fields:
         c = F.col(field.name)
         pred = f"urn:tpch:{table}#{field.name}"

@@ -140,6 +140,25 @@ def test_union_unbound_columns(agg_store):
     assert got == {("5", None), (None, "7")}
 
 
+def test_bottom_up_nested_optional(spark):
+    """The ASTBottomUpOptimizer poster child (badly-designed left join):
+    nested OPTIONAL sharing ?v with the outer pattern but not with its
+    own group.  Bottom-up: inner LeftJoin yields {w=3, v=2}; outer ?v=1
+    is incompatible → keep left-only {v=1, w unbound}.  The certain-var
+    tracking (maybe-unbound compat join) gives this without a rewrite."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        :x1 :p 1 . :x2 :p 2 . :x3 :q 3 .
+    """)
+    df = st.query(P + """
+        SELECT ?v ?w WHERE {
+          :x1 :p ?v .
+          OPTIONAL { :x3 :q ?w . OPTIONAL { :x2 :p ?v } }
+        }""")
+    rows = [(r["v"]["lex"] if r["v"] else None, r["w"]["lex"] if r["w"] else None) for r in df.collect()]
+    assert rows == [("1", None)]
+
+
 def test_aggregate_inside_expression(agg_store):
     # aggregates composed in projection expressions (GroupByRewriter case)
     v = one(agg_store.query(P + """
