@@ -44,8 +44,15 @@ def _store(spark: SparkSession, sf_dir: str):
 
     key = (id(spark), sf_dir)
     if key not in _STORES:
+        import hashlib
+
+        from bigdata_old_spark import mapping as _mapping_mod
+
+        # version the store by the triplifier source so stale stores
+        # from older code are never reused
+        ver = hashlib.md5(open(_mapping_mod.__file__, "rb").read()).hexdigest()[:8]
         tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        path = f"{tempfile.gettempdir()}/bdos_store_{tag}"
+        path = f"{tempfile.gettempdir()}/bdos_store_{tag}_{ver}"
         # reuse a completed store across processes (marker = _SUCCESS);
         # set BDOS_REBUILD=1 to force re-triplification
         done = os.path.exists(f"{path}/_SUCCESS") and not os.environ.get("BDOS_REBUILD")
