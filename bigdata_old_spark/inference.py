@@ -36,6 +36,7 @@ from bigdata_old_spark.model import OWL  # noqa: E402
 OWL_INVERSE = OWL + "inverseOf"
 OWL_TRANSITIVE = OWL + "TransitiveProperty"
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
+OWL_SAMEAS = OWL + "sameAs"
 
 
 def _iri_obj_triples(df: DataFrame, p: str) -> DataFrame:
@@ -67,6 +68,34 @@ def _mk_triples(df: DataFrame, s="s", p=None, o=None) -> DataFrame:
     )
 
 
+def _resource_obj_triples(df: DataFrame, p: str) -> DataFrame:
+    """Schema triples (s, o) for a predicate whose object is a resource
+    (IRI or bnode); bnode objects are normalized to the ``_:label`` form
+    used in the subject position."""
+    return (
+        df.where((F.col("p") == p) & (F.col("o_kind") != 2))
+        .select(
+            F.col("s"),
+            F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
+            .otherwise(F.col("o_lex"))
+            .alias("o"),
+        )
+        .dropDuplicates()
+    )
+
+
+def _equiv_pairs(rel: DataFrame) -> DataFrame:
+    """Symmetric-transitive closure of a relation → all distinct pairs
+    (a,b), a ≠ b, in the same equivalence class (owl:sameAs1/1b —
+    rules/RuleOwlSameAs.java, RuleOwlSameAs1b.java).  Pair count is
+    O(Σ clique²); sameAs cliques are small in practice — a canonical-
+    representative rewrite would replace this at pathological scale."""
+    sym = rel.unionByName(
+        rel.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    ).dropDuplicates()
+    return _transitive_closure(sym).where(F.col("s") != F.col("o"))
+
+
 def _transitive_closure(rel: DataFrame) -> DataFrame:
     """Closure of a small schema relation (s,o) — driver-side loop."""
     result = rel
@@ -93,6 +122,8 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
       rdfs9   (type inheritance)             RuleRdfs09.java
       rdfs2   (domain typing)                RuleRdfs02.java
       rdfs3   (range typing)                 RuleRdfs03.java
+    OWL subset (with_owl=True): inverseOf, SymmetricProperty,
+    TransitiveProperty, sameAs1/1b/2/3     RuleOwl*.java
 
     FastClosure's insight (FastClosure.java:28): compute the schema
     closures (sub-class/property hierarchies) FIRST and once — they are
@@ -180,6 +211,59 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
             )
             step = l.join(r, (l["y"] == r["y"]) & (l["p"] == r["p2"])).select("x", "p", "z")
             fresh.append(_mk_triples(step, s="x", p=F.col("p"), o="z"))
+
+            # owl:sameAs (RuleOwlSameAs1/1b/2/3).  The reference
+            # backchains sameAs (inf/BackchainAccessPath.java); its
+            # FullClosure forward-chains it — we forward-chain, which
+            # is the batch-friendly choice.
+            sa = _resource_obj_triples(cur, OWL_SAMEAS)
+            if not sa.isEmpty():
+                eq = _equiv_pairs(sa)
+                # sameAs1: the closed sameAs triples themselves
+                fresh.append(_mk_triples(eq, s="s", p=OWL_SAMEAS, o="o"))
+                # rename to break self-join lineage ambiguity with cur
+                eqr = F.broadcast(
+                    eq.select(F.col("s").alias("__eq_s"), F.col("o").alias("__eq_o"))
+                )
+                not_sa = cur.where(F.col("p") != OWL_SAMEAS)
+                # sameAs2: (x P z), (x sameAs y) → (y P z) — object
+                # struct carried through unchanged
+                j2 = not_sa.join(eqr, not_sa["s"] == eqr["__eq_s"])
+                fresh.append(
+                    j2.select(
+                        F.col("g"), F.col("__eq_o").alias("s"), F.col("p"),
+                        *[F.col(c) for c in cur.columns if c.startswith("o_")],
+                        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+                    ).select(*cur.columns)
+                )
+                # sameAs3: (x P y), (y sameAs z) → (x P z) for resource
+                # objects; replacement may itself be a bnode (_:label)
+                res = not_sa.where(F.col("o_kind") != 2).select(
+                    "s", "p",
+                    F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
+                    .otherwise(F.col("o_lex"))
+                    .alias("oy"),
+                )
+                j3 = res.join(eqr, res["oy"] == eqr["__eq_s"]).select(
+                    F.col("s"), F.col("p"), F.col("__eq_o").alias("oz")
+                )
+                fresh.append(
+                    j3.select(
+                        F.lit(None).cast("string").alias("g"),
+                        F.col("s"), F.col("p"),
+                        F.when(F.col("oz").startswith("_:"), F.lit(1))
+                        .otherwise(F.lit(0)).cast("tinyint").alias("o_kind"),
+                        F.when(F.col("oz").startswith("_:"), F.expr("substring(oz, 3)"))
+                        .otherwise(F.col("oz")).alias("o_lex"),
+                        F.lit(None).cast("string").alias("o_dt"),
+                        F.lit(None).cast("string").alias("o_lang"),
+                        F.lit(None).cast("decimal(38,18)").alias("o_num"),
+                        F.lit(None).cast("double").alias("o_dbl"),
+                        F.lit(None).cast("timestamp").alias("o_dtm"),
+                        F.lit(None).cast("boolean").alias("o_bool"),
+                        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+                    ).select(*cur.columns)
+                )
 
         # rdfs3: (x P y), (P range C), y is IRI/bnode → (y type C)
         j = (

@@ -60,6 +60,36 @@ def test_owl_rules(spark):
     assert (EX + "x", EX + "anc", EX + "w") in got                # transitive closure
 
 
+def test_owl_sameas(spark):
+    """RuleOwlSameAs1/1b (symmetric-transitive sameAs) + SameAs2/3
+    (statement propagation across the equivalence class)."""
+    OWL = "http://www.w3.org/2002/07/owl#"
+    rows = [
+        (None, EX + "clark", OWL + "sameAs", Term.iri(EX + "superman")),
+        (None, EX + "superman", OWL + "sameAs", Term.iri(EX + "kal-el")),
+        (None, EX + "clark", EX + "worksAt", Term.iri(EX + "DailyPlanet")),
+        (None, EX + "clark", RDFS + "label", "Clark Kent"),
+        (None, EX + "lois", EX + "loves", Term.iri(EX + "superman")),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    closed = rdfs_closure(st.statements)
+    got = {(r["s"], r["p"], r["o_lex"]) for r in closed.collect()}
+    # sameAs1: symmetry + transitivity
+    assert (EX + "superman", OWL + "sameAs", EX + "clark") in got
+    assert (EX + "clark", OWL + "sameAs", EX + "kal-el") in got
+    assert (EX + "kal-el", OWL + "sameAs", EX + "clark") in got
+    # sameAs2: subject substitution (object struct preserved, incl. literals)
+    assert (EX + "superman", EX + "worksAt", EX + "DailyPlanet") in got
+    assert (EX + "kal-el", RDFS + "label", "Clark Kent") in got
+    # sameAs3: object substitution
+    assert (EX + "lois", EX + "loves", EX + "clark") in got
+    assert (EX + "lois", EX + "loves", EX + "kal-el") in got
+    # no self-pairs materialized
+    assert (EX + "clark", OWL + "sameAs", EX + "clark") not in got
+    # idempotent
+    assert rdfs_closure(closed).count() == closed.count()
+
+
 def test_fulltext_search(spark):
     rows = [
         (None, EX + "d1", RDFS + "label", "the quick brown fox"),
