@@ -272,3 +272,192 @@ def load_ntriples(spark, path: str, graph: str | None = None):
 
     lines = spark.read.text(path)
     return spark.createDataFrame(lines.rdd.mapPartitions(part), STATEMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------- RDF/XML
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_XML_LANG = "{%s}lang" % _XML_NS
+_XML_BASE = "{%s}base" % _XML_NS
+# syntax-only attributes: never emitted as property triples
+_SYNTAX_ATTRS = {
+    "{%s}%s" % (_RDF_NS, n)
+    for n in ("about", "ID", "nodeID", "resource", "datatype", "parseType",
+              "aboutEach", "aboutEachPrefix", "bagID")
+}
+
+
+class _RdfXmlParser:
+    """RDF/XML → triples (W3C RDF/XML syntax spec; reference parser:
+    rio/rdfxml/ — we re-implement from the public grammar, not the
+    reference code).  Covers node elements (typed + rdf:Description),
+    rdf:about/ID/nodeID, property elements with rdf:resource/nodeID/
+    datatype, xml:lang inheritance, xml:base resolution, property
+    attributes, rdf:li containers, parseType Resource/Collection/
+    Literal, and rdf:ID property reification."""
+
+    def __init__(self, text: str, base: str = ""):
+        import xml.etree.ElementTree as ET
+
+        self._ET = ET
+        self.root = ET.fromstring(text)
+        self.base = base
+        self.triples: list[tuple] = []
+        self._bnode_ids = itertools.count()
+
+    def fresh_bnode(self) -> Term:
+        return Term.bnode(f"genid{next(self._bnode_ids)}")
+
+    def _emit(self, s: Term, p: Term, o: Term):
+        self.triples.append((s, p, o))
+
+    def _resolve(self, ref: str, base: str) -> str:
+        from urllib.parse import urljoin
+
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", ref):
+            return ref
+        if not base:
+            return ref
+        if ref == "":
+            return base.split("#")[0]
+        return urljoin(base, ref)
+
+    def parse(self) -> list[tuple]:
+        root = self.root
+        base = root.get(_XML_BASE, self.base)
+        lang = root.get(_XML_LANG, "")
+        if root.tag == "{%s}RDF" % _RDF_NS:
+            for child in root:
+                self.node_element(child, base, lang)
+        else:
+            self.node_element(root, base, lang)
+        return self.triples
+
+    def node_element(self, el, base, lang) -> Term:
+        base = el.get(_XML_BASE, base)
+        lang = el.get(_XML_LANG, lang)
+        about = el.get("{%s}about" % _RDF_NS)
+        rid = el.get("{%s}ID" % _RDF_NS)
+        node_id = el.get("{%s}nodeID" % _RDF_NS)
+        if about is not None:
+            subj = Term.iri(self._resolve(about, base))
+        elif rid is not None:
+            subj = Term.iri(self._resolve("#" + rid, base))
+        elif node_id is not None:
+            subj = Term.bnode(node_id)
+        else:
+            subj = self.fresh_bnode()
+
+        # typed node element → rdf:type triple
+        if el.tag != "{%s}Description" % _RDF_NS:
+            self._emit(subj, Term.iri(RDF + "type"), Term.iri(self._qname_iri(el.tag)))
+
+        # property attributes on the node element
+        for attr, val in el.attrib.items():
+            if attr in _SYNTAX_ATTRS or attr.startswith("{%s}" % _XML_NS):
+                continue
+            if attr == "{%s}type" % _RDF_NS:
+                self._emit(subj, Term.iri(RDF + "type"), Term.iri(self._resolve(val, base)))
+            elif attr.startswith("{"):
+                self._emit(subj, Term.iri(self._qname_iri(attr)), Term.literal(val, lang=lang or None))
+
+        li = itertools.count(1)
+        for prop in el:
+            self.property_element(prop, subj, base, lang, li)
+        return subj
+
+    def _qname_iri(self, tag: str) -> str:
+        # ElementTree tags/attrs arrive as {namespace}local
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def property_element(self, el, subj, base, lang, li):
+        base = el.get(_XML_BASE, base)
+        lang = el.get(_XML_LANG, lang)
+        tag = el.tag
+        if tag == "{%s}li" % _RDF_NS:
+            pred = Term.iri(RDF + "_%d" % next(li))
+        else:
+            pred = Term.iri(self._qname_iri(tag))
+
+        parse_type = el.get("{%s}parseType" % _RDF_NS)
+        resource = el.get("{%s}resource" % _RDF_NS)
+        node_id = el.get("{%s}nodeID" % _RDF_NS)
+        datatype = el.get("{%s}datatype" % _RDF_NS)
+        rid = el.get("{%s}ID" % _RDF_NS)
+
+        prop_attrs = [
+            (a, v) for a, v in el.attrib.items()
+            if a not in _SYNTAX_ATTRS and not a.startswith("{%s}" % _XML_NS)
+            and a.startswith("{")
+        ]
+
+        obj: Term
+        if parse_type == "Resource":
+            obj = self.fresh_bnode()
+            li2 = itertools.count(1)
+            for sub in el:
+                self.property_element(sub, obj, base, lang, li2)
+        elif parse_type == "Collection":
+            items = [self.node_element(c, base, lang) for c in el]
+            obj = Term.iri(RDF + "nil")
+            prev = None
+            chain = []
+            for it in items:
+                cell = self.fresh_bnode()
+                chain.append((cell, it))
+            for i, (cell, it) in enumerate(chain):
+                self._emit(cell, Term.iri(RDF + "first"), it)
+                nxt = chain[i + 1][0] if i + 1 < len(chain) else Term.iri(RDF + "nil")
+                self._emit(cell, Term.iri(RDF + "rest"), nxt)
+            if chain:
+                obj = chain[0][0]
+        elif parse_type == "Literal":
+            inner = (el.text or "") + "".join(
+                self._ET.tostring(c, encoding="unicode") for c in el
+            )
+            obj = Term.literal(inner, dt=RDF + "XMLLiteral")
+        elif resource is not None:
+            obj = Term.iri(self._resolve(resource, base))
+        elif node_id is not None:
+            obj = Term.bnode(node_id)
+        elif len(el) > 0:
+            obj = self.node_element(el[0], base, lang)
+        elif prop_attrs:
+            # property attributes with no resource → bnode object
+            obj = self.fresh_bnode()
+        else:
+            text = el.text or ""
+            if datatype:
+                obj = Term.literal(text, dt=self._resolve(datatype, base))
+            else:
+                obj = Term.literal(text, lang=lang or None)
+
+        self._emit(subj, pred, obj)
+
+        for a, v in prop_attrs:
+            if a == "{%s}type" % _RDF_NS:
+                self._emit(obj, Term.iri(RDF + "type"), Term.iri(self._resolve(v, base)))
+            else:
+                self._emit(obj, Term.iri(self._qname_iri(a)), Term.literal(v, lang=lang or None))
+
+        if rid is not None:
+            # rdf:ID on a property element reifies the statement
+            stmt = Term.iri(self._resolve("#" + rid, base))
+            self._emit(stmt, Term.iri(RDF + "type"), Term.iri(RDF + "Statement"))
+            self._emit(stmt, Term.iri(RDF + "subject"), subj)
+            self._emit(stmt, Term.iri(RDF + "predicate"), pred)
+            self._emit(stmt, Term.iri(RDF + "object"), obj)
+
+
+def parse_rdfxml(text: str, base: str = "") -> list[tuple[str, str, "Term"]]:
+    """RDF/XML → [(s_flat, p_iri, o_term)] — same shape as
+    ``parse_turtle``."""
+    out = []
+    for s, p, o in _RdfXmlParser(text, base).parse():
+        s_flat = f"_:{s.lex}" if s.kind == 1 else s.lex
+        out.append((s_flat, p.lex, o))
+    return out

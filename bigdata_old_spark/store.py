@@ -56,6 +56,13 @@ class TripleStore:
         rows = [(graph, s, p, o) for s, p, o in parse_turtle(text)]
         return TripleStore.from_rows(spark, rows)
 
+    @staticmethod
+    def from_rdfxml(spark: SparkSession, text: str, graph: str | None = None, base: str = "") -> "TripleStore":
+        from bigdata_old_spark.rio import parse_rdfxml
+
+        rows = [(graph, s, p, o) for s, p, o in parse_rdfxml(text, base)]
+        return TripleStore.from_rows(spark, rows)
+
     # -- statistics (lazy, cached) ----------------------------------------------
     _stats = None
 

@@ -1,0 +1,134 @@
+"""RDF/XML parser tests — pure-Python (no Spark) except the final
+store round-trip.  Fixtures follow the W3C RDF/XML syntax spec
+examples; the reference parses this format in rio/rdfxml/."""
+
+from bigdata_old_spark.rio import parse_rdfxml
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+EX = "http://example.org/"
+
+
+def _spo(trips):
+    return {(s, p, o.lex) for s, p, o in trips}
+
+
+def test_basic_description():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">
+  <rdf:Description rdf:about="{EX}a">
+    <ex:name>Alice</ex:name>
+    <ex:knows rdf:resource="{EX}b"/>
+  </rdf:Description>
+</rdf:RDF>""")
+    got = _spo(trips)
+    assert (EX + "a", EX + "name", "Alice") in got
+    assert (EX + "a", EX + "knows", EX + "b") in got
+
+
+def test_typed_node_and_property_attrs():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">
+  <ex:Person rdf:about="{EX}a" ex:age="42"/>
+</rdf:RDF>""")
+    got = _spo(trips)
+    assert (EX + "a", RDF + "type", EX + "Person") in got
+    assert (EX + "a", EX + "age", "42") in got
+
+
+def test_datatype_and_lang():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}" xml:lang="en">
+  <rdf:Description rdf:about="{EX}a">
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:age>
+    <ex:label>hello</ex:label>
+    <ex:motto xml:lang="fr">bonjour</ex:motto>
+  </rdf:Description>
+</rdf:RDF>""")
+    by_p = {p: o for _, p, o in trips}
+    assert by_p[EX + "age"].dt == "http://www.w3.org/2001/XMLSchema#integer"
+    assert by_p[EX + "age"].lex == "42"
+    assert by_p[EX + "label"].lang == "en"  # inherited from rdf:RDF
+    assert by_p[EX + "motto"].lang == "fr"  # overridden locally
+
+
+def test_nested_node_and_nodeid():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">
+  <rdf:Description rdf:about="{EX}a">
+    <ex:knows>
+      <ex:Person rdf:nodeID="bob"><ex:name>Bob</ex:name></ex:Person>
+    </ex:knows>
+  </rdf:Description>
+</rdf:RDF>""")
+    got = _spo(trips)
+    assert (EX + "a", EX + "knows", "bob") in got  # bnode object keeps label
+    assert ("_:bob", RDF + "type", EX + "Person") in got
+    assert ("_:bob", EX + "name", "Bob") in got
+
+
+def test_parsetype_resource_and_collection_and_li():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">
+  <rdf:Description rdf:about="{EX}a">
+    <ex:addr rdf:parseType="Resource"><ex:city>Springfield</ex:city></ex:addr>
+    <ex:list rdf:parseType="Collection">
+      <rdf:Description rdf:about="{EX}x"/>
+      <rdf:Description rdf:about="{EX}y"/>
+    </ex:list>
+  </rdf:Description>
+  <rdf:Seq rdf:about="{EX}seq">
+    <rdf:li rdf:resource="{EX}one"/>
+    <rdf:li rdf:resource="{EX}two"/>
+  </rdf:Seq>
+</rdf:RDF>""")
+    got = _spo(trips)
+    # parseType=Resource: bnode with nested property
+    addr = [o for s, p, o in trips if p == EX + "addr"][0]
+    assert addr.kind == 1
+    assert ("_:" + addr.lex, EX + "city", "Springfield") in got
+    # Collection: rdf:first/rest chain ending in nil
+    firsts = {o.lex for s, p, o in trips if p == RDF + "first"}
+    assert firsts == {EX + "x", EX + "y"}
+    rests = [o.lex for s, p, o in trips if p == RDF + "rest"]
+    assert RDF + "nil" in rests
+    # rdf:li numbering
+    assert (EX + "seq", RDF + "_1", EX + "one") in got
+    assert (EX + "seq", RDF + "_2", EX + "two") in got
+
+
+def test_xml_base_and_rdf_id():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}" xml:base="http://base.org/doc">
+  <rdf:Description rdf:ID="frag"><ex:p rdf:resource="rel"/></rdf:Description>
+</rdf:RDF>""")
+    got = _spo(trips)
+    assert ("http://base.org/doc#frag", EX + "p", "http://base.org/rel") in got
+
+
+def test_reification_via_property_id():
+    trips = parse_rdfxml(f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}" xml:base="http://base.org/">
+  <rdf:Description rdf:about="{EX}a">
+    <ex:says rdf:ID="claim1">hi</ex:says>
+  </rdf:Description>
+</rdf:RDF>""")
+    got = _spo(trips)
+    stmt = "http://base.org/#claim1"
+    assert (stmt, RDF + "type", RDF + "Statement") in got
+    assert (stmt, RDF + "subject", EX + "a") in got
+    assert (stmt, RDF + "predicate", EX + "says") in got
+    assert (stmt, RDF + "object", "hi") in got
+
+
+def test_store_roundtrip(spark):
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_rdfxml(spark, f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="{EX}">
+  <ex:Person rdf:about="{EX}alice"><ex:name>Alice</ex:name></ex:Person>
+  <ex:Person rdf:about="{EX}bob"><ex:name>Bob</ex:name></ex:Person>
+</rdf:RDF>""")
+    rows = st.query(
+        f'PREFIX ex: <{EX}> SELECT ?n WHERE {{ ?x a ex:Person ; ex:name ?n }} ORDER BY ?n'
+    ).collect()
+    assert [r.n.lex for r in rows] == ["Alice", "Bob"]
