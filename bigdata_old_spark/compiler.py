@@ -992,6 +992,12 @@ class QueryCompiler:
             # oracle-comparable)
             return SF.string_term(F.array_join(F.sort_array(vals), node.separator))
 
+        from bigdata_old_spark.registry import lookup_aggregate
+
+        custom = lookup_aggregate(node.name)
+        if custom is not None:
+            return custom(col, node.distinct)
+
         raise NotImplementedError(f"aggregate {n}")
 
     def compile_subselect(self, q: A.SelectQuery) -> Compiled:

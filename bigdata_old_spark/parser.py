@@ -739,7 +739,15 @@ class _Parser:
             return self.parse_var()
         if k in ("IRIREF", "PNAME"):
             iri = self.parse_iri()
-            if self.at_op("("):  # xsd cast / extension function
+            if self.at_op("("):  # xsd cast / extension function / custom agg
+                from bigdata_old_spark.registry import lookup_aggregate
+
+                if lookup_aggregate(iri.lex) is not None:
+                    self.expect_op("(")
+                    distinct = self.take_word("DISTINCT")
+                    e = self.parse_expr()
+                    self.expect_op(")")
+                    return A.Aggregate(iri.lex, e, distinct)
                 args = self.parse_expr_list()
                 return A.FuncCall(iri.lex, args)
             return A.Const(iri)

@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 _FUNCTIONS: dict[str, Callable] = {}
 _SERVICES: dict[str, Callable] = {}
+_AGGREGATES: dict[str, Callable] = {}
 
 
 def register_function(iri: str, builder: Callable) -> None:
@@ -31,6 +32,23 @@ def register_function(iri: str, builder: Callable) -> None:
 
 def lookup_function(iri: str) -> Callable | None:
     return _FUNCTIONS.get(iri)
+
+
+def register_aggregate(iri: str, builder: Callable) -> None:
+    """Custom aggregate (IAggregate/AggregateFactory parity —
+    bigdata/.../aggregate/IAggregate.java, FunctionRegistry.java:236):
+    builder(col: Column, distinct: bool) -> aggregate Column returning a
+    term struct.  ``col`` is the compiled term-struct column of the
+    single argument.  The parser recognizes a registered IRI called in
+    expression position as an aggregate (``iri(DISTINCT? expr)``), so
+    registration must precede parsing.  Spark evaluates the returned
+    expression with partial (map-side) aggregation where the underlying
+    functions allow — use built-ins or a pandas_udf grouped-agg."""
+    _AGGREGATES[iri] = builder
+
+
+def lookup_aggregate(iri: str) -> Callable | None:
+    return _AGGREGATES.get(iri)
 
 
 def register_service(iri: str, handler: Callable) -> None:

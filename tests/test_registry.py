@@ -43,6 +43,40 @@ def test_custom_service(small_store):
     assert [r["x"]["lex"] for r in df.collect()] == [EX + "Mike"]
 
 
+def test_custom_aggregate(small_store):
+    from bigdata_old_spark.functions import double_term
+    from bigdata_old_spark.registry import register_aggregate
+
+    register_aggregate(
+        "http://example.org/fn#stddev",
+        lambda col, distinct: double_term(F.stddev_pop(col["num"].cast("double"))),
+    )
+    df = small_store.query(P + """
+        SELECT (fn:stddev(STRLEN(?l)) AS ?sd) WHERE { ?x rdfs:label ?l }""")
+    rows = df.collect()
+    assert rows[0]["sd"]["dbl"] is not None and rows[0]["sd"]["dbl"] >= 0
+
+
+def test_custom_aggregate_grouped(small_store):
+    from bigdata_old_spark.functions import integer_term
+    from bigdata_old_spark.registry import register_aggregate
+
+    register_aggregate(
+        "http://example.org/fn#countd",
+        lambda col, distinct: integer_term(
+            F.count_distinct(col) if distinct else F.count(col)
+        ),
+    )
+    df = small_store.query(P + """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?x (fn:countd(DISTINCT ?o) AS ?n)
+        WHERE { ?x foaf:knows ?o } GROUP BY ?x ORDER BY ?x""")
+    rows = df.collect()
+    assert len(rows) == 3 and all(r["n"]["num"] >= 1 for r in rows)
+    by_x = {r["x"]["lex"]: int(r["n"]["num"]) for r in rows}
+    assert by_x[EX + "Bryan"] == 2
+
+
 def test_service_silent_unregistered(small_store):
     df = small_store.query(P + """
         SELECT ?x WHERE {
