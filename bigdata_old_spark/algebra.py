@@ -182,6 +182,11 @@ class ServicePat:
     iri: Term
     child: object
     silent: bool = False
+    # reconstructed source of the inner group + the prefix decls in
+    # scope — what a remote endpoint receives (ServiceCallJoin ships
+    # the original service group text the same way)
+    raw: str = ""
+    prefixes: tuple = ()
 
 
 # ---------------------------------------------------------------------------

@@ -146,20 +146,26 @@ class QueryCompiler:
 
     def compile_service(self, node: A.ServicePat, graph) -> Compiled:
         """SERVICE <iri> {…} → registered handler (ServiceRegistry
-        analog, sparql/ast/service/ServiceRegistry.java:34).  Remote
-        SPARQL endpoints are not dialed from this environment; a
-        handler can implement that via mapInPandas if deployed."""
+        analog, sparql/ast/service/ServiceRegistry.java:34); an
+        unregistered http(s) IRI goes to the remote SPARQL protocol
+        client (ServiceCallJoin.java:103).  SILENT turns any failure
+        into the unit solution per spec."""
         from bigdata_old_spark.registry import lookup_service
 
         handler = lookup_service(node.iri.lex)
-        if handler is None:
-            if node.silent:  # SERVICE SILENT: failure → empty solutions
+        if handler is not None:
+            return handler(self.store, node.child, self)
+        try:
+            from bigdata_old_spark.service import remote_service
+
+            return remote_service(self.store, node, self)
+        except Exception:
+            if node.silent:  # SERVICE SILENT: failure → unit solution
                 return Compiled(
                     self.store.spark.range(1).select(F.lit(1).alias("__unit")).limit(1),
                     frozenset(),
                 )
-            raise NotImplementedError(f"no service registered for <{node.iri.lex}>")
-        return handler(self.store, node.child, self)
+            raise
 
     # -- scans / BGP ---------------------------------------------------------
     def _scan(self, graph) -> DataFrame:

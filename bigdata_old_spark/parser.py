@@ -435,8 +435,10 @@ class _Parser:
             elif self.take_word("SERVICE"):
                 silent = self.take_word("SILENT")
                 iri = self.parse_iri()
+                start = self.i
                 inner = self.parse_group()
-                add(A.ServicePat(iri, inner, silent))
+                raw = _detokenize(self.toks[start:self.i])
+                add(A.ServicePat(iri, inner, silent, raw, tuple(self.prefixes.items())))
             elif self.at_op("{"):
                 # GroupOrUnionGraphPattern
                 node = self.parse_group()
@@ -802,6 +804,17 @@ _BUILTIN_WORDS = {
     "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "REGEX", "SUBSTR",
     "REPLACE",
 } | _AGG_WORDS
+
+
+def _detokenize(toks: list[tuple[str, str]]) -> str:
+    """Tokens → SPARQL text.  Space-joined except where the grammar
+    forbids whitespace (string@lang, string^^dt)."""
+    out: list[str] = []
+    for j, (k, v) in enumerate(toks):
+        if out and not (k == "LANGTAG" or v == "^^" or (j > 0 and toks[j - 1][1] == "^^")):
+            out.append(" ")
+        out.append(v)
+    return "".join(out)
 
 
 def _alts(p) -> tuple:

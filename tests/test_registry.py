@@ -77,6 +77,62 @@ def test_custom_aggregate_grouped(small_store):
     assert by_x[EX + "Bryan"] == 2
 
 
+def test_remote_service_via_transport(small_store):
+    """SERVICE against a SPARQL-protocol endpoint, transport injected
+    (ServiceCallJoin parity without a network)."""
+    import json
+
+    from bigdata_old_spark import service as svc
+
+    seen = {}
+
+    def fake_transport(endpoint, query):
+        seen["endpoint"], seen["query"] = endpoint, query
+        return json.dumps({
+            "head": {"vars": ["name", "age"]},
+            "results": {"bindings": [
+                {"name": {"type": "literal", "value": "Mike"},
+                 "age": {"type": "literal", "value": "44",
+                         "datatype": "http://www.w3.org/2001/XMLSchema#integer"}},
+                {"name": {"type": "literal", "value": "Nobody"}},
+            ]},
+        })
+
+    svc.set_transport(fake_transport)
+    try:
+        df = small_store.query(P + """
+            SELECT ?x ?age WHERE {
+              SERVICE <http://remote.example.org/sparql> { ?s ?p ?name . }
+              ?x rdfs:label ?name .
+            }""")
+        rows = df.collect()
+    finally:
+        svc.set_transport(None)
+    assert seen["endpoint"] == "http://remote.example.org/sparql"
+    assert "SELECT * WHERE" in seen["query"] and "?name" in seen["query"]
+    # Mike joins (age bound), Nobody doesn't match any label
+    assert [r["x"]["lex"] for r in rows] == [EX + "Mike"]
+    assert rows[0]["age"]["num"] == 44
+
+
+def test_remote_service_silent_failure(small_store):
+    from bigdata_old_spark import service as svc
+
+    def boom(endpoint, query):
+        raise OSError("no route to host")
+
+    svc.set_transport(boom)
+    try:
+        df = small_store.query(P + """
+            SELECT ?x WHERE {
+              SERVICE SILENT <http://unreachable.example.org/sparql> { ?s ?p ?o }
+              ?x rdfs:label "DC" .
+            }""")
+        assert [r["x"]["lex"] for r in df.collect()] == [EX + "DC"]
+    finally:
+        svc.set_transport(None)
+
+
 def test_service_silent_unregistered(small_store):
     df = small_store.query(P + """
         SELECT ?x WHERE {
