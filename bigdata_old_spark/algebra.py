@@ -249,6 +249,24 @@ class DescribeQuery:
 Query = U[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]
 
 
+def expr_vars(e) -> set[str]:
+    """Variables referenced by a value expression (not descending into
+    EXISTS sub-patterns — those compile separately)."""
+    out: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, Var):
+            out.add(x.name)
+        elif isinstance(x, FuncCall):
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, Aggregate) and x.expr is not None:
+            walk(x.expr)
+
+    walk(e)
+    return out
+
+
 def pattern_vars(node) -> set[str]:
     """All variables syntactically present in a pattern."""
     out: set[str] = set()

@@ -52,10 +52,43 @@ def _fresh(prefix: str = "v") -> str:
 class Compiled:
     df: DataFrame
     certain: frozenset  # var names definitely bound in every solution
+    # vars stored as flat resource strings (IRI or "_:label"; NULL =
+    # unbound) instead of term structs.  This is the Spark re-expression
+    # of the reference's late materialization: joins run on compact IVs
+    # and ChunkedMaterializationOp builds full terms only when a value
+    # expression needs them (bop/rdf/join/ChunkedMaterializationOp.java:69,
+    # constraints/INeedsMaterialization.java:34).  Subject/predicate/
+    # graph-position vars can only ever bind resources, so their flat
+    # string IS a lossless key — hashing/sorting it in joins is far
+    # cheaper than the 8-field struct.
+    flat: frozenset = frozenset()
 
     @property
     def vars(self) -> list[str]:
         return [c for c in self.df.columns if not c.startswith("__")]
+
+    def tcol(self, v: str) -> Column:
+        """Term-struct view of a variable (materializes flat vars
+        lazily, inside whatever expression consumes them)."""
+        c = self.df[v]
+        return iri_col_to_term(c) if v in self.flat else c
+
+    def resolve(self) -> dict[str, Column]:
+        return {v: self.tcol(v) for v in self.vars}
+
+
+def _upgrade(c: Compiled, names) -> Compiled:
+    """Materialize the given flat vars into term structs (the explicit
+    ChunkedMaterializationOp step, used where two plan branches must
+    agree on representation)."""
+    vs = set(names) & c.flat
+    if not vs:
+        return c
+    cols = [
+        (iri_col_to_term(F.col(v)) if v in vs else F.col(v)).alias(v)
+        for v in c.df.columns
+    ]
+    return Compiled(c.df.select(*cols), c.certain, c.flat - vs)
 
 
 # ---------------------------------------------------------------------------
@@ -83,6 +116,95 @@ def compile_expr(e, resolve: dict[str, Column], exists_cols: dict | None = None)
             raise ValueError("aggregate used outside aggregation context")
         return c
     raise NotImplementedError(f"expression {type(e)}")
+
+
+_BOOL_CMP = {"=", "!=", "<", "<=", ">", ">="}
+
+
+def compile_bool(e, resolve: dict[str, Column], exists_cols: dict | None = None) -> Column:
+    """Boolean-context compilation → a plain nullable BOOLEAN column
+    (NULL = SPARQL type error / unbound input).
+
+    Equivalent to ebv(compile_expr(e)) but skips the boolean-term
+    struct round-trip at every operator level.  That round-trip is not
+    just overhead: each ebv() field access duplicates the whole operand
+    subtree, so nested boolean expressions grow ~8× per level — large
+    FILTERs either fall out of codegen or OOM the planner.  Spark's
+    Kleene AND/OR/NOT on nullable booleans is exactly SPARQL's
+    error-propagating 3-valued logic (AndBOp/OrBOp/NotBOp), so the
+    plain-boolean composition is semantics-preserving.
+    """
+    from bigdata_old_spark.functions import (
+        compare as _cmp_fn,
+        eq_term,
+        ne_term,
+        same_term,
+        _is_string_lit,
+        _regex_pattern,
+        ebv,
+    )
+
+    if isinstance(e, A.ExistsExpr):
+        if exists_cols is None or id(e) not in exists_cols:
+            raise NotImplementedError("EXISTS outside FILTER context")
+        b = exists_cols[id(e)]
+        return ~b if e.negated else b
+    if isinstance(e, A.FuncCall):
+        n = e.name.upper()
+        if n == "&&":
+            return compile_bool(e.args[0], resolve, exists_cols) & compile_bool(e.args[1], resolve, exists_cols)
+        if n == "||":
+            return compile_bool(e.args[0], resolve, exists_cols) | compile_bool(e.args[1], resolve, exists_cols)
+        if n == "!":
+            return ~compile_bool(e.args[0], resolve, exists_cols)
+        if n in _BOOL_CMP:
+            l = compile_expr(e.args[0], resolve, exists_cols)
+            r = compile_expr(e.args[1], resolve, exists_cols)
+            if n == "=":
+                return eq_term(l, r)
+            if n == "!=":
+                return ne_term(l, r)
+            c = _cmp_fn(l, r)
+            return F.when(c.isNotNull(), {"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[n])
+        if n in ("IN", "NOT IN"):
+            probe = compile_expr(e.args[0], resolve, exists_cols)
+            hit = F.lit(False)
+            for a in e.args[1:]:
+                hit = hit | F.coalesce(eq_term(probe, compile_expr(a, resolve, exists_cols)), F.lit(False))
+            return F.when(probe.isNotNull(), hit if n == "IN" else ~hit)
+        if n == "BOUND":
+            return compile_expr(e.args[0], resolve, exists_cols).isNotNull()
+        if n in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC"):
+            t = compile_expr(e.args[0], resolve, exists_cols)
+            test = {
+                "ISIRI": t["kind"] == 0, "ISURI": t["kind"] == 0,
+                "ISBLANK": t["kind"] == 1, "ISLITERAL": t["kind"] == KIND_LITERAL,
+                "ISNUMERIC": t["dbl"].isNotNull(),
+            }[n]
+            return F.when(t.isNotNull(), test)
+        if n == "SAMETERM":
+            l = compile_expr(e.args[0], resolve, exists_cols)
+            r = compile_expr(e.args[1], resolve, exists_cols)
+            return F.when(l.isNull() | r.isNull(), F.lit(None).cast("boolean")).otherwise(same_term(l, r))
+        if n in ("STRSTARTS", "STRENDS", "CONTAINS"):
+            l = compile_expr(e.args[0], resolve, exists_cols)
+            r = compile_expr(e.args[1], resolve, exists_cols)
+            op = {
+                "STRSTARTS": l["lex"].startswith(r["lex"]),
+                "STRENDS": l["lex"].endswith(r["lex"]),
+                "CONTAINS": l["lex"].contains(r["lex"]),
+            }[n]
+            return F.when(_is_string_lit(l) & _is_string_lit(r), op)
+        if n == "REGEX":
+            t = compile_expr(e.args[0], resolve, exists_cols)
+            pat = compile_expr(e.args[1], resolve, exists_cols)
+            flags = compile_expr(e.args[2], resolve, exists_cols)["lex"] if len(e.args) > 2 else None
+            return F.when(
+                _is_string_lit(t),
+                F.regexp_like(t["lex"], _regex_pattern(pat["lex"], flags)),
+            )
+    # generic fallback: full term expression, then effective boolean value
+    return ebv(compile_expr(e, resolve, exists_cols))
 
 
 def _find_exists(e, acc: list) -> None:
@@ -196,20 +318,34 @@ class QueryCompiler:
         df = self._scan(graph)
         cond = []
         proj: dict[str, Column] = {}
+        flat_vars: set[str] = set()
 
-        def bind(var_or_term, col_term: Column, flat_eq):
-            """Var → project; repeated var → intra-pattern equality;
-            constant → pushdown-friendly flat-column filter."""
+        def bind(var_or_term, col_term: Column, flat_eq, flat_col: Column | None = None):
+            """Var → project (flat string for s/p/g positions — joins on
+            these later run on strings, not structs); repeated var →
+            intra-pattern equality; constant → pushdown-friendly
+            flat-column filter."""
             if isinstance(var_or_term, A.Var):
-                if var_or_term.name in proj:
-                    cond.append(proj[var_or_term.name] == col_term)
+                name = var_or_term.name
+                if name in proj:
+                    prev = iri_col_to_term(proj[name]) if name in flat_vars else proj[name]
+                    cur = col_term if flat_col is None else iri_col_to_term(flat_col)
+                    if name in flat_vars and flat_col is not None:
+                        cond.append(proj[name] == flat_col)  # both flat
+                    else:
+                        cond.append(prev == cur)
+                elif flat_col is not None:
+                    proj[name] = flat_col
+                    flat_vars.add(name)
                 else:
-                    proj[var_or_term.name] = col_term
+                    proj[name] = col_term
             else:
                 cond.extend(flat_eq(var_or_term))
 
-        bind(t.s, iri_col_to_term(F.col("s")), lambda o: [F.col("s") == _term_as_flat_string(o)])
-        bind(t.p, iri_col_to_term(F.col("p")), lambda o: [F.col("p") == o.lex])
+        bind(t.s, iri_col_to_term(F.col("s")),
+             lambda o: [F.col("s") == _term_as_flat_string(o)], flat_col=F.col("s"))
+        bind(t.p, iri_col_to_term(F.col("p")),
+             lambda o: [F.col("p") == o.lex], flat_col=F.col("p"))
 
         def obj_eq(o: Term):
             if o.kind == KIND_LITERAL:
@@ -231,14 +367,15 @@ class QueryCompiler:
             for flat_cond in ranges[t.o.name]:
                 cond.append(flat_cond)
         if isinstance(graph, A.Var) and graph.name not in proj:
-            proj[graph.name] = iri_col_to_term(F.col("g"))
+            proj[graph.name] = F.col("g")
+            flat_vars.add(graph.name)
         for c in cond:
             df = df.where(c)
         if not proj:
             out = df.select(F.lit(1).alias("__unit")).limit(1)
             return Compiled(out, frozenset())
         out = df.select(*[c.alias(v) for v, c in proj.items()])
-        return Compiled(out, frozenset(proj))
+        return Compiled(out, frozenset(proj), frozenset(flat_vars))
 
     def compile_bgp(self, node: A.BGP, graph, ranges: dict | None = None) -> Compiled:
         if not node.triples:
@@ -399,15 +536,17 @@ class QueryCompiler:
             g = g.where(F.col(flag) == 1)
         for list_col, var in var_lists:
             g = g.select("*", F.explode(list_col).alias(f"__e_{var}")).drop(list_col)
-        proj = [iri_col_to_term(F.col("s")).alias(s_name)]
+        proj = [F.col("s").alias(s_name)]
         names = [s_name]
+        flat_vars = {s_name}
         for _, var in var_lists:
             proj.append(F.col(f"__e_{var}").alias(var))
             names.append(var)
         if isinstance(graph, A.Var):
-            proj.append(iri_col_to_term(F.col("g")).alias(graph.name))
+            proj.append(F.col("g").alias(graph.name))
             names.append(graph.name)
-        return Compiled(g.select(*proj), frozenset(names))
+            flat_vars.add(graph.name)
+        return Compiled(g.select(*proj), frozenset(names), frozenset(flat_vars))
 
     def _join_units(self, units: list[Compiled], triples) -> Compiled:
         """Greedy cardinality-ordered join (the static analog of the
@@ -463,6 +602,19 @@ class QueryCompiler:
     def join(self, l: Compiled, r: Compiled, how: str = "inner", extra=None, graph=None) -> Compiled:
         lv, rv = set(l.vars), set(r.vars)
         shared = lv & rv
+        # shared vars must agree on representation so the equality keys
+        # and the merged output column are well-typed; flat∩flat joins
+        # on plain strings (the fast path — all BGP subject joins)
+        mismatched = {v for v in shared if (v in l.flat) != (v in r.flat)}
+        l = _upgrade(l, mismatched)
+        r = _upgrade(r, mismatched)
+        if extra is not None:
+            # vars the join condition touches must be attribute refs
+            evs = A.expr_vars(extra)
+            l = _upgrade(l, evs)
+            r = _upgrade(r, evs)
+        flat_out = (l.flat - rv) | (r.flat - lv) | (l.flat & r.flat)
+
         certain_shared = shared & l.certain & r.certain
         maybe_shared = shared - certain_shared
 
@@ -483,7 +635,7 @@ class QueryCompiler:
                 merged_resolve[v] = rdf[f"__r_{v}"]
         if extra is not None:
             exists_cols = self._exists_markers_none_check(extra)
-            conds.append(F.coalesce(SF.ebv(compile_expr(extra, merged_resolve)), F.lit(False)))
+            conds.append(F.coalesce(compile_bool(extra, merged_resolve), F.lit(False)))
 
         cond = None
         for c in conds:
@@ -500,7 +652,7 @@ class QueryCompiler:
             certain = l.certain | r.certain
         else:  # left outer
             certain = l.certain
-        return Compiled(out, frozenset(certain))
+        return Compiled(out, frozenset(certain), frozenset(flat_out))
 
     def _exists_markers_none_check(self, expr):
         acc: list = []
@@ -516,16 +668,25 @@ class QueryCompiler:
 
     def union(self, l: Compiled, r: Compiled) -> Compiled:
         lv, rv = set(l.vars), set(r.vars)
+        # branches must agree per-var: flat survives only if flat (or
+        # absent) on both sides; mixed reprs materialize to structs
+        l = _upgrade(l, {v for v in l.flat if v in rv and v not in r.flat})
+        r = _upgrade(r, {v for v in r.flat if v in lv and v not in l.flat})
+        flat_out = (l.flat | r.flat) - ((lv - l.flat) | (rv - r.flat))
         all_vars = sorted(lv | rv)
         def pad(c: Compiled) -> DataFrame:
             cols = []
             for v in all_vars:
                 if v in c.df.columns:
                     cols.append(F.col(v))
+                elif v in flat_out:
+                    cols.append(F.lit(None).cast("string").alias(v))
                 else:
                     cols.append(SF.null_term().alias(v))
             return c.df.select(*cols)
-        return Compiled(pad(l).unionByName(pad(r)), frozenset(l.certain & r.certain))
+        return Compiled(
+            pad(l).unionByName(pad(r)), frozenset(l.certain & r.certain), frozenset(flat_out)
+        )
 
     def minus(self, l: Compiled, r: Compiled) -> Compiled:
         """SPARQL MINUS (JoinTypeEnum.NotExists on compatible bindings,
@@ -540,15 +701,22 @@ class QueryCompiler:
         overlap = None
         for v in sorted(shared):
             lc, rc = l.df[v], rdf[f"__r_{v}"]
-            if v in certain_shared:
-                c = lc == rc
+            # anti-join only filters l — mixed representations convert
+            # inside the condition, l's columns stay untouched
+            if (v in l.flat) != (v in r.flat):
+                lc2 = iri_col_to_term(lc) if v in l.flat else lc
+                rc2 = iri_col_to_term(rc) if v in r.flat else rc
             else:
-                c = lc.isNull() | rc.isNull() | (lc == rc)
+                lc2, rc2 = lc, rc
+            if v in certain_shared:
+                c = lc2 == rc2
+            else:
+                c = lc2.isNull() | rc2.isNull() | (lc2 == rc2)
             compat = c if compat is None else (compat & c)
             ov = lc.isNotNull() & rc.isNotNull()
             overlap = ov if overlap is None else (overlap | ov)
         out = l.df.join(rdf, compat & overlap, "left_anti")
-        return Compiled(out, l.certain)
+        return Compiled(out, l.certain, l.flat)
 
     # -- filter / extend / values ----------------------------------------------
     def filter(self, c: Compiled, expr, graph) -> Compiled:
@@ -557,13 +725,23 @@ class QueryCompiler:
         df = c.df
         exists_cols: dict = {}
         for ex in exists:
-            df, col = self._exists_marker(Compiled(df, c.certain), ex, graph)
+            df, col = self._exists_marker(Compiled(df, c.certain, c.flat), ex, graph)
             exists_cols[id(ex)] = col
-        resolve = {v: df[v] for v in c.vars}
-        b = SF.ebv(compile_expr(expr, resolve, exists_cols))
+        # flat vars the expression touches become real struct columns
+        # first, so every field access in the compiled expression is an
+        # attribute reference, not a copy of the conversion tree
+        mat = A.expr_vars(expr) & c.flat
+        for v in mat:
+            df = df.withColumn(f"__m_{v}", iri_col_to_term(df[v]))
+        resolve = {
+            v: F.col(f"__m_{v}") if v in mat
+            else (iri_col_to_term(df[v]) if v in c.flat else df[v])
+            for v in c.vars
+        }
+        b = compile_bool(expr, resolve, exists_cols)
         out = df.where(F.coalesce(b, F.lit(False)))
         out = out.select(*[v for v in c.df.columns])
-        return Compiled(out, c.certain)
+        return Compiled(out, c.certain, c.flat)
 
     def _exists_marker(self, c: Compiled, ex: A.ExistsExpr, graph):
         """Attach a boolean column answering EXISTS{pattern} per row
@@ -579,6 +757,9 @@ class QueryCompiler:
         compat = None
         for v in shared:
             lc, rc = c.df[v], keys[f"__r_{v}"]
+            if (v in c.flat) != (v in sub.flat):
+                lc = iri_col_to_term(lc) if v in c.flat else lc
+                rc = iri_col_to_term(rc) if v in sub.flat else rc
             if v in c.certain and v in sub.certain:
                 cc = lc == rc
             else:
@@ -589,9 +770,8 @@ class QueryCompiler:
         return pos.unionByName(neg_), F.col(marker)
 
     def extend(self, c: Compiled, var: str, expr) -> Compiled:
-        resolve = {v: c.df[v] for v in c.vars}
-        col = compile_expr(expr, resolve)
-        return Compiled(c.df.withColumn(var, col.cast(TERM_TYPE)), c.certain)
+        col = compile_expr(expr, c.resolve())
+        return Compiled(c.df.withColumn(var, col.cast(TERM_TYPE)), c.certain, c.flat - {var})
 
     def values(self, node: A.ValuesPat) -> Compiled:
         rows = []
@@ -786,9 +966,24 @@ class QueryCompiler:
         if has_agg:
             c, resolve = self._aggregate(c, q, agg_nodes)
         else:
-            resolve = {v: c.df[v] for v in c.vars}
+            resolve = c.resolve()
 
         df = c.df
+
+        # materialize flat vars referenced by projection / HAVING /
+        # ORDER BY expressions into struct columns (attribute refs)
+        used: set[str] = set()
+        for _, e in q.projection:
+            if e is not None:
+                used |= A.expr_vars(e)
+        for e in q.having:
+            used |= A.expr_vars(e)
+        for e, _ in q.order_by:
+            used |= A.expr_vars(e)
+        for v in used & c.flat:
+            df = df.withColumn(f"__m_{v}", iri_col_to_term(F.col(v)))
+            resolve = dict(resolve)
+            resolve[v] = F.col(f"__m_{v}")
 
         # projection expressions (SELECT (expr AS ?v) …), evaluated in order
         proj_names: list[str] = []
@@ -813,7 +1008,7 @@ class QueryCompiler:
 
         # HAVING (aggregates already materialized into resolve)
         for e in q.having:
-            b = SF.ebv(compile_expr(e, resolve))
+            b = compile_bool(e, resolve)
             df = df.where(F.coalesce(b, F.lit(False)))
 
         # ORDER BY before projection-rename (may reference non-projected vars)
@@ -825,10 +1020,20 @@ class QueryCompiler:
                 sort_cols.append(F.col(f"__sort_{i}").asc() if asc else F.col(f"__sort_{i}").desc())
             df = df.orderBy(*sort_cols)
 
+        # final materialization: any var still in flat representation
+        # becomes a term struct here (the ChunkedMaterializationOp at the
+        # pipeline end, before results leave the engine)
         if q.wildcard:
-            out = df.select(*proj_names)
+            out = df.select(*[
+                (iri_col_to_term(F.col(v)) if v in c.flat else F.col(v)).alias(v)
+                for v in proj_names
+            ])
         else:
-            out = df.select(*[F.col(f"__proj_{n}").alias(n) if f"__proj_{n}" in df.columns else F.col(n) for n in proj_names])
+            out = df.select(*[
+                F.col(f"__proj_{n}").alias(n) if f"__proj_{n}" in df.columns
+                else (iri_col_to_term(F.col(n)) if n in c.flat else F.col(n)).alias(n)
+                for n in proj_names
+            ])
 
         if q.distinct or q.reduced:
             if q.order_by:
@@ -856,17 +1061,24 @@ class QueryCompiler:
 
     def _aggregate(self, c: Compiled, q: A.SelectQuery, agg_nodes: list):
         df = c.df
-        resolve_in = {v: df[v] for v in c.vars}
+        resolve_in = c.resolve()
         group_cols: list[str] = []
         resolve_out: dict = {}
+        flat_groups: set[str] = set()
         if q.group_by:
             for i, (alias, e) in enumerate(q.group_by):
                 if isinstance(e, A.Var) and alias is None:
                     name = e.name
                     if name not in df.columns:
                         df = df.withColumn(name, SF.null_term())
+                    # flat group vars group on the plain string (cheap
+                    # hash keys); materialized only if projected
                     group_cols.append(name)
-                    resolve_out[name] = F.col(name)
+                    if name in c.flat:
+                        flat_groups.add(name)
+                        resolve_out[name] = iri_col_to_term(F.col(name))
+                    else:
+                        resolve_out[name] = F.col(name)
                 else:
                     name = alias or _fresh("gk")
                     df = df.withColumn(name, compile_expr(e, resolve_in).cast(TERM_TYPE))
@@ -890,7 +1102,7 @@ class QueryCompiler:
         for node in agg_nodes:
             resolve[("agg", id(node))] = F.col(seen[id(node)])
         certain = frozenset(g for g in group_cols)
-        return Compiled(gdf, certain), resolve
+        return Compiled(gdf, certain, frozenset(flat_groups)), resolve
 
     @staticmethod
     def _static_rank(e):
@@ -1033,7 +1245,7 @@ class QueryCompiler:
             df = df.limit(q.limit)
         # per-solution fresh bnodes for template bnodes
         df = df.withColumn("__row", F.expr("uuid()"))
-        resolve = {v: df[v] for v in c.vars}
+        resolve = {v: (iri_col_to_term(df[v]) if v in c.flat else df[v]) for v in c.vars}
         outs = []
         for tp in q.template:
             def pos(x, role):
@@ -1066,7 +1278,8 @@ class QueryCompiler:
             var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
             nodes = None
             for v in var_names:
-                d = c.df.select(term_to_iri_string(F.col(v)).alias("__s")).where(F.col("__s").isNotNull())
+                vcol = F.col(v) if v in c.flat else term_to_iri_string(F.col(v))
+                d = c.df.select(vcol.alias("__s")).where(F.col("__s").isNotNull())
                 nodes = d if nodes is None else nodes.unionByName(d)
             nodes = nodes.dropDuplicates()
         else:

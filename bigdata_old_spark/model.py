@@ -309,12 +309,15 @@ def term_lit(t: Term) -> Column:
 
 
 def iri_col_to_term(c: Column) -> Column:
-    """s/p/g position (plain string: IRI or '_:label') → term struct."""
+    """s/p/g position (plain string: IRI or '_:label') → term struct.
+    NULL input (an unbound flat variable) yields a NULL struct — not a
+    struct of NULL fields — so BOUND/coalesce/equality see unbound."""
     is_bnode = c.startswith("_:")
-    return mk_term_col(
-        kind=F.when(c.isNull(), F.lit(None)).when(is_bnode, F.lit(KIND_BNODE)).otherwise(F.lit(KIND_IRI)),
+    struct = mk_term_col(
+        kind=F.when(is_bnode, F.lit(KIND_BNODE)).otherwise(F.lit(KIND_IRI)),
         lex=F.when(is_bnode, c.substr(F.lit(3), F.length(c))).otherwise(c),
     )
+    return F.when(c.isNotNull(), struct)
 
 
 def obj_cols_to_term(prefix: str = "o_") -> Column:

@@ -338,7 +338,9 @@ def _execute_one(store, op):
             pattern = A.GraphPat(Term.iri(op.with_graph), pattern)
         c = comp.compile_pattern(pattern)
         sol = c.df.localCheckpoint(eager=True)  # snapshot BEFORE mutation
-        resolve = {v: sol[v] for v in c.vars}
+        from bigdata_old_spark.model import iri_col_to_term
+
+        resolve = {v: (iri_col_to_term(sol[v]) if v in c.flat else sol[v]) for v in c.vars}
         out = df
         if op.delete_template:
             victims = _template_to_statements(sol, op.delete_template, resolve, op.with_graph)

@@ -57,6 +57,30 @@ def test_optional_unbound(small_store):
     assert out == {EX + "Mike": "Mike", EX + "Bryan": "Bryan", EX + "Martyn": None}
 
 
+def test_optional_unbound_flat_subject(small_store):
+    """An unbound OPTIONAL var in a *resource position* (flat string
+    representation) must behave as unbound for BOUND() and project as
+    a NULL struct — regression test for the late-materialization
+    refactor."""
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?x ?fan WHERE {
+      ?x a foaf:Person .
+      OPTIONAL { ?fan foaf:knows ?x . ?fan rdfs:label "Mike" }
+      FILTER(!BOUND(?fan) || ?fan != ?x)
+    }"""
+    rows = small_store.query(q).collect()
+    got = {(r["x"]["lex"], r["fan"]["lex"] if r["fan"] is not None else None) for r in rows}
+    # Mike labels exist: Mike knows Bryan → fan of Bryan = Mike;
+    # Mike and Martyn have no Mike-labelled fan → unbound (NULL struct)
+    assert got == {
+        (EX + "Bryan", EX + "Mike"),
+        (EX + "Mike", None),
+        (EX + "Martyn", None),
+    }
+
+
 def test_union(small_store):
     q = A.SelectQuery(
         pattern=A.UnionPat(
