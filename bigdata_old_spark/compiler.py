@@ -39,6 +39,7 @@ from bigdata_old_spark.model import (
     obj_cols_to_term,
     term_lit,
     term_to_iri_string,
+    term_to_resource_key,
 )
 
 _ids = itertools.count()
@@ -606,20 +607,31 @@ class QueryCompiler:
         # and the merged output column are well-typed; flat∩flat joins
         # on plain strings (the fast path — all BGP subject joins)
         mismatched = {v for v in shared if (v in l.flat) != (v in r.flat)}
-        l = _upgrade(l, mismatched)
-        r = _upgrade(r, mismatched)
-        if extra is not None:
-            # vars the join condition touches must be attribute refs
-            evs = A.expr_vars(extra)
-            l = _upgrade(l, evs)
-            r = _upgrade(r, evs)
+        evs = A.expr_vars(extra) if extra is not None else set()
+        # certain mixed-representation vars (object-position struct meets
+        # subject-position flat — every FK chain) join on the flat
+        # resource STRING: the struct side downgrades via
+        # term_to_resource_key (literal → NULL key, correctly never
+        # matches a resource) instead of the flat side inflating to an
+        # 8-field struct hash key.  Vars the extra condition references
+        # still upgrade — expressions need real term structs.
+        str_key = {v for v in mismatched if v in l.certain and v in r.certain} - evs
+        l = _upgrade(l, (mismatched - str_key) | (evs & l.flat))
+        r = _upgrade(r, (mismatched - str_key) | (evs & r.flat))
         flat_out = (l.flat - rv) | (r.flat - lv) | (l.flat & r.flat)
 
         certain_shared = shared & l.certain & r.certain
         maybe_shared = shared - certain_shared
 
+        def key(df_col: Column, is_flat: bool) -> Column:
+            return df_col if is_flat else term_to_resource_key(df_col)
+
         rdf = r.df.select(*[F.col(v).alias(f"__r_{v}") for v in r.df.columns])
-        conds = [l.df[v] == rdf[f"__r_{v}"] for v in sorted(certain_shared)]
+        conds = [
+            key(l.df[v], v in l.flat) == key(rdf[f"__r_{v}"], v in r.flat)
+            if v in str_key else l.df[v] == rdf[f"__r_{v}"]
+            for v in sorted(certain_shared)
+        ]
         conds += [
             l.df[v].isNull() | rdf[f"__r_{v}"].isNull() | (l.df[v] == rdf[f"__r_{v}"])
             for v in sorted(maybe_shared)
@@ -627,7 +639,14 @@ class QueryCompiler:
 
         merged_resolve = {}
         for v in lv | rv:
-            if v in maybe_shared:
+            if v in str_key:
+                # output is the struct side; when l holds the flat repr a
+                # left join's unmatched rows materialize l's value
+                if v in l.flat:
+                    merged_resolve[v] = F.coalesce(rdf[f"__r_{v}"], iri_col_to_term(l.df[v]))
+                else:
+                    merged_resolve[v] = l.df[v]
+            elif v in maybe_shared:
                 merged_resolve[v] = F.coalesce(l.df[v], rdf[f"__r_{v}"])
             elif v in lv:
                 merged_resolve[v] = l.df[v]

@@ -343,6 +343,19 @@ def term_to_iri_string(c: Column) -> Column:
     )
 
 
+def term_to_resource_key(c: Column) -> Column:
+    """Term struct → flat resource string usable as a JOIN KEY against a
+    flat s/p/g column.  Literals map to NULL (a literal never equals a
+    resource, and NULL keys never match in an equi-join) — unlike
+    term_to_iri_string, whose lex fallback could collide a string
+    literal with an identical IRI."""
+    return (
+        F.when(c.isNull() | (c["kind"] == KIND_LITERAL), F.lit(None).cast("string"))
+        .when(c["kind"] == KIND_BNODE, F.concat(F.lit("_:"), c["lex"]))
+        .otherwise(c["lex"])
+    )
+
+
 def statements_df_from_terms(rows: list[tuple], spark) -> DataFrame:
     """Build a statements DataFrame from (g, s, p, o: Term[, stype]) tuples
     where g/s/p are strings (or None) and o is a Term.  Test helper + RIO
