@@ -720,9 +720,16 @@ class QueryCompiler:
         overlap = None
         for v in sorted(shared):
             lc, rc = l.df[v], rdf[f"__r_{v}"]
-            # anti-join only filters l — mixed representations convert
-            # inside the condition, l's columns stay untouched
-            if (v in l.flat) != (v in r.flat):
+            # anti-join only filters l, so l's columns stay untouched;
+            # mixed representations compare on the flat resource key
+            # when certain (NULL key = literal, never matches — same
+            # verdict as struct inequality), else the struct side wins
+            # (a NULL key would masquerade as unbound in the compat test)
+            mixed = (v in l.flat) != (v in r.flat)
+            if mixed and v in certain_shared:
+                lc2 = lc if v in l.flat else term_to_resource_key(lc)
+                rc2 = rc if v in r.flat else term_to_resource_key(rc)
+            elif mixed:
                 lc2 = iri_col_to_term(lc) if v in l.flat else lc
                 rc2 = iri_col_to_term(rc) if v in r.flat else rc
             else:
@@ -776,10 +783,16 @@ class QueryCompiler:
         compat = None
         for v in shared:
             lc, rc = c.df[v], keys[f"__r_{v}"]
-            if (v in c.flat) != (v in sub.flat):
+            mixed = (v in c.flat) != (v in sub.flat)
+            certain = v in c.certain and v in sub.certain
+            if mixed and certain:
+                # flat resource keys (literal → NULL, never matches)
+                lc = lc if v in c.flat else term_to_resource_key(lc)
+                rc = rc if v in sub.flat else term_to_resource_key(rc)
+            elif mixed:
                 lc = iri_col_to_term(lc) if v in c.flat else lc
                 rc = iri_col_to_term(rc) if v in sub.flat else rc
-            if v in c.certain and v in sub.certain:
+            if certain:
                 cc = lc == rc
             else:
                 cc = lc.isNull() | rc.isNull() | (lc == rc)
