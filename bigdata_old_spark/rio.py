@@ -38,9 +38,9 @@ _TOKEN_RE = re.compile(
   | (?P<INTEGER>[+-]?\d+)
   | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
   | (?P<PNAME>[A-Za-z0-9_][A-Za-z0-9_.-]*?:[A-Za-z0-9_][A-Za-z0-9_.%-]*|[A-Za-z0-9_][A-Za-z0-9_.-]*?:|:[A-Za-z0-9_][A-Za-z0-9_.%-]*|:)
-  | (?P<KEYWORD>\b(?:a|true|false)\b)
+  | (?P<KEYWORD>\b(?:a|true|false|GRAPH|graph)\b)
   | (?P<DTSEP>\^\^)
-  | (?P<PUNCT>[;,.\[\]()])
+  | (?P<PUNCT>[;,.\[\](){}])
   | (?P<WS>\s+)
     """,
     re.VERBOSE,
@@ -103,20 +103,25 @@ class _TurtleParser:
     def fresh_bnode(self) -> Term:
         return Term.bnode(f"genid{next(self._bnode_ids)}")
 
+    def _parse_directive(self) -> bool:
+        kind, v = self.peek()
+        if kind != "PREFIX_DECL":
+            return False
+        self.next()
+        if v.lower().endswith("prefix"):
+            _, pname = self.next()
+            _, iri = self.next()
+            self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri[1:-1]
+        else:
+            _, iri = self.next()
+            self.base = iri[1:-1]
+        if self.peek()[1] == ".":
+            self.next()
+        return True
+
     def parse(self) -> list[tuple]:
         while self.peek()[0] is not None:
-            kind, v = self.peek()
-            if kind == "PREFIX_DECL":
-                self.next()
-                if v.lower().endswith("prefix"):
-                    _, pname = self.next()
-                    _, iri = self.next()
-                    self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri[1:-1]
-                else:
-                    _, iri = self.next()
-                    self.base = iri[1:-1]
-                if self.peek()[1] == ".":
-                    self.next()
+            if self._parse_directive():
                 continue
             self.parse_statement()
         return self.triples
@@ -240,6 +245,70 @@ def parse_turtle(text: str) -> list[tuple[str, str, "Term"]]:
         s_flat = f"_:{s.lex}" if s.kind == 1 else s.lex
         out.append((s_flat, p.lex, o))
     return out
+
+
+class _TrigParser(_TurtleParser):
+    """TriG = Turtle + graph blocks (reference rio/ TriG support via
+    Sesame RDFParser registry; quad fixtures in TestTriG-style tests).
+    Grammar per W3C TriG: `GRAPH? (iri|bnode)? { triples }` blocks plus
+    plain Turtle statements in the default graph."""
+
+    def __init__(self, text: str):
+        super().__init__(text)
+        self.quads: list[tuple] = []
+        self.current_graph: Term | None = None
+
+    def _emit(self, s: Term, p: Term, o: Term):
+        self.quads.append((self.current_graph, s, p, o))
+
+    def parse(self) -> list[tuple]:
+        while self.peek()[0] is not None:
+            if self._parse_directive():
+                continue
+            self._parse_block_or_statement()
+        return self.quads
+
+    def _parse_block_or_statement(self):
+        kind, v = self.peek()
+        if v == "{":
+            self._graph_block(None)
+            return
+        if kind == "KEYWORD" and v.lower() == "graph":
+            self.next()
+            self._graph_block(self.parse_term())
+            return
+        if kind in ("IRIREF", "PNAME", "BNODE"):
+            save = self.pos
+            g = self.parse_term()
+            if self.peek()[1] == "{":
+                self._graph_block(g)
+                return
+            self.pos = save  # plain triple in the default graph
+        self.parse_statement()
+
+    def _graph_block(self, g: Term | None):
+        self.current_graph = g
+        self.expect("{")
+        while self.peek()[1] not in ("}", None):
+            subj = self.parse_subject()
+            self.parse_predicate_object_list(subj)
+            if self.peek()[1] == ".":
+                self.next()
+        self.expect("}")
+        self.current_graph = None
+
+
+def parse_trig(text: str) -> list[tuple]:
+    """TriG → [(g_flat | None, s_flat, p_iri, o_term)]."""
+
+    def flat(t: Term | None):
+        if t is None:
+            return None
+        return f"_:{t.lex}" if t.kind == 1 else t.lex
+
+    return [
+        (flat(g), flat(s), p.lex, o) for g, s, p, o in _TrigParser(text).parse()
+    ]
 
 
 def parse_ntriples_line(line: str):

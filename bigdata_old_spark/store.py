@@ -57,6 +57,12 @@ class TripleStore:
         return TripleStore.from_rows(spark, rows)
 
     @staticmethod
+    def from_trig(spark: SparkSession, text: str) -> "TripleStore":
+        from bigdata_old_spark.rio import parse_trig
+
+        return TripleStore.from_rows(spark, parse_trig(text))
+
+    @staticmethod
     def from_rdfxml(spark: SparkSession, text: str, graph: str | None = None, base: str = "") -> "TripleStore":
         from bigdata_old_spark.rio import parse_rdfxml
 

@@ -132,3 +132,59 @@ def test_store_roundtrip(spark):
         f'PREFIX ex: <{EX}> SELECT ?n WHERE {{ ?x a ex:Person ; ex:name ?n }} ORDER BY ?n'
     ).collect()
     assert [r.n.lex for r in rows] == ["Alice", "Bob"]
+
+
+# ---------------------------------------------------------------------------
+# TriG (Turtle + graph blocks)
+# ---------------------------------------------------------------------------
+
+def test_trig_blocks_and_default_graph():
+    from bigdata_old_spark.rio import parse_trig
+
+    quads = parse_trig("""
+    @prefix ex: <http://example.org/> .
+    ex:a ex:p ex:b .                      # default graph, plain Turtle
+    ex:g1 { ex:a ex:p ex:c . ex:a ex:q "v" }
+    GRAPH ex:g2 { ex:d ex:p ex:e . }
+    { ex:f ex:p ex:h }                    # explicit default-graph block
+    """)
+    got = {(g, s, p, o.lex) for g, s, p, o in quads}
+    assert (None, EX + "a", EX + "p", EX + "b") in got
+    assert (EX + "g1", EX + "a", EX + "p", EX + "c") in got
+    assert (EX + "g1", EX + "a", EX + "q", "v") in got
+    assert (EX + "g2", EX + "d", EX + "p", EX + "e") in got
+    assert (None, EX + "f", EX + "p", EX + "h") in got
+
+
+def test_trig_bnode_graph_label_and_nested_syntax():
+    from bigdata_old_spark.rio import parse_trig
+
+    quads = parse_trig("""
+    @prefix ex: <http://example.org/> .
+    _:g { ex:a ex:p [ ex:q 1, 2 ] . }
+    """)
+    graphs = {g for g, *_ in quads}
+    assert graphs == {"_:g"}
+    assert len(quads) == 3  # a-p-bnode + two bnode-q values
+
+
+def test_trig_store_roundtrip(spark):
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_trig(spark, """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:p ex:default .
+    ex:g1 { ex:a ex:p ex:b . }
+    ex:g2 { ex:a ex:p ex:c . }
+    """)
+    rows = st.query("""
+        PREFIX ex: <http://example.org/>
+        SELECT ?g ?o WHERE { GRAPH ?g { ex:a ex:p ?o } }
+    """).collect()
+    got = {(r["g"]["lex"], r["o"]["lex"]) for r in rows}
+    assert got == {(EX + "g1", EX + "b"), (EX + "g2", EX + "c")}
+    default = st.query("""
+        PREFIX ex: <http://example.org/>
+        SELECT ?o WHERE { ex:a ex:p ?o }
+    """).collect()
+    assert {r["o"]["lex"] for r in default} == {EX + "default"}
