@@ -1054,36 +1054,40 @@ class QueryCompiler:
 
         # final materialization: any var still in flat representation
         # becomes a term struct here (the ChunkedMaterializationOp at the
-        # pipeline end, before results leave the engine)
-        if q.wildcard:
-            out = df.select(*[
-                (iri_col_to_term(F.col(v)) if v in c.flat else F.col(v)).alias(v)
-                for v in proj_names
-            ])
-        else:
-            out = df.select(*[
-                F.col(f"__proj_{n}").alias(n) if f"__proj_{n}" in df.columns
-                else (iri_col_to_term(F.col(n)) if n in c.flat else F.col(n)).alias(n)
-                for n in proj_names
-            ])
+        # pipeline end, before results leave the engine).  DISTINCT (no
+        # ORDER BY) dedups BEFORE materializing — the flat↔struct mapping
+        # is injective, so dedup commutes, and the exchange hashes
+        # strings instead of structs.
+        flatp = {
+            n for n in proj_names
+            if n in c.flat and (q.wildcard or f"__proj_{n}" not in df.columns)
+        }
+        out = df.select(*[
+            F.col(f"__proj_{n}").alias(n)
+            if not q.wildcard and f"__proj_{n}" in df.columns
+            else F.col(n).alias(n)
+            for n in proj_names
+        ])
+        if (q.distinct or q.reduced) and not q.order_by:
+            out = out.dropDuplicates()
+        out = out.select(*[
+            (iri_col_to_term(F.col(n)) if n in flatp else F.col(n)).alias(n)
+            for n in proj_names
+        ])
 
-        if q.distinct or q.reduced:
-            if q.order_by:
-                # dropDuplicates would shuffle away the order; re-sort after
-                out = out.dropDuplicates()
-                # NB: for ordered+distinct we accept a re-sort
-                keys = []
-                for i, (e, asc) in enumerate(q.order_by):
-                    r2 = {v: out[v] for v in out.columns}
-                    try:
-                        k = SF.order_key(compile_expr(e, r2))
-                    except Exception:
-                        continue
-                    keys.append(k.asc() if asc else k.desc())
-                if keys:
-                    out = out.orderBy(*keys)
-            else:
-                out = out.dropDuplicates()
+        if (q.distinct or q.reduced) and q.order_by:
+            # dropDuplicates would shuffle away the order; re-sort after
+            out = out.dropDuplicates()
+            keys = []
+            for e, asc in q.order_by:
+                r2 = {v: out[v] for v in out.columns}
+                try:
+                    k = SF.order_key(compile_expr(e, r2))
+                except Exception:
+                    continue
+                keys.append(k.asc() if asc else k.desc())
+            if keys:
+                out = out.orderBy(*keys)
 
         if q.offset:
             out = out.offset(q.offset)
