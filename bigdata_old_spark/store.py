@@ -163,3 +163,29 @@ class TripleStore:
         if partition_by_predicate:
             w = w.partitionBy("p")
         w.parquet(path)
+
+    def write_bucketed(self, table: str, buckets: int = 32) -> None:
+        """Cluster-scale serving layout: partitioned by predicate (POS
+        pruning, as write_parquet) AND bucketed+sorted by subject.  Every
+        BGP subject join then reads co-bucketed files and sort-merge
+        joins WITHOUT an exchange — the Spark analog of the reference
+        keeping SPO order clustered (SPOKeyOrder.java): star patterns
+        over N predicates cost N co-located scans, zero shuffles.
+        Size ``buckets`` so one bucket of the largest predicate fits an
+        executor's memory at target scale."""
+        (
+            self.statements.write.mode("overwrite")
+            .partitionBy("p")
+            .bucketBy(buckets, "s")
+            .sortBy("s")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    @staticmethod
+    def from_table(spark: SparkSession, table: str) -> "TripleStore":
+        """Read a write_bucketed table; scans keep the bucket metadata
+        so subject joins skip the shuffle (verify: no Exchange in
+        explain)."""
+        df = spark.read.table(table)
+        return TripleStore(spark, df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]))

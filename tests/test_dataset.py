@@ -43,3 +43,41 @@ def test_from_named_excludes_unlisted_constant(quad_store):
     df = quad_store.query(P + """
         SELECT ?s FROM NAMED :g1 WHERE { GRAPH :g2 { ?s :p ?o } }""")
     assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bucketed serving layout (cluster-scale subject joins)
+# ---------------------------------------------------------------------------
+
+def test_bucketed_store_subject_join_no_exchange(spark):
+    """write_bucketed (partition by p, bucket+sort by s) must let a
+    two-pattern subject join plan WITHOUT any shuffle exchange."""
+    import contextlib
+    import io
+
+    from bigdata_old_spark.store import TripleStore
+
+    rows = (
+        [(None, f"http://ex/s{i}", "http://ex/p1", i) for i in range(50)]
+        + [(None, f"http://ex/s{i}", "http://ex/p2", f"n{i}") for i in range(50)]
+    )
+    st = TripleStore.from_rows(spark, rows)
+    st.write_bucketed("bdos_test_bucketed", buckets=4)
+    try:
+        st2 = TripleStore.from_table(spark, "bdos_test_bucketed")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = st2.query(
+                "SELECT ?a ?b WHERE { ?s <http://ex/p1> ?a ; <http://ex/p2> ?b }"
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert df.count() == 50
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdos_test_bucketed")
