@@ -17,8 +17,14 @@ _EXTRACT = {
     "long": lambda c: F.coalesce(c["num"], c["dbl"].cast("decimal(38,18)")).cast("long"),
     "int": lambda c: F.coalesce(c["num"], c["dbl"].cast("decimal(38,18)")).cast("int"),
     "double": lambda c: c["dbl"],
-    "decimal2": lambda c: F.coalesce(c["num"].cast("decimal(18,2)"), c["dbl"].cast("decimal(18,2)")),
-    "decimal6": lambda c: F.coalesce(c["num"].cast("decimal(28,6)"), c["dbl"].cast("decimal(28,6)")),
+    # Quantize to the money/avg scale, then canonicalize to double: the
+    # oracle gate materializes DuckDB DECIMAL results as float64, so a
+    # DECIMAL(18,2) Spark column would serialize '1356234.00' against the
+    # oracle's '1356234.0' and fail the exact hash even when numerically
+    # equal (round-1 q03 failure).  decimal->double is correctly rounded
+    # on both engines, so the binary doubles coincide.
+    "decimal2": lambda c: F.coalesce(c["num"].cast("decimal(18,2)"), c["dbl"].cast("decimal(18,2)")).cast("double"),
+    "decimal6": lambda c: F.coalesce(c["num"].cast("decimal(28,6)"), c["dbl"].cast("decimal(28,6)")).cast("double"),
     "ts": lambda c: c["dtm"],
     "bool": lambda c: c["bool"],
     "term": lambda c: c,  # keep the struct

@@ -20,10 +20,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    # Replicate the driver's gate as observed in round 1: floats are
+    # rounded (p03's float32-vs-float64 repr noise hash-MATCHED), but a
+    # Decimal is NOT coerced to float (q03's DECIMAL(18,2) vs float64
+    # hash-FAILED).  So: round floats, keep Decimals type-distinct.
     if isinstance(v, float):
         return round(v, 6)
-    if hasattr(v, "quantize"):  # Decimal
-        return round(float(v), 6)
+    if hasattr(v, "quantize"):  # Decimal — driver serializes it as-is
+        return "dec:" + str(v)
     return v
 
 
