@@ -44,6 +44,11 @@ from bigdata_old_spark.model import (
 
 _ids = itertools.count()
 
+# Field separator for delimiter-encoded flat group keys (US, unit
+# separator).  kind/dt/lang/dtm serializations can never contain it;
+# lex goes last so even a lex embedding it survives split(limit).
+_GK_SEP = "\x1f"
+
 
 def _fresh(prefix: str = "v") -> str:
     return f"__{prefix}{next(_ids)}"
@@ -1098,7 +1103,9 @@ class QueryCompiler:
     def _aggregate(self, c: Compiled, q: A.SelectQuery, agg_nodes: list):
         df = c.df
         resolve_in = c.resolve()
-        group_cols: list[str] = []
+        group_names: list[str] = []   # output column names (var/alias)
+        key_cols: list[str] = []      # actual groupBy key columns
+        struct_groups: list[str] = []  # group vars carried as term structs
         resolve_out: dict = {}
         flat_groups: set[str] = set()
         if q.group_by:
@@ -1107,19 +1114,48 @@ class QueryCompiler:
                     name = e.name
                     if name not in df.columns:
                         df = df.withColumn(name, SF.null_term())
-                    # flat group vars group on the plain string (cheap
-                    # hash keys); materialized only if projected
-                    group_cols.append(name)
+                    group_names.append(name)
                     if name in c.flat:
+                        # flat group vars group on the plain string (cheap
+                        # hash keys); materialized only if projected
+                        key_cols.append(name)
                         flat_groups.add(name)
                         resolve_out[name] = iri_col_to_term(F.col(name))
                     else:
+                        struct_groups.append(name)
                         resolve_out[name] = F.col(name)
                 else:
                     name = alias or _fresh("gk")
                     df = df.withColumn(name, compile_expr(e, resolve_in).cast(TERM_TYPE))
-                    group_cols.append(name)
+                    group_names.append(name)
+                    struct_groups.append(name)
                     resolve_out[name] = F.col(name)
+
+        # Struct-typed group keys (literal objects, computed keys) group on
+        # a single delimiter-encoded string — kind␟dt␟lang␟dtm␟lex, which
+        # is injective: num/dbl/bool are parsed from lex+dt by every
+        # constructor, dtm is included exactly (datetime lex truncates to
+        # seconds), and lex goes last so embedded separators stay intact
+        # under split(limit=5).  The struct is rebuilt from the key after
+        # the aggregate.  One string rides through the joins and the
+        # exchange instead of an 8-field struct, and the agg stays a
+        # HashAggregate (a first(struct) buffer would force the
+        # SortAggregate fallback).  Same commute argument as the DISTINCT
+        # flat-key path (6c62bda).
+        drop_keys: list[str] = []
+        for name in struct_groups:
+            k = f"__gk_{name}"
+            t = F.col(name)
+            df = df.withColumn(k, F.when(t.isNotNull(), F.concat_ws(
+                _GK_SEP,
+                t["kind"].cast("string"),
+                F.coalesce(t["dt"], F.lit("")),
+                F.coalesce(t["lang"], F.lit("")),
+                F.coalesce(t["dtm"].cast("string"), F.lit("")),
+                t["lex"],
+            )))
+            key_cols.append(k)
+            drop_keys.append(k)
 
         aggs = []
         seen: dict = {}
@@ -1132,12 +1168,22 @@ class QueryCompiler:
         if not aggs:
             aggs = [F.count(F.lit(1)).alias(_fresh("agg_dummy"))]
 
-        gdf = df.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs) if group_cols else df.groupBy().agg(*aggs)
+        gdf = df.groupBy(*[F.col(g) for g in key_cols]).agg(*aggs) if key_cols else df.groupBy().agg(*aggs)
+        for name in struct_groups:
+            parts = F.split(F.col(f"__gk_{name}"), _GK_SEP, 5)
+            gdf = gdf.withColumn(name, SF.term_from_flat(
+                parts[0].cast("byte"),
+                parts[4],
+                F.when(parts[1] != "", parts[1]),
+                F.when(parts[2] != "", parts[2]),
+                F.when(parts[3] != "", parts[3]).cast("timestamp")))
+        if drop_keys:
+            gdf = gdf.drop(*drop_keys)
 
         resolve = dict(resolve_out)
         for node in agg_nodes:
             resolve[("agg", id(node))] = F.col(seen[id(node)])
-        certain = frozenset(g for g in group_cols)
+        certain = frozenset(g for g in group_names)
         return Compiled(gdf, certain, frozenset(flat_groups)), resolve
 
     @staticmethod

@@ -576,6 +576,31 @@ def apply_builtin(name: str, args: list[Column], raw_args: list | None = None) -
     raise NotImplementedError(f"SPARQL builtin {name}")
 
 
+def term_from_flat(kind: Column, lex: Column, dt: Column, lang: Column, dtm: Column) -> Column:
+    """Rebuild a full term struct from its identifying flat subfields.
+
+    (kind, lex, dt, lang, dtm) determine a term: num/dbl/bool are always
+    parsed from lex per dt (every constructor derives them that way), and
+    dtm is carried explicitly because datetime lexical forms truncate to
+    seconds (mapping.py keeps the exact timestamp only in the dtm field).
+    Inverse of the flat-key projection used by the group-by, so shuffle
+    keys and aggregation buffers stay primitive (HashAggregate-able)
+    instead of hashing 8-field structs.  NULL kind ⇒ unbound ⇒ NULL.
+    """
+    is_lit = kind == KIND_LITERAL
+    num = F.when(
+        is_lit & (dt.isin(*INTEGER_DTS) | (dt == XSD_DECIMAL)),
+        F.when(lex.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)$"), lex.cast(DECIMAL_T)),
+    )
+    dbl = F.when(
+        is_lit & (dt.isin(XSD_FLOAT, XSD_DOUBLE) | num.isNotNull()),
+        F.coalesce(num.cast("double"), lex.cast("double")),
+    )
+    b = F.when(is_lit & (dt == XSD_BOOLEAN), F.when(lex.isin("true", "1"), True).when(lex.isin("false", "0"), False))
+    t = mk_term_col(kind=kind, lex=lex, dt=dt, lang=lang, num=num, dbl=dbl, dtm=dtm, bool_=b)
+    return F.when(kind.isNotNull(), t)
+
+
 def _retyped_literal(lex: Column, dt: Column) -> Column:
     """Literal with runtime datatype IRI — derive typed keys."""
     num = F.when(
