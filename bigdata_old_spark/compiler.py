@@ -426,11 +426,12 @@ class QueryCompiler:
 
     def _compile_search_unit(self, s_name: str, ts: list) -> Compiled:
         from bigdata_old_spark.model import BDS, mk_term_col
+        from bigdata_old_spark.search import ranked
         from bigdata_old_spark.search import search as ft_search
-        from pyspark.sql import Window
 
         query = None
         rel_var = rank_var = None
+        max_rank = None
         opts: dict = {}
         for t in ts:
             local = t.p.lex[len(BDS):]
@@ -443,20 +444,22 @@ class QueryCompiler:
             elif local == "minRelevance":
                 opts["min_relevance"] = float(t.o.lex)
             elif local == "maxRank":
-                opts["max_rank"] = int(t.o.lex)
+                max_rank = int(t.o.lex)
             elif local == "matchAllTerms":
                 opts["match_all_terms"] = t.o.lex == "true"
             elif local == "prefixMatch":
                 opts["prefix_match"] = t.o.lex == "true"
         if query is None:
             raise NotImplementedError(f"bds: group on ?{s_name} lacks bds:search")
-        hits = ft_search(self.store.text_index(), query, **opts)
+        # rank semantics are literal-level here, so maxRank must NOT
+        # prune occurrences inside search() (an occurrence-level top-k
+        # can starve distinct literals); rank only computed if needed
+        hits = ft_search(self.store.text_index(), query, with_rank=False, **opts)
         # collapse occurrences → distinct matched literals (the reference
         # indexes literals once; ours indexes occurrences)
         lit = hits.groupBy("o_lex", "o_dt", "o_lang").agg(F.max("relevance").alias("relevance"))
-        lit = lit.withColumn("rank", F.row_number().over(Window.orderBy(F.desc("relevance"), F.asc("o_lex"))))
-        if "max_rank" in opts:
-            lit = lit.where(F.col("rank") <= opts["max_rank"])
+        if max_rank is not None or rank_var:
+            lit = ranked(lit, [F.desc("relevance"), F.asc("o_lex")], max_rank=max_rank)
         proj = [
             mk_term_col(
                 kind=F.lit(KIND_LITERAL), lex=F.col("o_lex"),

@@ -9,11 +9,24 @@ search() table function the compiler can join like any other unit.
 
 text_index schema:  token | s | p | o_lex | tf
 (token → the matched literal and its subject/predicate context)
+
+Scale notes (100 TB corpus):
+  * corpus statistics (n_docs) are computed ONCE when the index is
+    built and stored on the TextIndex — a query never runs a count().
+  * relevance normalization uses a broadcast one-row aggregate, never
+    a driver collect().
+  * rank is never a global un-partitioned window: with a maxRank
+    cutoff it is orderBy+limit (TakeOrderedAndProject — distributed
+    top-k), and a full rank output uses a two-pass banded rank
+    (per-band row_number + broadcast band offsets).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_old_spark.model import KIND_LITERAL
@@ -25,7 +38,17 @@ def tokenize(col):
     return F.filter(F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != "")
 
 
-def build_text_index(statements: DataFrame) -> DataFrame:
+@dataclass
+class TextIndex:
+    """Inverted index + corpus statistics, computed once at build time
+    (the reference persists docId counts inside FullTextIndex; keeping
+    n_docs here means bds:search never runs a pre-query count job)."""
+
+    df: DataFrame
+    n_docs: int
+
+
+def build_text_index(statements: DataFrame, persist: bool = False) -> TextIndex:
     """Inverted index over string-literal objects."""
     lits = statements.where(
         (F.col("o_kind") == KIND_LITERAL)
@@ -39,45 +62,83 @@ def build_text_index(statements: DataFrame) -> DataFrame:
         F.explode(tokenize(F.col("o_lex"))).alias("token"),
     )
     # term frequency per (literal occurrence, token)
-    return tok.groupBy("token", "s", "p", "o_lex", "o_dt", "o_lang").agg(
+    df = tok.groupBy("token", "s", "p", "o_lex", "o_dt", "o_lang").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    if persist:
+        df = df.persist()
+    n_docs = df.select("s", "p", "o_lex").dropDuplicates().count() or 1
+    return TextIndex(df, n_docs)
+
+
+def ranked(
+    df: DataFrame,
+    order: list[Column],
+    max_rank: int | None = None,
+    bands: int = 1024,
+    band_col: str = "relevance",
+) -> DataFrame:
+    """Attach a dense 1-based ``rank`` column ordered by ``order``
+    without a global single-partition window.
+
+    With ``max_rank``: distributed top-k (orderBy+limit compiles to
+    TakeOrderedAndProject) then a window over the ≤ max_rank survivors
+    — bounded, so the single partition is fine.
+
+    Without: two-pass banded rank.  ``band_col`` must be in [0, 1] and
+    descending in rank order (ties in ``order`` imply equal band, so no
+    tie ever spans a band boundary): per-band row_number + broadcast
+    cumulative band offsets.
+    """
+    if max_rank is not None:
+        top = df.orderBy(*order).limit(max_rank)
+        return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    band = F.least(F.lit(bands - 1), F.floor(F.col(band_col) * bands)).cast("int")
+    df = df.withColumn("__band", band)
+    counts = df.groupBy("__band").count()
+    w = Window.orderBy(F.desc("__band")).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn("__off", F.coalesce(F.sum("count").over(w), F.lit(0))).drop("count")
+    df = df.join(F.broadcast(offs), "__band")
+    rn = F.row_number().over(Window.partitionBy("__band").orderBy(*order))
+    return df.withColumn("rank", (F.col("__off") + rn).cast("int")).drop("__band", "__off")
 
 
 def search(
-    text_index: DataFrame,
+    index: TextIndex | DataFrame,
     query: str,
     match_all_terms: bool = False,
     min_relevance: float | None = None,
     max_rank: int | None = None,
     prefix_match: bool = False,
+    with_rank: bool = True,
 ) -> DataFrame:
     """bds:search semantics: OR-match query tokens against the index,
     score by normalized tf·idf cosine, rank by descending relevance.
 
-    Returns: s | p | o_lex | o_dt | o_lang | relevance | rank
+    Returns: s | p | o_lex | o_dt | o_lang | relevance [| rank]
     (reference BDS.SEARCH/RELEVANCE/RANK/MATCH_ALL_TERMS/MIN_RELEVANCE/
-    MAX_RANK/PREFIX_MATCH — BDS.java:94-431).
+    MAX_RANK/PREFIX_MATCH — BDS.java:94-431).  ``rank`` is attached
+    only when requested (with_rank or max_rank) — computing it is an
+    extra pass the relational compiler usually doesn't need.
     """
-    q_tokens = [t for t in __import__("re").split(r"[^\w]+", query.lower()) if t]
+    ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
+    q_tokens = [t for t in re.split(r"[^\w]+", query.lower()) if t]
     if not q_tokens:
         raise ValueError("empty search query")
-
-    n_docs = text_index.select("s", "p", "o_lex").dropDuplicates().count() or 1
 
     if prefix_match:
         cond = None
         for t in q_tokens:
             c = F.col("token").startswith(t)
             cond = c if cond is None else (cond | c)
-        hits = text_index.where(cond)
+        hits = ti.df.where(cond)
     else:
-        hits = text_index.where(F.col("token").isin(q_tokens))
+        hits = ti.df.where(F.col("token").isin(q_tokens))
 
     # idf per token over the matched corpus
     docfreq = hits.groupBy("token").agg(F.count_distinct("s", "p", "o_lex").alias("df"))
     hits = hits.join(F.broadcast(docfreq), "token")
-    hits = hits.withColumn("w", F.col("tf") * F.log2(F.lit(n_docs) / F.col("df")))
+    hits = hits.withColumn("w", F.col("tf") * F.log2(F.lit(ti.n_docs) / F.col("df")))
 
     doc = hits.groupBy("s", "p", "o_lex", "o_dt", "o_lang").agg(
         F.sum("w").alias("score"),
@@ -85,14 +146,30 @@ def search(
     )
     if match_all_terms and not prefix_match:
         doc = doc.where(F.col("nmatched") >= len(set(q_tokens)))
-    # normalize to (0,1] like the reference's cosine: score / max score
-    mx = doc.agg(F.max("score")).collect()[0][0] or 1.0
-    doc = doc.withColumn("relevance", F.col("score") / F.lit(float(mx)))
+    # normalize to (0,1] like the reference's cosine: score / max score,
+    # via a broadcast one-row aggregate (no driver round-trip)
+    mx = doc.agg(F.max("score").alias("__mx"))
+    doc = doc.crossJoin(F.broadcast(mx))
     doc = doc.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("relevance"), F.asc("o_lex")))
-    )
+        "relevance",
+        F.col("score") / F.when(F.col("__mx") != 0, F.col("__mx")).otherwise(F.lit(1.0)),
+    ).drop("__mx")
+
+    order = [F.desc("relevance"), F.asc("o_lex"), F.asc("s"), F.asc("p")]
+    if max_rank is not None:
+        doc = ranked(doc, order, max_rank=max_rank)
+    elif with_rank:
+        doc = ranked(doc, order)
     if min_relevance is not None:
         doc = doc.where(F.col("relevance") >= min_relevance)
-    if max_rank is not None:
-        doc = doc.where(F.col("rank") <= max_rank)
-    return doc.select("s", "p", "o_lex", "o_dt", "o_lang", "relevance", "rank")
+    cols = ["s", "p", "o_lex", "o_dt", "o_lang", "relevance"]
+    if max_rank is not None or with_rank:
+        cols.append("rank")
+    return doc.select(*cols)
+
+
+def build_text_index_from_df(df: DataFrame) -> TextIndex:
+    """Wrap a bare inverted-index DataFrame (counts the corpus — prefer
+    passing the TextIndex built by build_text_index)."""
+    n = df.select("s", "p", "o_lex").dropDuplicates().count() or 1
+    return TextIndex(df, n)

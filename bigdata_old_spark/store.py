@@ -104,7 +104,9 @@ class TripleStore:
         if self._text_index is None:
             from bigdata_old_spark.search import build_text_index
 
-            self._text_index = build_text_index(self.statements).persist()
+            # persist=True caches the index df; corpus stats (n_docs)
+            # are computed once here, so queries never run a pre-count
+            self._text_index = build_text_index(self.statements, persist=True)
         return self._text_index
 
     # -- query ---------------------------------------------------------------
