@@ -382,43 +382,6 @@ def _q_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain(df, doc="str", rank="long")
 
 
-_FORM_QUERIES: dict[str, tuple] = {
-    "q27_rdfs_inference": (
-        _q_inference,
-        """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_party""",
-    ),
-    "q28_pagerank": (_q_pagerank, None),
-    "q29_fulltext_docs": (_q_fulltext, None),
-    "q20_construct": (
-        _q_construct,
-        """SELECT DISTINCT 'urn:tpch:customer:' || c_custkey AS s,
-                  'urn:tpch:viz#inNation' AS p, n_name AS o
-           FROM customer JOIN nation ON c_nationkey = n_nationkey""",
-    ),
-    "q21_ask": (
-        _q_ask,
-        "SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000.0) AS ask",
-    ),
-    "q22_gas_bfs": (
-        _q_bfs,
-        """WITH RECURSIVE walk(v, depth) AS (
-             SELECT 'urn:tpch:region:0', 0
-             UNION
-             SELECT e.dst, walk.depth + 1
-             FROM walk JOIN (
-               SELECT 'urn:tpch:region:' || n_regionkey AS src,
-                      'urn:tpch:nation:' || n_nationkey AS dst FROM nation
-               UNION ALL
-               SELECT 'urn:tpch:nation:' || c_nationkey,
-                      'urn:tpch:customer:' || c_custkey FROM customer
-               UNION ALL
-               SELECT 'urn:tpch:nation:' || s_nationkey,
-                      'urn:tpch:supplier:' || s_suppkey FROM supplier
-             ) e ON e.src = walk.v
-           )
-           SELECT v, min(depth) AS depth FROM walk GROUP BY v""",
-    ),
-}
 
 
 # ---------------------------------------------------------------------------
@@ -481,17 +444,281 @@ def _p_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5/60-bit token hash so the
+    signature math is bit-for-bit reproducible by the DuckDB oracle;
+    max_hamming=3 with blocks=4 keeps the pigeonhole recall guarantee,
+    so the blocked output equals brute-force Hamming ≤ 3."""
+    from pyspark.sql import functions as F
+
     from bigdata_old_spark.pipeline.dedup import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=8)
+    out = simhash_pairs(docs, max_hamming=3, blocks=4, bits=60, token_hash="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _p_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdata_old_spark.pipeline.text import analyze
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline import text as tx
 
     docs = _read(spark, sf_dir, "documents")
-    return analyze(docs).select("doc_id", "n_tokens", "n_tokens_bpe", "quality", "lang_pred", "fingerprint")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(c).cast("long").alias("n_tokens"),
+        F.size(tx.bpe_ish_tokens(c)).cast("long").alias("n_tokens_bpe"),
+        F.round(tx.quality_score(c), 4).alias("quality"),
+        tx.lang_id(c).alias("lang_pred"),
+        tx.fingerprint_md5(c).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generated DuckDB oracles for the signature/score operators.  Each
+# replicates the engine's math exactly (same tokenization regexes, same
+# hash bits, double arithmetic throughout) so the driver's value-hash
+# comparison is meaningful, not rows-only.
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+
+def _ngram_jaccard_oracle() -> str:
+    """All-pairs 3-token-shingle Jaccard ≥ 0.4 (dedup.shingles/jaccard).
+    Valid as the oracle for the MinHash-LSH gate because verified LSH at
+    (32 hashes, 8 bands) has collision probability ≥ 1-2e-4 for the
+    j ≥ 0.9 pairs present in the corpus, and xxhash64 is deterministic —
+    the LSH output measured equal to the exact pair set at sf0.01."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM base
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+              THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh)))
+              ELSE 1.0::DOUBLE END AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 5) AS jaccard FROM pairs WHERE j >= 0.4"""
+
+
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    """Replicates dedup.simhash with the md5/60-bit token hash: per-bit
+    signed vote over token occurrences, sign → bit; brute-force pairs at
+    Hamming ≤ max_hamming (equals the engine's blocked output because
+    blocks=4 pigeonhole-guarantees recall at ≤ 3)."""
+    sig = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+), sig0 AS (
+  SELECT doc_id, {sig} AS sig FROM h GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id, COALESCE(s.sig, 0)::BIGINT AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+def _quality_lang_oracle() -> str:
+    """Replicates text.analyze's deterministic columns: whitespace and
+    BPE-ish token counts, the C4/Gopher-style quality score, the
+    function-word-argmax language heuristic, md5 fingerprint."""
+    stop = "['the','and','of','to','is','in','that','it','with','a']"
+    es = "['el','la','de','que','y','los','en','un','por','una']"
+    fr = "['le','la','de','et','les','des','est','un','une','dans']"
+    de = "['der','die','und','das','ist','ein','nicht','mit','den','von']"
+    raw_toks = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+    bpe = r"'[A-Za-z]{1,6}|\d{1,3}|[^\sA-Za-z\d]'"
+    g4 = "greatest(h_en, h_es, h_fr, h_de)"
+    return f"""
+WITH f AS (
+  SELECT doc_id, text, {raw_toks} AS toks,
+         greatest(length(text), 1)::DOUBLE AS total,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct,
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::DOUBLE AS cjk
+  FROM documents
+), g AS (
+  SELECT *, len(toks) AS n_tok,
+         list_transform(toks, t -> lower(t)) AS toks_l,
+         length(text)::DOUBLE / greatest(len(toks), 1) AS mwl
+  FROM f
+), h AS (
+  SELECT *,
+         len(list_intersect(toks_l, {stop})) AS h_en,
+         len(list_intersect(toks_l, {es})) AS h_es,
+         len(list_intersect(toks_l, {fr})) AS h_fr,
+         len(list_intersect(toks_l, {de})) AS h_de
+  FROM g
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, {bpe}))::BIGINT AS n_tokens_bpe,
+       round(greatest(least(
+           (CASE WHEN n_tok >= 10 THEN 0.3::DOUBLE ELSE n_tok * 0.03::DOUBLE END)
+         + least(alpha / total * 0.4::DOUBLE, 0.4::DOUBLE)
+         + (CASE WHEN h_en > 0 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END)
+         + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END)
+         - least(punct / total * 0.5::DOUBLE, 0.25::DOUBLE)
+         - least(digit / total * 0.3::DOUBLE, 0.15::DOUBLE)
+       , 1.0::DOUBLE), 0.0::DOUBLE), 4) AS quality,
+       CASE WHEN cjk / total > 0.25 THEN 'zh'
+            WHEN h_en = {g4} THEN 'en'
+            WHEN h_es = {g4} THEN 'es'
+            WHEN h_fr = {g4} THEN 'fr'
+            ELSE 'de' END AS lang_pred,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM h"""
+
+
+# Every (table, subject, string column) the triplifier turns into an
+# xsd:string literal — i.e. the exact corpus build_text_index indexes.
+# Lineitem has no unique PK (FIXTURES.md); its oracle subject only needs
+# uniqueness (full rows are unique), never appears in output.
+_TEXT_CORPUS: list[tuple[str, str, list[str]]] = [
+    ("region", "'urn:tpch:region:' || r_regionkey", ["r_name"]),
+    ("nation", "'urn:tpch:nation:' || n_nationkey", ["n_name"]),
+    ("customer", "'urn:tpch:customer:' || c_custkey", ["c_name", "c_mktsegment"]),
+    ("supplier", "'urn:tpch:supplier:' || s_suppkey", ["s_name"]),
+    ("part", "'urn:tpch:part:' || p_partkey", ["p_name", "p_brand", "p_type"]),
+    ("orders", "'urn:tpch:orders:' || o_orderkey", ["o_orderstatus", "o_orderpriority"]),
+    ("lineitem",
+     "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"
+     " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)",
+     ["l_returnflag", "l_linestatus"]),
+    ("events", "'urn:tpch:events:' || event_id", ["event_type", "props"]),
+    ("documents", "'urn:tpch:documents:' || doc_id", ["text", "lang", "source"]),
+]
+
+
+def _fulltext_oracle(query_tokens: list[str], max_rank: int = 20) -> str:
+    """Replicates the whole bds:search path over the triplified store:
+    the corpus is EVERY xsd:string literal (all string columns of all
+    tables), tokenized with the engine's regex; tf·idf with
+    log2(n_docs/df) idf, max-normalized relevance, occurrence → distinct
+    literal collapse, rank by (relevance DESC, literal ASC) top-k, then
+    the ?doc d:text ?lit join back to document subjects."""
+    branches = "\n  UNION ALL ".join(
+        f"SELECT {subj} AS s, 'urn:tpch:{t}#{c}' AS p, {c} AS o_lex "
+        f"FROM {t} WHERE {c} IS NOT NULL AND regexp_matches({c}, '[\\pL\\pN]')"
+        for t, subj, cols in _TEXT_CORPUS for c in cols
+    )
+    toks = ", ".join(f"'{t}'" for t in query_tokens)
+    return f"""
+WITH corpus AS (
+  {branches}
+), tok AS (
+  SELECT s, p, o_lex,
+         unnest(list_filter(regexp_split_to_array(lower(o_lex), '[^\\pL\\pN]+'), x -> x <> '')) AS token
+  FROM corpus
+), idx AS (
+  SELECT s, p, o_lex, token, count(*) AS tf FROM tok GROUP BY ALL
+), stats AS (
+  SELECT count(*) AS n_docs FROM (SELECT DISTINCT s, p, o_lex FROM idx)
+), hits AS (
+  SELECT * FROM idx WHERE token IN ({toks})
+), docfreq AS (
+  SELECT token, count(*) AS df FROM hits GROUP BY token
+), scored AS (
+  SELECT s, p, o_lex, SUM(tf * log2(n_docs / df)) AS score
+  FROM hits JOIN docfreq USING (token) CROSS JOIN stats
+  GROUP BY s, p, o_lex
+), normed AS (
+  SELECT o_lex, score / (CASE WHEN mx <> 0 THEN mx ELSE 1.0::DOUBLE END) AS relevance
+  FROM (SELECT *, max(score) OVER () AS mx FROM scored)
+), lit AS (
+  SELECT o_lex, max(relevance) AS relevance FROM normed GROUP BY o_lex
+), rk AS (
+  SELECT o_lex,
+         row_number() OVER (ORDER BY round(relevance, 12) DESC, o_lex ASC) AS r
+  FROM lit QUALIFY r <= {max_rank}
+)
+SELECT 'urn:tpch:documents:' || doc_id AS doc, r::BIGINT AS "rank"
+FROM rk JOIN documents ON documents.text = rk.o_lex"""
+
+
+def _pagerank_oracle() -> str:
+    """Closed-form fixpoint of analytics.pagerank on the
+    customer→nation→region FK DAG: in-degree-0 customers pin at the
+    teleport constant after iteration 1, nations after 2, regions after
+    3 — so 15 synchronous iterations equal the stationary values.
+    Teleport is the engine's Python double 1-0.85 = 0.15000000000000002;
+    everything stays DOUBLE to mirror Spark arithmetic."""
+    t = repr(1 - 0.85)  # 0.15000000000000002
+    return f"""
+WITH cn AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+), nr AS (
+  SELECT n_nationkey, n_regionkey,
+         {t}::DOUBLE + 0.85::DOUBLE * ({t}::DOUBLE * COALESCE(n_cust, 0)) AS r
+  FROM nation LEFT JOIN cn ON nk = n_nationkey
+), rr AS (
+  SELECT n_regionkey, {t}::DOUBLE + 0.85::DOUBLE * SUM(r) AS r FROM nr GROUP BY 1
+), allv AS (
+  SELECT 'urn:tpch:customer:' || c_custkey AS v, {t}::DOUBLE AS r FROM customer
+  UNION ALL SELECT 'urn:tpch:nation:' || n_nationkey, r FROM nr
+  UNION ALL SELECT 'urn:tpch:region:' || n_regionkey, r FROM rr
+)
+SELECT v, round(r, 4) AS "rank" FROM allv ORDER BY round(r, 4) DESC, v LIMIT 30"""
+
+
+_FORM_QUERIES: dict[str, tuple] = {
+    "q27_rdfs_inference": (
+        _q_inference,
+        """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_party""",
+    ),
+    "q28_pagerank": (_q_pagerank, _pagerank_oracle()),
+    "q29_fulltext_docs": (_q_fulltext, _fulltext_oracle(["spark", "query", "join"])),
+    "q20_construct": (
+        _q_construct,
+        """SELECT DISTINCT 'urn:tpch:customer:' || c_custkey AS s,
+                  'urn:tpch:viz#inNation' AS p, n_name AS o
+           FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    ),
+    "q21_ask": (
+        _q_ask,
+        "SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000.0) AS ask",
+    ),
+    "q22_gas_bfs": (
+        _q_bfs,
+        """WITH RECURSIVE walk(v, depth) AS (
+             SELECT 'urn:tpch:region:0', 0
+             UNION
+             SELECT e.dst, walk.depth + 1
+             FROM walk JOIN (
+               SELECT 'urn:tpch:region:' || n_regionkey AS src,
+                      'urn:tpch:nation:' || n_nationkey AS dst FROM nation
+               UNION ALL
+               SELECT 'urn:tpch:nation:' || c_nationkey,
+                      'urn:tpch:customer:' || c_custkey FROM customer
+               UNION ALL
+               SELECT 'urn:tpch:nation:' || s_nationkey,
+                      'urn:tpch:supplier:' || s_suppkey FROM supplier
+             ) e ON e.src = walk.v
+           )
+           SELECT v, min(depth) AS depth FROM walk GROUP BY v""",
+    ),
+}
 
 
 _PIPELINE_QUERIES: dict[str, tuple] = {
@@ -523,10 +750,9 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            CROSS JOIN embeddings e
            QUALIFY rnk <= 10""",
     ),
-    # LSH/SimHash signatures are not SQL-expressible → rows-only checks
-    "p04_minhash_lsh_pairs": (_p_minhash_pairs, None),
-    "p05_simhash_pairs": (_p_simhash_pairs, None),
-    "p06_quality_langid": (_p_quality_lang, None),
+    "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
+    "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),
+    "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
 }
 
 

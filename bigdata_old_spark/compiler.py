@@ -459,7 +459,12 @@ class QueryCompiler:
         # indexes literals once; ours indexes occurrences)
         lit = hits.groupBy("o_lex", "o_dt", "o_lang").agg(F.max("relevance").alias("relevance"))
         if max_rank is not None or rank_var:
-            lit = ranked(lit, [F.desc("relevance"), F.asc("o_lex")], max_rank=max_rank)
+            # rank on relevance quantized to 12 dp: scores that are
+            # mathematically equal can differ by ulps depending on the
+            # float summation order of a distributed aggregate, which
+            # would make the rank ORDER nondeterministic run-to-run;
+            # quantizing makes such pairs true ties, broken by o_lex
+            lit = ranked(lit, [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex")], max_rank=max_rank)
         proj = [
             mk_term_col(
                 kind=F.lit(KIND_LITERAL), lex=F.col("o_lex"),

@@ -135,13 +135,25 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over tokens: per-bit signed vote weighted by
-    token occurrences, sign → bit.  Pure array-expression
-    implementation; the bit loop unrolls into a static Catalyst
-    expression (shift amounts must be Python ints)."""
+def simhash(col: Column, bits: int = 64, token_hash: str = "xxhash64") -> Column:
+    """SimHash over tokens: per-bit signed vote weighted by token
+    occurrences, sign → bit.  Pure array-expression implementation; the
+    bit loop unrolls into a static Catalyst expression (shift amounts
+    must be Python ints).
+
+    token_hash: "xxhash64" (default, fastest, 64-bit) or "md5" — the
+    top 60 bits of md5, which an external SQL engine can reproduce
+    (DuckDB ``('0x'||substr(md5(t),1,15))::BIGINT``), making signatures
+    oracle-checkable.  Use bits=60 with "md5"."""
     toks = tokens(F.lower(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash == "md5":
+        if bits > 60:
+            raise ValueError("md5 token_hash provides 60 usable bits")
+        hashes = F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote_at(i: int) -> Column:
         def merge(acc, h):
@@ -166,13 +178,30 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole the 64 bits into ``blocks``
-    segments — any pair within Hamming ≤ blocks-1 shares ≥1 exact
-    segment, so candidates come from equality joins on segments.
-    Returns: id_a | id_b | hamming."""
-    width = 64 // blocks
-    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    """Near-dup pairs by SimHash: pigeonhole the ``bits`` bits into
+    ``blocks`` segments — any pair within Hamming ≤ blocks-1 shares ≥1
+    exact segment, so candidates come from equality joins on segments.
+    Returns: id_a | id_b | hamming.
+
+    Pigeonhole blocking guarantees full recall only for
+    max_hamming ≤ blocks-1; beyond that the output set depends on
+    which bits happen to differ, i.e. it is not a well-defined function
+    of the inputs' neighborhood structure — so it is rejected."""
+    if bits % blocks:
+        raise ValueError(f"blocks={blocks} must divide bits={bits}")
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall "
+            f"guarantee (blocks-1={blocks - 1}); raise blocks"
+        )
+    width = bits // blocks
+    base = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits=bits, token_hash=token_hash).alias("sig"),
+    )
     seg = base.select(
         "id", "sig",
         F.explode(

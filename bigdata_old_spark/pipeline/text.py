@@ -106,6 +106,15 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(norm)
 
 
+def fingerprint_md5(col: Column) -> Column:
+    """md5 hex fingerprint of the normalized text — same identity
+    semantics as :func:`fingerprint` but reproducible by any SQL engine
+    with ``md5()`` (used by the oracle-checked gate; xxhash64 stays the
+    scale default — cheaper, no hex string materialization)."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(norm)
+
+
 def shingle_fingerprints(col: Column, k: int = 5) -> Column:
     """Rolling k-token shingle hashes (winnowing-style fingerprint set)."""
     toks = tokens(col)

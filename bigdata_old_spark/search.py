@@ -155,7 +155,10 @@ def search(
         F.col("score") / F.when(F.col("__mx") != 0, F.col("__mx")).otherwise(F.lit(1.0)),
     ).drop("__mx")
 
-    order = [F.desc("relevance"), F.asc("o_lex"), F.asc("s"), F.asc("p")]
+    # quantize relevance in the rank ORDER (not the output): equal-score
+    # docs can differ by ulps from distributed float summation order, and
+    # an un-quantized order would be nondeterministic between runs
+    order = [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex"), F.asc("s"), F.asc("p")]
     if max_rank is not None:
         doc = ranked(doc, order, max_rank=max_rank)
     elif with_rank:

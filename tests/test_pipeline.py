@@ -51,10 +51,38 @@ def test_ngram_jaccard_matches_lsh(docs):
 
 
 def test_simhash(docs):
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    # blocks=16 → pigeonhole recall guaranteed up to Hamming 15 ≥ 8
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8, blocks=16).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+def test_simhash_rejects_unsound_params(docs):
+    import pytest
+
+    with pytest.raises(ValueError):  # recall not guaranteed beyond blocks-1
+        simhash_pairs(docs, max_hamming=8, blocks=4)
+    with pytest.raises(ValueError):  # blocks must divide bits
+        simhash_pairs(docs, max_hamming=3, blocks=7)
+
+
+def test_simhash_md5_matches_bruteforce(docs):
+    """The md5/60-bit variant's blocked pair set equals brute-force
+    Hamming ≤ 3 over the same signatures (full pigeonhole recall)."""
+    from bigdata_old_spark.pipeline.dedup import hamming64, simhash
+
+    blocked = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_pairs(docs, max_hamming=3, blocks=4, bits=60, token_hash="md5").collect()}
+    sigs = docs.select(F.col("doc_id").alias("id"), simhash(F.col("text"), bits=60, token_hash="md5").alias("sig"))
+    l, r = sigs.alias("l"), sigs.select(F.col("id").alias("rid"), F.col("sig").alias("rsig")).alias("r")
+    brute = {(x["id_a"], x["id_b"]): x["hamming"] for x in (
+        l.crossJoin(r).where(F.col("id") < F.col("rid"))
+        .select(F.col("id").alias("id_a"), F.col("rid").alias("id_b"),
+                hamming64(F.col("sig"), F.col("rsig")).alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    ).collect()}
+    assert blocked == brute
 
 
 def test_text_analyze(spark):
