@@ -31,10 +31,13 @@ _STORES: dict = {}
 
 
 def _store(spark: SparkSession, sf_dir: str):
-    """Triplify once per (session, sf_dir) into a predicate-partitioned
-    Parquet store — bound-predicate scans then prune to single partition
-    directories (measured ~2× faster than an in-memory cached full-scan
-    at sf0.1, and the only layout that survives 100 TB)."""
+    """Triplify once per (session, sf_dir) into the bucketed serving
+    layout: partitioned by predicate (bound-predicate scans prune to
+    single directories — the POS-index analog) AND bucketed+sorted by
+    subject into 32 buckets, so every BGP subject join reads co-located
+    buckets with no shuffle Exchange.  The files are written once to a
+    stable path; any later process re-registers them in its own catalog
+    (TripleStore.register_bucketed) — no Hive metastore needed."""
     import os
     import re
     import tempfile
@@ -51,14 +54,19 @@ def _store(spark: SparkSession, sf_dir: str):
         # version the store by the triplifier source so stale stores
         # from older code are never reused
         ver = hashlib.md5(open(_mapping_mod.__file__, "rb").read()).hexdigest()[:8]
-        tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-        path = f"{tempfile.gettempdir()}/bdos_store_{tag}_{ver}"
+        tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+        table = f"bdos_{tag}_{ver}_bk"
+        path = f"{tempfile.gettempdir()}/{table}"
         # reuse a completed store across processes (marker = _SUCCESS);
         # set BDOS_REBUILD=1 to force re-triplification
         done = os.path.exists(f"{path}/_SUCCESS") and not os.environ.get("BDOS_REBUILD")
         if not done:
-            TripleStore(spark, triplify_dir(spark, sf_dir)).write_parquet(path, partition_by_predicate=True)
-        _STORES[key] = TripleStore.from_parquet_partitioned(spark, path)
+            if spark.catalog.tableExists(table):
+                spark.sql(f"DROP TABLE `{table}`")
+            TripleStore(spark, triplify_dir(spark, sf_dir)).write_bucketed(table, 32, path=path)
+            _STORES[key] = TripleStore.from_table(spark, table)
+        else:
+            _STORES[key] = TripleStore.from_bucketed(spark, table, path, 32)
     return _STORES[key]
 
 

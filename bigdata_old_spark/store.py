@@ -166,7 +166,7 @@ class TripleStore:
             w = w.partitionBy("p")
         w.parquet(path)
 
-    def write_bucketed(self, table: str, buckets: int = 32) -> None:
+    def write_bucketed(self, table: str, buckets: int = 32, path: str | None = None) -> None:
         """Cluster-scale serving layout: partitioned by predicate (POS
         pruning, as write_parquet) AND bucketed+sorted by subject.  Every
         BGP subject join then reads co-bucketed files and sort-merge
@@ -174,15 +174,59 @@ class TripleStore:
         keeping SPO order clustered (SPOKeyOrder.java): star patterns
         over N predicates cost N co-located scans, zero shuffles.
         Size ``buckets`` so one bucket of the largest predicate fits an
-        executor's memory at target scale."""
-        (
-            self.statements.write.mode("overwrite")
+        executor's memory at target scale.
+
+        With ``path`` the table is EXTERNAL: the bucketed files land at
+        a stable location that any later session can re-register via
+        :meth:`register_bucketed` — bucket metadata lives in the table
+        definition, not the files, so path+spec is all a session needs.
+
+        The pre-repartition on ``s`` uses the same murmur3-pmod hash as
+        the bucket assignment, so each write task holds exactly one
+        bucket and emits one file per predicate partition — without it,
+        every input task writes a file per (partition × bucket), an
+        O(tasks · partitions · buckets) small-file explosion."""
+        w = (
+            self.statements.repartition(buckets, F.col("s"))
+            .write.mode("overwrite")
             .partitionBy("p")
             .bucketBy(buckets, "s")
             .sortBy("s")
             .format("parquet")
-            .saveAsTable(table)
         )
+        if path is not None:
+            w = w.option("path", path)
+        w.saveAsTable(table)
+
+    @staticmethod
+    def register_bucketed(spark: SparkSession, table: str, path: str, buckets: int = 32) -> None:
+        """Register pre-written bucketed files as an external table in
+        THIS session's catalog.  No Hive metastore required: the DDL
+        (CLUSTERED BY spec + LOCATION) recreates the bucket metadata in
+        the in-memory catalog, and RECOVER PARTITIONS discovers the
+        predicate directories — so a fresh process (e.g. the driver's
+        vanilla session) gets shuffle-free subject joins from files
+        written by an earlier one."""
+        if spark.catalog.tableExists(table):
+            return
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in STATEMENTS_SCHEMA.fields
+            if f.name != "p"
+        )
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}, `p` STRING) USING PARQUET "
+            f"OPTIONS (path '{path}') PARTITIONED BY (p) "
+            f"CLUSTERED BY (s) SORTED BY (s) INTO {buckets} BUCKETS"
+        )
+        spark.sql(f"ALTER TABLE `{table}` RECOVER PARTITIONS")
+
+    @staticmethod
+    def from_bucketed(spark: SparkSession, table: str, path: str, buckets: int = 32) -> "TripleStore":
+        """Open a bucketed store written by ``write_bucketed(path=...)``,
+        registering it in this session's catalog if needed."""
+        TripleStore.register_bucketed(spark, table, path, buckets)
+        return TripleStore.from_table(spark, table)
 
     @staticmethod
     def from_table(spark: SparkSession, table: str) -> "TripleStore":
