@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from bigdata_old_spark import algebra as A
 from bigdata_old_spark import functions as SF
 from bigdata_old_spark.model import (
+    KIND_BNODE,
     KIND_LITERAL,
     TERM_TYPE,
     Term,
@@ -48,6 +49,87 @@ _ids = itertools.count()
 # separator).  kind/dt/lang/dtm serializations can never contain it;
 # lex goes last so even a lex embedding it survives split(limit).
 _GK_SEP = "\x1f"
+
+# Property-path endpoints ride the closure loops as flat KEY strings:
+# a resource encodes to its s-position string (IRI or "_:label") —
+# byte-identical to the store's subject key, so frontier joins hash
+# short strings, never 8-field structs — and a literal to
+# "\x1f" + dt\x1f lang\x1f dtm\x1f lex.  Injective across the two: the
+# IRI grammar excludes control characters, so no resource string starts
+# with \x1f.  This is the path-closure analog of the flat group-by key
+# (same commute argument; VERDICT r01 item 10).
+_PK_LIT = "\x1f"
+
+
+def _key_from_obj() -> Column:
+    """Statements-table object columns → flat path key."""
+    res = F.when(
+        F.col("o_kind") == KIND_BNODE, F.concat(F.lit("_:"), F.col("o_lex"))
+    ).otherwise(F.col("o_lex"))
+    lit = F.concat(F.lit(_PK_LIT), F.concat_ws(
+        _GK_SEP,
+        F.coalesce(F.col("o_dt"), F.lit("")),
+        F.coalesce(F.col("o_lang"), F.lit("")),
+        F.coalesce(F.col("o_dtm").cast("string"), F.lit("")),
+        F.col("o_lex"),
+    ))
+    return F.when(F.col("o_kind") == KIND_LITERAL, lit).otherwise(res)
+
+
+def _key_from_term(t: Column) -> Column:
+    """Term struct → flat path key (NULL-preserving)."""
+    res = F.when(t["kind"] == KIND_BNODE, F.concat(F.lit("_:"), t["lex"])).otherwise(t["lex"])
+    lit = F.concat(F.lit(_PK_LIT), F.concat_ws(
+        _GK_SEP,
+        F.coalesce(t["dt"], F.lit("")),
+        F.coalesce(t["lang"], F.lit("")),
+        F.coalesce(t["dtm"].cast("string"), F.lit("")),
+        t["lex"],
+    ))
+    return F.when(t.isNull(), F.lit(None)).when(t["kind"] == KIND_LITERAL, lit).otherwise(res)
+
+
+def _term_from_key(c: Column) -> Column:
+    """Flat path key → term struct (inverse of _key_from_term)."""
+    parts = F.split(c.substr(F.lit(2), F.length(c)), _GK_SEP, 4)
+    lit = SF.term_from_flat(
+        F.lit(KIND_LITERAL).cast("byte"),
+        parts[3],
+        F.when(parts[0] != "", parts[0]),
+        F.when(parts[1] != "", parts[1]),
+        F.when(parts[2] != "", parts[2]).cast("timestamp"),
+    )
+    return (
+        F.when(c.isNull(), F.lit(None).cast(TERM_TYPE))
+        .when(c.startswith(_PK_LIT), lit)
+        .otherwise(iri_col_to_term(c))
+    )
+
+
+def _path_ends_resource(p) -> tuple[bool, bool]:
+    """Static (src, dst) resource-certainty of a path expression — a
+    certain endpoint stays a flat string var downstream (joins against
+    subject scans then stay flat AND bucket-aligned); an uncertain one
+    is decoded to a term struct at the path boundary."""
+    if isinstance(p, (Term, A.PathLink)):
+        return (True, False)
+    if isinstance(p, A.PathInv):
+        s, d = _path_ends_resource(p.path)
+        return (d, s)
+    if isinstance(p, A.PathAlt):
+        ends = [_path_ends_resource(a) for a in p.alts]
+        return (all(e[0] for e in ends), all(e[1] for e in ends))
+    if isinstance(p, A.PathSeq):
+        return (_path_ends_resource(p.steps[0])[0], _path_ends_resource(p.steps[-1])[1])
+    if isinstance(p, A.PathNeg):
+        fwd = bool(p.forward_iris) or not p.inverse_iris
+        inv = bool(p.inverse_iris)
+        return (not inv, not fwd)
+    if isinstance(p, A.PathStar):
+        if p.min_len == 0:
+            return (False, False)  # zero-length pairs range over every node
+        return _path_ends_resource(p.path)
+    return (False, False)
 
 
 def _fresh(prefix: str = "v") -> str:
@@ -846,36 +928,49 @@ class QueryCompiler:
         o_name = t.o.name if isinstance(t.o, A.Var) else _fresh("po")
         pairs = self._path_pairs(t.p, graph, t)
         df = pairs.toDF("__src", "__dst") if pairs.columns != ["__src", "__dst"] else pairs
+        # endpoints are flat keys: constant filters and the same-var
+        # constraint compare strings, never structs
         conds = []
         if not isinstance(t.s, A.Var):
-            conds.append(F.col("__src") == term_lit(t.s))
+            conds.append(F.col("__src") == _key_from_term(term_lit(t.s)))
         if not isinstance(t.o, A.Var):
-            conds.append(F.col("__dst") == term_lit(t.o))
+            conds.append(F.col("__dst") == _key_from_term(term_lit(t.o)))
         for c in conds:
             df = df.where(c)
+        src_res, dst_res = _path_ends_resource(t.p)
         proj = []
         names: list[str] = []
+        flat: set[str] = set()
         if isinstance(t.s, A.Var):
-            proj.append(F.col("__src").alias(s_name))
+            col = F.col("__src") if src_res else _term_from_key(F.col("__src"))
+            proj.append(col.alias(s_name))
             names.append(s_name)
+            if src_res:
+                flat.add(s_name)
         if isinstance(t.o, A.Var):
             if isinstance(t.s, A.Var) and t.o.name == t.s.name:
                 df = df.where(F.col("__src") == F.col("__dst"))
             else:
-                proj.append(F.col("__dst").alias(o_name))
+                col = F.col("__dst") if dst_res else _term_from_key(F.col("__dst"))
+                proj.append(col.alias(o_name))
                 names.append(o_name)
+                if dst_res:
+                    flat.add(o_name)
         if not proj:
             proj = [F.lit(1).alias("__unit")]
         out = df.select(*proj)
-        return Compiled(out, frozenset(names))
+        return Compiled(out, frozenset(names), frozenset(flat))
 
     def _path_pairs(self, p, graph, t) -> DataFrame:
-        """Compile a path expression to a (src term, dst term) pair DF."""
+        """Compile a path expression to a (src key, dst key) pair DF —
+        both columns flat strings (see _PK_LIT), so every seq join,
+        closure frontier join, dedup and anti-join in the path machinery
+        hashes compact strings, never 8-field term structs."""
         if isinstance(p, Term):
             p = A.PathLink(p.lex)
         if isinstance(p, A.PathLink):
             df = self._scan(graph).where(F.col("p") == p.iri)
-            return df.select(iri_col_to_term(F.col("s")).alias("__src"), obj_cols_to_term().alias("__dst"))
+            return df.select(F.col("s").alias("__src"), _key_from_obj().alias("__dst"))
         if isinstance(p, A.PathInv):
             inner = self._path_pairs(p.path, graph, t)
             return inner.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
@@ -902,10 +997,10 @@ class QueryCompiler:
             fwd = base
             if p.forward_iris:
                 fwd = fwd.where(~F.col("p").isin(*p.forward_iris))
-            scans.append(fwd.select(iri_col_to_term(F.col("s")).alias("__src"), obj_cols_to_term().alias("__dst")))
+            scans.append(fwd.select(F.col("s").alias("__src"), _key_from_obj().alias("__dst")))
             if p.inverse_iris:
                 inv = base.where(~F.col("p").isin(*p.inverse_iris))
-                scans.append(inv.select(obj_cols_to_term().alias("__src"), iri_col_to_term(F.col("s")).alias("__dst")))
+                scans.append(inv.select(_key_from_obj().alias("__src"), F.col("s").alias("__dst")))
                 if not p.forward_iris:
                     scans.pop(0)
             out = scans[0]
@@ -932,9 +1027,9 @@ class QueryCompiler:
             # scalable case (BFS from one node instead of full closure)
             if seed_side == "dst":
                 edges = edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-            seed = edges.sparkSession.createDataFrame(
-                [(seed_term.as_row(),)], "x struct<" + _term_ddl() + ">"
-            ).select(F.col("x").alias("__dst"))
+            seed = edges.sparkSession.range(1).select(
+                _key_from_term(term_lit(seed_term)).alias("__dst")
+            )
             reached = seed.select(F.col("__dst")) if min_len == 0 else None
             frontier = seed
             depth = 0
@@ -956,7 +1051,7 @@ class QueryCompiler:
                 frontier = nxt
             if acc is None:
                 acc = seed.limit(0)
-            src_lit = term_lit(seed_term)
+            src_lit = _key_from_term(term_lit(seed_term))
             out = acc.select(src_lit.alias("__src"), F.col("__dst"))
             if seed_side == "dst":
                 out = out.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
@@ -986,9 +1081,10 @@ class QueryCompiler:
         return result
 
     def _graph_nodes(self, graph) -> DataFrame:
+        """Every node of the graph as a flat path key."""
         base = self._scan(graph)
-        subs = base.select(iri_col_to_term(F.col("s")).alias("__n"))
-        objs = base.select(obj_cols_to_term().alias("__n"))
+        subs = base.select(F.col("s").alias("__n"))
+        objs = base.select(_key_from_obj().alias("__n"))
         return subs.unionByName(objs).dropDuplicates()
 
     # -- query forms -------------------------------------------------------------
@@ -1442,7 +1538,3 @@ def _extract_ranges(expr) -> dict:
 
 def _term_as_flat_string(t: Term) -> str:
     return f"_:{t.lex}" if t.kind == 1 else t.lex
-
-
-def _term_ddl() -> str:
-    return "kind tinyint, lex string, dt string, lang string, num decimal(38,18), dbl double, dtm timestamp, bool boolean"
