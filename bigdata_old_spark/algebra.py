@@ -204,6 +204,14 @@ class Dataset:
 
 
 @dataclass
+class IncludePat:
+    """INCLUDE %name — join the pre-evaluated named solution set into
+    the surrounding group (reference NamedSubqueryInclude /
+    JVMNamedSubqueryOp.java:76)."""
+    name: str
+
+
+@dataclass
 class SelectQuery:
     pattern: object
     # list of (var_name, Expr|None) — None means plain variable projection;
@@ -219,6 +227,9 @@ class SelectQuery:
     offset: Optional[int] = None
     values: Optional[ValuesPat] = None
     dataset: Optional[Dataset] = None
+    # named subqueries: [(name, SubSelect|pattern)] — WITH {…} AS %name,
+    # evaluated once before the main WHERE, referenced via IncludePat
+    named: list = field(default_factory=list)
 
 
 @dataclass

@@ -321,6 +321,11 @@ class QueryCompiler:
     def __init__(self, store, dataset=None):
         self.store = store
         self.dataset = dataset  # A.Dataset from FROM / FROM NAMED
+        # named solution sets: %name → Compiled (WITH {…} AS %name),
+        # materialized once, re-aliased at each INCLUDE — the Spark
+        # analog of the reference's SolutionSetManager + named solution
+        # set hash index (JVMNamedSubqueryOp.java:76)
+        self._named_sets: dict[str, Compiled] = {}
 
     # -- pattern dispatch ---------------------------------------------------
     def compile_pattern(self, node, graph=None) -> Compiled:
@@ -350,6 +355,13 @@ class QueryCompiler:
             return self.compile_pattern(node.child, graph=node.graph)
         if isinstance(node, A.SubSelect):
             return self.compile_subselect(node.query)
+        if isinstance(node, A.IncludePat):
+            c = self._named_sets.get(node.name)
+            if c is None:
+                raise ValueError(f"INCLUDE %{node.name}: no such named subquery")
+            # fresh alias per INCLUDE so two includes of the same set
+            # don't collide as an ambiguous self-join
+            return Compiled(c.df.alias(_fresh("inc")), c.certain, c.flat)
         if isinstance(node, A.ServicePat):
             return self.compile_service(node, graph)
         raise NotImplementedError(f"pattern {type(node)}")
@@ -1089,6 +1101,17 @@ class QueryCompiler:
 
     # -- query forms -------------------------------------------------------------
     def compile_select(self, q: A.SelectQuery) -> DataFrame:
+        # WITH {…} AS %name: evaluate each named subquery ONCE, up
+        # front, in its own bottom-up scope (localCheckpoint materializes
+        # the solution set and cuts lineage — every INCLUDE then reads
+        # the stored set instead of recomputing the subtree, exactly the
+        # reference's evaluate-once named-solution-set contract).  Later
+        # named subqueries may INCLUDE earlier ones (declaration order).
+        for name, pat in q.named:
+            nc = self.compile_pattern(pat)
+            self._named_sets[name] = Compiled(
+                nc.df.localCheckpoint(eager=True), nc.certain, nc.flat
+            )
         c = self.compile_pattern(q.pattern)
         if q.values is not None:
             c = self.join(c, self.values(q.values))

@@ -38,6 +38,7 @@ _TOKEN_RE = re.compile(
     (?P<COMMENT>\#[^\n]*)
   | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<SOLSET>%[A-Za-z_][A-Za-z0-9_]*)
   | (?P<STRING_LONG>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
@@ -254,6 +255,12 @@ class _Parser:
                 else:
                     break
         q.dataset = self.parse_dataset_clauses()
+        # named subqueries: WITH { SELECT … } AS %name (reference grammar,
+        # sparql/ast/NamedSubqueryRoot — evaluated once, joined at INCLUDE)
+        while self.take_word("WITH"):
+            grp = self.parse_group()
+            self.expect_word("AS")
+            q.named.append((self.parse_solset(), grp))
         self.take_word("WHERE")
         q.pattern = self.parse_group()
         self.parse_solution_modifiers(q)
@@ -375,6 +382,12 @@ class _Parser:
             elif self.take_word("OFFSET"):
                 q.offset = int(self.next()[1])
 
+    def parse_solset(self) -> str:
+        k, v = self.next()
+        if k != "SOLSET":
+            raise ParseError(f"expected %name at ({k}, {v})")
+        return v[1:]
+
     # -- group graph patterns -----------------------------------------------------
     def parse_group(self):
         self.expect_op("{")
@@ -425,6 +438,9 @@ class _Parser:
                 flush_bgp()
                 base = acc if acc is not None else A.BGP()
                 acc = A.Extend(base, var.name, e)
+            elif self.at_word("INCLUDE") and self.peek(1)[0] == "SOLSET":
+                self.next()
+                add(A.IncludePat(self.parse_solset()))
             elif self.take_word("VALUES"):
                 add(self.parse_values_body())
             elif self.take_word("GRAPH"):
