@@ -519,46 +519,113 @@ class QueryCompiler:
         return units, rest
 
     def _compile_search_unit(self, s_name: str, ts: list) -> Compiled:
+        """Compile one bds: magic-predicate group.  Full BDS vocabulary
+        (BDS.java:94-431): search/relevance/rank/minRelevance/
+        maxRelevance/minRank/maxRank/matchAllTerms/matchExact/
+        matchRegex/prefixMatch/subjectSearch/searchInSearch/
+        searchTimeout/rangeCount."""
         from bigdata_old_spark.model import BDS, mk_term_col
-        from bigdata_old_spark.search import ranked
+        from bigdata_old_spark.search import matching_subjects, ranked
         from bigdata_old_spark.search import search as ft_search
+        from bigdata_old_spark.search import subject_search as ft_subject_search
 
         query = None
-        rel_var = rank_var = None
-        max_rank = None
+        rel_var = rank_var = count_var = None
+        max_rank = min_rank = None
+        subject_mode = False
+        in_search = False
         opts: dict = {}
         for t in ts:
             local = t.p.lex[len(BDS):]
             if local == "search":
                 query = t.o.lex
+            elif local == "searchInSearch":
+                query, in_search = t.o.lex, True
             elif local == "relevance":
                 rel_var = t.o.name
             elif local == "rank":
                 rank_var = t.o.name
+            elif local == "rangeCount":
+                count_var = t.o.name
             elif local == "minRelevance":
                 opts["min_relevance"] = float(t.o.lex)
+            elif local == "maxRelevance":
+                opts["max_relevance"] = float(t.o.lex)
+            elif local == "minRank":
+                min_rank = int(t.o.lex)
             elif local == "maxRank":
                 max_rank = int(t.o.lex)
             elif local == "matchAllTerms":
                 opts["match_all_terms"] = t.o.lex == "true"
+            elif local == "matchExact":
+                opts["match_exact"] = t.o.lex == "true"
+            elif local == "matchRegex":
+                opts["match_regex"] = t.o.lex
             elif local == "prefixMatch":
                 opts["prefix_match"] = t.o.lex == "true"
+            elif local == "subjectSearch":
+                subject_mode = t.o.lex == "true"
+            elif local == "searchTimeout":
+                # accepted for API parity; Spark has no per-operator
+                # deadline — the cluster-level kill switch is
+                # spark.sql.execution.* timeouts / job cancellation
+                pass
         if query is None:
             raise NotImplementedError(f"bds: group on ?{s_name} lacks bds:search")
-        # rank semantics are literal-level here, so maxRank must NOT
+
+        if in_search:
+            # "search in search": ?s restricted to subjects linking to a
+            # matched literal (SearchInSearchServiceFactory.java:89) —
+            # a distinct subject set, flat resource strings
+            subs = matching_subjects(
+                self.store.text_index(), query,
+                prefix_match=opts.get("prefix_match", False),
+            )
+            return Compiled(subs.select(F.col("s").alias(s_name)),
+                            frozenset([s_name]), frozenset([s_name]))
+
+        if subject_mode:
+            hits = ft_subject_search(
+                self.store.text_index(), query, with_rank=bool(rank_var),
+                min_rank=min_rank, max_rank=max_rank, **opts)
+            proj = [F.col("s").alias(s_name)]
+            names, flat = [s_name], frozenset([s_name])
+            if rel_var:
+                proj.append(SF.double_term(F.col("relevance")).alias(rel_var))
+                names.append(rel_var)
+            if rank_var:
+                proj.append(SF.integer_term(F.col("rank")).alias(rank_var))
+                names.append(rank_var)
+            return Compiled(hits.select(*proj), frozenset(names), flat)
+
+        # rank semantics are literal-level here, so rank slices must NOT
         # prune occurrences inside search() (an occurrence-level top-k
         # can starve distinct literals); rank only computed if needed
         hits = ft_search(self.store.text_index(), query, with_rank=False, **opts)
         # collapse occurrences → distinct matched literals (the reference
         # indexes literals once; ours indexes occurrences)
         lit = hits.groupBy("o_lex", "o_dt", "o_lang").agg(F.max("relevance").alias("relevance"))
-        if max_rank is not None or rank_var:
+
+        if count_var:
+            # fast range count: bind the hit count instead of the hits
+            # (BDS.RANGE_COUNT — defined only without exact/regex filters)
+            if opts.get("match_exact") or opts.get("match_regex"):
+                raise NotImplementedError("bds:rangeCount with matchExact/matchRegex")
+            cnt = lit.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+            return Compiled(
+                cnt.select(SF.integer_term(F.col("__n")).alias(count_var)),
+                frozenset([count_var]),
+            )
+
+        if max_rank is not None or min_rank is not None or rank_var:
             # rank on relevance quantized to 12 dp: scores that are
             # mathematically equal can differ by ulps depending on the
             # float summation order of a distributed aggregate, which
             # would make the rank ORDER nondeterministic run-to-run;
             # quantizing makes such pairs true ties, broken by o_lex
             lit = ranked(lit, [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex")], max_rank=max_rank)
+            if min_rank is not None:
+                lit = lit.where(F.col("rank") >= min_rank)
         proj = [
             mk_term_col(
                 kind=F.lit(KIND_LITERAL), lex=F.col("o_lex"),

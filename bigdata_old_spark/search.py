@@ -42,10 +42,13 @@ def tokenize(col):
 class TextIndex:
     """Inverted index + corpus statistics, computed once at build time
     (the reference persists docId counts inside FullTextIndex; keeping
-    n_docs here means bds:search never runs a pre-query count job)."""
+    n_docs here means bds:search never runs a pre-query count job).
+    n_subjects backs the subject-centric search (bds:subjectSearch,
+    reference AbstractTripleStore.Options.SUBJECT_CENTRIC_TEXT_INDEX)."""
 
     df: DataFrame
     n_docs: int
+    n_subjects: int = 1
 
 
 def build_text_index(statements: DataFrame, persist: bool = False) -> TextIndex:
@@ -67,8 +70,11 @@ def build_text_index(statements: DataFrame, persist: bool = False) -> TextIndex:
     )
     if persist:
         df = df.persist()
-    n_docs = df.select("s", "p", "o_lex").dropDuplicates().count() or 1
-    return TextIndex(df, n_docs)
+    stats = df.agg(
+        F.count_distinct("s", "p", "o_lex").alias("nd"),
+        F.count_distinct("s").alias("ns"),
+    ).collect()[0]
+    return TextIndex(df, stats["nd"] or 1, stats["ns"] or 1)
 
 
 def ranked(
@@ -103,29 +109,14 @@ def ranked(
     return df.withColumn("rank", (F.col("__off") + rn).cast("int")).drop("__band", "__off")
 
 
-def search(
-    index: TextIndex | DataFrame,
-    query: str,
-    match_all_terms: bool = False,
-    min_relevance: float | None = None,
-    max_rank: int | None = None,
-    prefix_match: bool = False,
-    with_rank: bool = True,
-) -> DataFrame:
-    """bds:search semantics: OR-match query tokens against the index,
-    score by normalized tf·idf cosine, rank by descending relevance.
-
-    Returns: s | p | o_lex | o_dt | o_lang | relevance [| rank]
-    (reference BDS.SEARCH/RELEVANCE/RANK/MATCH_ALL_TERMS/MIN_RELEVANCE/
-    MAX_RANK/PREFIX_MATCH — BDS.java:94-431).  ``rank`` is attached
-    only when requested (with_rank or max_rank) — computing it is an
-    extra pass the relational compiler usually doesn't need.
-    """
-    ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
+def _match_hits(ti, query: str, prefix_match: bool):
     q_tokens = [t for t in re.split(r"[^\w]+", query.lower()) if t]
+    # a trailing wildcard invokes prefix matching (reference BDS.java:324
+    # "prefix matching is now indicated using a wildcard")
+    if query.rstrip().endswith("*"):
+        prefix_match = True
     if not q_tokens:
         raise ValueError("empty search query")
-
     if prefix_match:
         cond = None
         for t in q_tokens:
@@ -134,6 +125,48 @@ def search(
         hits = ti.df.where(cond)
     else:
         hits = ti.df.where(F.col("token").isin(q_tokens))
+    return hits, q_tokens
+
+
+def _normalized(doc: DataFrame) -> DataFrame:
+    """relevance = score / max(score) in (0,1] like the reference's
+    cosine, via a broadcast one-row aggregate (no driver round-trip)."""
+    mx = doc.agg(F.max("score").alias("__mx"))
+    doc = doc.crossJoin(F.broadcast(mx))
+    return doc.withColumn(
+        "relevance",
+        F.col("score") / F.when(F.col("__mx") != 0, F.col("__mx")).otherwise(F.lit(1.0)),
+    ).drop("__mx")
+
+
+def search(
+    index: TextIndex | DataFrame,
+    query: str,
+    match_all_terms: bool = False,
+    min_relevance: float | None = None,
+    max_relevance: float | None = None,
+    min_rank: int | None = None,
+    max_rank: int | None = None,
+    match_exact: bool = False,
+    match_regex: str | None = None,
+    prefix_match: bool = False,
+    with_rank: bool = True,
+) -> DataFrame:
+    """bds:search semantics: OR-match query tokens against the index,
+    score by normalized tf·idf cosine, rank by descending relevance.
+
+    Returns: s | p | o_lex | o_dt | o_lang | relevance [| rank]
+    (reference BDS.SEARCH/RELEVANCE/RANK/MATCH_ALL_TERMS/MIN_RELEVANCE/
+    MAX_RELEVANCE/MIN_RANK/MAX_RANK/MATCH_EXACT/MATCH_REGEX/PREFIX_MATCH
+    — BDS.java:94-431).  ``rank`` is attached only when requested
+    (with_rank or a rank slice) — computing it is an extra pass the
+    relational compiler usually doesn't need.  matchExact requires the
+    literal to contain the query string verbatim; matchRegex applies a
+    regex to the literal — both filter before ranking, as the reference
+    filters hits at materialization.  minRank/maxRank page through the
+    ranked results."""
+    ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
+    hits, q_tokens = _match_hits(ti, query, prefix_match)
 
     # idf per token over the matched corpus
     docfreq = hits.groupBy("token").agg(F.count_distinct("s", "p", "o_lex").alias("df"))
@@ -146,33 +179,87 @@ def search(
     )
     if match_all_terms and not prefix_match:
         doc = doc.where(F.col("nmatched") >= len(set(q_tokens)))
-    # normalize to (0,1] like the reference's cosine: score / max score,
-    # via a broadcast one-row aggregate (no driver round-trip)
-    mx = doc.agg(F.max("score").alias("__mx"))
-    doc = doc.crossJoin(F.broadcast(mx))
-    doc = doc.withColumn(
-        "relevance",
-        F.col("score") / F.when(F.col("__mx") != 0, F.col("__mx")).otherwise(F.lit(1.0)),
-    ).drop("__mx")
-
-    # quantize relevance in the rank ORDER (not the output): equal-score
-    # docs can differ by ulps from distributed float summation order, and
-    # an un-quantized order would be nondeterministic between runs
-    order = [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex"), F.asc("s"), F.asc("p")]
-    if max_rank is not None:
-        doc = ranked(doc, order, max_rank=max_rank)
-    elif with_rank:
-        doc = ranked(doc, order)
+    doc = _normalized(doc)
+    if match_exact:
+        doc = doc.where(F.col("o_lex").contains(query))
+    if match_regex is not None:
+        doc = doc.where(F.col("o_lex").rlike(match_regex))
     if min_relevance is not None:
         doc = doc.where(F.col("relevance") >= min_relevance)
+    if max_relevance is not None:
+        doc = doc.where(F.col("relevance") <= max_relevance)
+
+    want_rank = with_rank or max_rank is not None or min_rank is not None
+    if want_rank:
+        # quantize relevance in the rank ORDER (not the output): equal-
+        # score docs can differ by ulps from distributed float summation
+        # order; un-quantized, the rank order is nondeterministic
+        order = [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex"), F.asc("s"), F.asc("p")]
+        doc = ranked(doc, order, max_rank=max_rank)
+        if min_rank is not None:
+            doc = doc.where(F.col("rank") >= min_rank)
     cols = ["s", "p", "o_lex", "o_dt", "o_lang", "relevance"]
-    if max_rank is not None or with_rank:
+    if want_rank:
         cols.append("rank")
     return doc.select(*cols)
+
+
+def subject_search(
+    index: TextIndex | DataFrame,
+    query: str,
+    match_all_terms: bool = False,
+    min_relevance: float | None = None,
+    max_relevance: float | None = None,
+    min_rank: int | None = None,
+    max_rank: int | None = None,
+    prefix_match: bool = False,
+    with_rank: bool = True,
+) -> DataFrame:
+    """Subject-centric search (bds:subjectSearch — the reference's
+    SUBJECT_CENTRIC_TEXT_INDEX, BDS.java:383): the scored document is
+    the SUBJECT, all its literals' token frequencies pooled, so hits
+    bind resources directly.  Returns: s | relevance [| rank]."""
+    ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
+    hits, q_tokens = _match_hits(ti, query, prefix_match)
+
+    subj = hits.groupBy("s", "token").agg(F.sum("tf").alias("tf"))
+    docfreq = subj.groupBy("token").agg(F.count_distinct("s").alias("df"))
+    subj = subj.join(F.broadcast(docfreq), "token")
+    subj = subj.withColumn("w", F.col("tf") * F.log2(F.lit(ti.n_subjects) / F.col("df")))
+    doc = subj.groupBy("s").agg(
+        F.sum("w").alias("score"),
+        F.count_distinct("token").alias("nmatched"),
+    )
+    if match_all_terms and not prefix_match:
+        doc = doc.where(F.col("nmatched") >= len(set(q_tokens)))
+    doc = _normalized(doc)
+    if min_relevance is not None:
+        doc = doc.where(F.col("relevance") >= min_relevance)
+    if max_relevance is not None:
+        doc = doc.where(F.col("relevance") <= max_relevance)
+    want_rank = with_rank or max_rank is not None or min_rank is not None
+    if want_rank:
+        doc = ranked(doc, [F.desc(F.round(F.col("relevance"), 12)), F.asc("s")], max_rank=max_rank)
+        if min_rank is not None:
+            doc = doc.where(F.col("rank") >= min_rank)
+    return doc.select(*(["s", "relevance"] + (["rank"] if want_rank else [])))
+
+
+def matching_subjects(index: TextIndex | DataFrame, query: str, prefix_match: bool = False) -> DataFrame:
+    """Subjects linking to at least one literal matched by the search —
+    the "search in search" filter set (reference
+    SearchInSearchServiceFactory.java:89: restrict ?s bindings to
+    subjects that link to a matched literal).  Returns: s (distinct)."""
+    ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
+    hits, _ = _match_hits(ti, query, prefix_match)
+    return hits.select("s").dropDuplicates()
 
 
 def build_text_index_from_df(df: DataFrame) -> TextIndex:
     """Wrap a bare inverted-index DataFrame (counts the corpus — prefer
     passing the TextIndex built by build_text_index)."""
-    n = df.select("s", "p", "o_lex").dropDuplicates().count() or 1
-    return TextIndex(df, n)
+    stats = df.agg(
+        F.count_distinct("s", "p", "o_lex").alias("nd"),
+        F.count_distinct("s").alias("ns"),
+    ).collect()[0]
+    return TextIndex(df, stats["nd"] or 1, stats["ns"] or 1)

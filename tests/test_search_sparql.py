@@ -54,3 +54,102 @@ def test_bds_match_all_and_rank(doc_store):
         }""")
     rows = df2.collect()
     assert len(rows) == 1 and rows[0]["r"]["lex"] == "1"
+
+
+def test_bds_min_rank_paging(doc_store):
+    """minRank+maxRank page through ranked results (BDS.java:161)."""
+    all_lits = [r["lit"]["lex"] for r in doc_store.query(P + """
+        SELECT ?lit ?r WHERE {
+          ?lit bds:search "quick dog" . ?lit bds:rank ?r .
+        } ORDER BY ?r""").collect()]
+    page2 = [r["lit"]["lex"] for r in doc_store.query(P + """
+        SELECT ?lit ?r WHERE {
+          ?lit bds:search "quick dog" .
+          ?lit bds:rank ?r .
+          ?lit bds:minRank "2" . ?lit bds:maxRank "3" .
+        } ORDER BY ?r""").collect()]
+    assert page2 == all_lits[1:3]
+
+
+def test_bds_max_relevance(doc_store):
+    df = doc_store.query(P + """
+        SELECT ?lit ?score WHERE {
+          ?lit bds:search "quick dog" .
+          ?lit bds:relevance ?score .
+          ?lit bds:maxRelevance "0.9" .
+        }""")
+    assert all(r["score"]["dbl"] <= 0.9 for r in df.collect())
+    assert len(df.collect()) >= 1
+
+
+def test_bds_match_exact(doc_store):
+    """matchExact: the literal must contain the query string verbatim."""
+    df = doc_store.query(P + """
+        SELECT ?lit WHERE {
+          ?lit bds:search "quick dog" .
+          ?lit bds:matchExact "true" .
+        }""")
+    assert [r["lit"]["lex"] for r in df.collect()] == ["quick quick dog"]
+
+
+def test_bds_match_regex(doc_store):
+    df = doc_store.query(P + """
+        SELECT ?lit WHERE {
+          ?lit bds:search "quick dog" .
+          ?lit bds:matchRegex "^the .*(fox|dog)" .
+        }""")
+    assert sorted(r["lit"]["lex"] for r in df.collect()) == [
+        "the lazy dog sleeps", "the quick brown fox"]
+
+
+def test_bds_subject_search(doc_store):
+    """subjectSearch binds matching SUBJECTS (subject-centric index)."""
+    df = doc_store.query(P + """
+        SELECT ?s ?score ?r WHERE {
+          ?s bds:search "quick dog" .
+          ?s bds:subjectSearch "true" .
+          ?s bds:relevance ?score .
+          ?s bds:rank ?r .
+        }""")
+    rows = {r["s"]["lex"]: (r["score"]["dbl"], int(r["r"]["lex"])) for r in df.collect()}
+    assert set(rows) == {EX + "d1", EX + "d2", EX + "d3"}
+    assert rows[EX + "d3"][0] == 1.0 and rows[EX + "d3"][1] == 1
+
+
+def test_bds_search_in_search(doc_store):
+    """searchInSearch restricts ?s to subjects linking a matched literal."""
+    df = doc_store.query(P + """
+        SELECT ?s ?lit WHERE {
+          ?s bds:searchInSearch "lazy" .
+          ?s rdfs:label ?lit .
+        }""")
+    rows = [(r["s"]["lex"], r["lit"]["lex"]) for r in df.collect()]
+    assert rows == [(EX + "d2", "the lazy dog sleeps")]
+
+
+def test_bds_range_count(doc_store):
+    """rangeCount binds the number of hits instead of the hits."""
+    df = doc_store.query(P + """
+        SELECT ?c WHERE {
+          ?lit bds:search "quick dog" .
+          ?lit bds:rangeCount ?c .
+        }""")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["c"]["lex"] == "3"
+
+
+def test_bds_wildcard_prefix(doc_store):
+    """A trailing wildcard turns on prefix matching (BDS.java:324)."""
+    df = doc_store.query(P + """
+        SELECT ?lit WHERE { ?lit bds:search "qui*" . }""")
+    assert sorted(r["lit"]["lex"] for r in df.collect()) == [
+        "quick quick dog", "the quick brown fox"]
+
+
+def test_bds_search_timeout_accepted(doc_store):
+    df = doc_store.query(P + """
+        SELECT ?lit WHERE {
+          ?lit bds:search "lazy" .
+          ?lit bds:searchTimeout "5000" .
+        }""")
+    assert [r["lit"]["lex"] for r in df.collect()] == ["the lazy dog sleeps"]
