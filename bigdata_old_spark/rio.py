@@ -323,6 +323,58 @@ def parse_ntriples_line(line: str):
     return (f"_:{s.lex}" if s.kind == 1 else s.lex, p.lex, o)
 
 
+def parse_nquads_line(line: str):
+    """One N-Quads line → (g|None, s, p, o Term) or None (blank/comment).
+    N-Quads = the N-Triples grammar + an optional graph label before the
+    terminating '.' (W3C N-Quads; reference rio/nquads/NQuadsParser)."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    p = _TurtleParser(line)
+    s_t = p.parse_subject()
+    p_t = p.parse_verb()
+    o_t = p.parse_object()
+    g_flat = None
+    if p.peek()[1] not in (".", None):
+        g_t = p.parse_term()
+        g_flat = f"_:{g_t.lex}" if g_t.kind == 1 else g_t.lex
+    if p.peek()[1] == ".":
+        p.next()
+    s_flat = f"_:{s_t.lex}" if s_t.kind == 1 else s_t.lex
+    return (g_flat, s_flat, p_t.lex, o_t)
+
+
+def load_nquads(spark, path: str):
+    """Distributed N-Quads load: text lines → statements DataFrame with
+    the graph column populated from the quad's graph label (NULL =
+    default graph).  Line-at-a-time like load_ntriples, so input splits
+    parse in parallel (reference rio/nquads/ + StatementBuffer.java:87)."""
+    from bigdata_old_spark.model import STATEMENTS_SCHEMA, STYPE_EXPLICIT
+
+    def part(lines):
+        for row in lines:
+            parsed = parse_nquads_line(row.value)
+            if parsed is None:
+                continue
+            g, s, p, o = parsed
+            kind, lex, dt, lang, num, dbl, dtm, b = o.as_row()
+            yield (g, s, p, kind, lex, dt, lang, num, dbl, dtm, b, STYPE_EXPLICIT)
+
+    lines = spark.read.text(path)
+    return spark.createDataFrame(lines.rdd.mapPartitions(part), STATEMENTS_SCHEMA)
+
+
+def parse_nquads(text: str) -> list[tuple]:
+    """N-Quads text → [(g_flat | None, s_flat, p_iri, o_term)] — the
+    same shape parse_trig returns, for round-trip checks."""
+    out = []
+    for line in text.splitlines():
+        parsed = parse_nquads_line(line)
+        if parsed is not None:
+            out.append(parsed)
+    return out
+
+
 def load_ntriples(spark, path: str, graph: str | None = None):
     """Distributed N-Triples load: text lines → statements DataFrame.
     Line-at-a-time (no cross-line state) → scales linearly with input

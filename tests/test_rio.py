@@ -188,3 +188,61 @@ def test_trig_store_roundtrip(spark):
         SELECT ?o WHERE { ex:a ex:p ?o }
     """).collect()
     assert {r["o"]["lex"] for r in default} == {EX + "default"}
+
+
+NQUADS = """\
+# comment line
+<http://example.org/a> <http://example.org/p> <http://example.org/b> <http://example.org/g1> .
+<http://example.org/a> <http://example.org/p> "lit"@en <http://example.org/g2> .
+<http://example.org/a> <http://example.org/n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:b1 <http://example.org/p> "plain" _:g3 .
+"""
+
+
+def test_nquads_roundtrip_vs_trig():
+    """The same quads through the N-Quads and TriG parsers agree."""
+    from bigdata_old_spark.rio import parse_nquads, parse_trig
+
+    nq = parse_nquads(NQUADS)
+    trig = parse_trig("""
+    @prefix ex: <http://example.org/> .
+    ex:g1 { ex:a ex:p ex:b . }
+    ex:g2 { ex:a ex:p "lit"@en . }
+    ex:a ex:n 42 .
+    _:g3 { _:b1 ex:p "plain" . }
+    """)
+    assert sorted(map(repr, nq)) == sorted(map(repr, trig))
+
+
+def test_nquads_line_forms():
+    from bigdata_old_spark.rio import parse_nquads_line
+
+    assert parse_nquads_line("# c") is None and parse_nquads_line("") is None
+    g, s, p, o = parse_nquads_line(
+        '<http://e/s> <http://e/p> "3.5"^^<http://www.w3.org/2001/XMLSchema#decimal> <http://e/g> .')
+    assert (g, s, p, o.lex) == ("http://e/g", "http://e/s", "http://e/p", "3.5")
+    g, s, p, o = parse_nquads_line("<http://e/s> <http://e/p> <http://e/o> .")
+    assert g is None and o.lex == "http://e/o"
+
+
+def test_load_nquads(spark, tmp_path):
+    from bigdata_old_spark.rio import load_nquads
+    from bigdata_old_spark.store import TripleStore
+
+    f = tmp_path / "data.nq"
+    f.write_text(NQUADS)
+    df = load_nquads(spark, str(f))
+    st = TripleStore(spark, df)
+    rows = st.query("""
+        PREFIX ex: <http://example.org/>
+        SELECT ?g ?o WHERE { GRAPH ?g { ex:a ex:p ?o } }
+    """).collect()
+    assert {(r["g"]["lex"], r["o"]["lex"]) for r in rows} == {
+        ("http://example.org/g1", "http://example.org/b"),
+        ("http://example.org/g2", "lit"),
+    }
+    default = st.query("""
+        PREFIX ex: <http://example.org/>
+        SELECT ?o WHERE { ex:a ex:n ?o }
+    """).collect()
+    assert [r["o"]["lex"] for r in default] == ["42"]
