@@ -37,6 +37,19 @@ OWL_INVERSE = OWL + "inverseOf"
 OWL_TRANSITIVE = OWL + "TransitiveProperty"
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
 OWL_SAMEAS = OWL + "sameAs"
+OWL_EQ_CLASS = OWL + "equivalentClass"
+OWL_EQ_PROP = OWL + "equivalentProperty"
+OWL_FUNCTIONAL = OWL + "FunctionalProperty"
+OWL_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
+
+_RDF_NS = RDF_TYPE[: -len("type")]
+RDF_PROPERTY = _RDF_NS + "Property"
+RDFS_CLASS = RDFS + "Class"
+RDFS_RESOURCE = RDFS + "Resource"
+RDFS_LITERAL = RDFS + "Literal"
+RDFS_MEMBER = RDFS + "member"
+RDFS_CMP = RDFS + "ContainerMembershipProperty"
+RDFS_DATATYPE = RDFS + "Datatype"
 
 
 def _iri_obj_triples(df: DataFrame, p: str) -> DataFrame:
@@ -50,14 +63,14 @@ def _iri_obj_triples(df: DataFrame, p: str) -> DataFrame:
 
 def _mk_triples(df: DataFrame, s="s", p=None, o=None) -> DataFrame:
     """Build inferred statements rows: object is always an IRI here
-    (the closure rules only derive IRI-object triples).  ``p`` may be a
-    literal IRI string or a Column."""
+    (the closure rules only derive IRI-object triples).  ``p`` and ``o``
+    may be column names or Columns."""
     return df.select(
         F.lit(None).cast("string").alias("g"),
         F.col(s).alias("s"),
         (F.lit(p) if isinstance(p, str) else p).cast("string").alias("p"),
         F.lit(KIND_IRI).cast("tinyint").alias("o_kind"),
-        F.col(o).alias("o_lex"),
+        (F.col(o) if isinstance(o, str) else o).alias("o_lex"),
         F.lit(None).cast("string").alias("o_dt"),
         F.lit(None).cast("string").alias("o_lang"),
         F.lit(None).cast("decimal(38,18)").alias("o_num"),
@@ -112,53 +125,140 @@ def _transitive_closure(rel: DataFrame) -> DataFrame:
         result = result.unionByName(new).localCheckpoint(eager=True)
 
 
-def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = True) -> DataFrame:
-    """Compute the RDFS closure; returns statements ∪ inferred.
+def _flip(rel: DataFrame) -> DataFrame:
+    return rel.select(F.col("o").alias("s"), F.col("s").alias("o"))
 
-    Rules (reference rule classes in bigdata-rdf/.../rules/):
-      rdfs5   (subPropertyOf transitivity)   RuleRdfs05.java
-      rdfs7   (property inheritance)         RuleRdfs07.java
-      rdfs11  (subClassOf transitivity)      RuleRdfs11.java
-      rdfs9   (type inheritance)             RuleRdfs09.java
+
+def _mk_triples_flat_obj(df: DataFrame, s="s", p=None, o="o") -> DataFrame:
+    """Inferred statements whose object arrives as a flat resource
+    string ("_:label" or IRI) — splits the bnode prefix back out."""
+    oc = F.col(o)
+    return df.select(
+        F.lit(None).cast("string").alias("g"),
+        F.col(s).alias("s"),
+        (F.lit(p) if isinstance(p, str) else p).cast("string").alias("p"),
+        F.when(oc.startswith("_:"), F.lit(1)).otherwise(F.lit(KIND_IRI)).cast("tinyint").alias("o_kind"),
+        F.when(oc.startswith("_:"), F.expr(f"substring({o}, 3)")).otherwise(oc).alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("decimal(38,18)").alias("o_num"),
+        F.lit(None).cast("double").alias("o_dbl"),
+        F.lit(None).cast("timestamp").alias("o_dtm"),
+        F.lit(None).cast("boolean").alias("o_bool"),
+        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+    )
+
+
+def _obj_flat() -> F.Column:
+    return (
+        F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
+        .otherwise(F.col("o_lex"))
+    )
+
+
+def rdfs_closure(
+    statements: DataFrame,
+    max_rounds: int = 50,
+    with_owl: bool = True,
+    forward_chain_rdfs4: bool = False,
+) -> DataFrame:
+    """Compute the RDFS(+OWL subset) closure; returns statements ∪ inferred.
+
+    Rules (reference rule classes in bigdata-rdf/.../rules/, run as the
+    FullClosure.java:17 program):
+      rdf1    (P used as predicate → P a rdf:Property)  RuleRdf01.java
       rdfs2   (domain typing)                RuleRdfs02.java
       rdfs3   (range typing)                 RuleRdfs03.java
+      rdfs4a/4b (everything a rdfs:Resource) RuleRdfs04a/b.java — OFF by
+              default, matching the reference's
+              InferenceEngine.Options.FORWARD_CHAIN_RDF_TYPE_RDFS_RESOURCE
+              default "false" (those entailments are backchained there);
+              enable with forward_chain_rdfs4=True
+      rdfs5   (subPropertyOf transitivity)   RuleRdfs05.java
+      rdfs6   (Property → reflexive subPropertyOf)  RuleRdfs06.java
+      rdfs7   (property inheritance)         RuleRdfs07.java
+      rdfs8   (Class ⊑ rdfs:Resource)        RuleRdfs08.java
+      rdfs9   (type inheritance)             RuleRdfs09.java
+      rdfs10  (Class → reflexive subClassOf) RuleRdfs10.java
+      rdfs11  (subClassOf transitivity)      RuleRdfs11.java
+      rdfs12  (ContainerMembershipProperty ⊑ rdfs:member)  RuleRdfs12.java
+      rdfs13  (Datatype ⊑ rdfs:Literal)      RuleRdfs13.java
     OWL subset (with_owl=True): inverseOf, SymmetricProperty,
-    TransitiveProperty, sameAs1/1b/2/3     RuleOwl*.java
+    TransitiveProperty, sameAs1/1b/2/3, equivalentClass,
+    equivalentProperty, FunctionalProperty, InverseFunctionalProperty
+    (RuleOwl*.java).
 
-    FastClosure's insight (FastClosure.java:28): compute the schema
-    closures (sub-class/property hierarchies) FIRST and once — they are
-    tiny — then apply the instance-level rules in one or two passes
-    instead of naive whole-DB iteration.
+    FastClosure's insight (FastClosure.java:28) is kept: the schema
+    closures (sub-class/property hierarchies) are tiny — they are
+    recomputed at the top of each round (new schema triples from
+    rdfs6/8/10/12/13 and the equivalence rules must feed the instance
+    rules) and broadcast into the instance-level joins.
     """
-    df = statements
-
-    # 1. schema closures (tiny; broadcast below)
-    subc = _transitive_closure(_iri_obj_triples(df, RDFS_SUBCLASS))
-    subp = _transitive_closure(_iri_obj_triples(df, RDFS_SUBPROP))
-    dom = _iri_obj_triples(df, RDFS_DOMAIN)
-    rng = _iri_obj_triples(df, RDFS_RANGE)
-    # OWL-subset schema (RuleOwlInverseOf / SymmetricProperty /
-    # TransitiveProperty — bigdata-rdf/.../rules/RuleOwl*.java)
-    inv = _iri_obj_triples(df, OWL_INVERSE)
-
-    def _typed_props(cls: str) -> DataFrame:
-        return (
-            df.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == cls))
-            .select("s")
-            .dropDuplicates()
-        )
-
-    sym = _typed_props(OWL_SYMMETRIC)
-    trans = _typed_props(OWL_TRANSITIVE)
-
-    out = df
-    # schema-closure triples themselves (rdfs5 / rdfs11 results)
-    out = _append_new(out, _mk_triples(subc, s="s", p=RDFS_SUBCLASS, o="o"))
-    out = _append_new(out, _mk_triples(subp, s="s", p=RDFS_SUBPROP, o="o"))
+    out = statements
 
     for _ in range(max_rounds):
         cur = out
         fresh = []
+
+        # -- schema closures (tiny; broadcast below) ----------------------
+        subc_in = _iri_obj_triples(cur, RDFS_SUBCLASS)
+        subp_in = _iri_obj_triples(cur, RDFS_SUBPROP)
+        if with_owl:
+            # owl:equivalentClass/equivalentProperty ⇒ mutual sub-
+            # sumption (RuleOwlEquivalentClass/Property.java); the
+            # flipped equivalence triples are also entailed
+            eqc = _iri_obj_triples(cur, OWL_EQ_CLASS)
+            eqp = _iri_obj_triples(cur, OWL_EQ_PROP)
+            subc_in = subc_in.unionByName(eqc).unionByName(_flip(eqc)).dropDuplicates()
+            subp_in = subp_in.unionByName(eqp).unionByName(_flip(eqp)).dropDuplicates()
+            fresh.append(_mk_triples(_flip(eqc), s="s", p=OWL_EQ_CLASS, o="o"))
+            fresh.append(_mk_triples(_flip(eqp), s="s", p=OWL_EQ_PROP, o="o"))
+        subc = _transitive_closure(subc_in)
+        subp = _transitive_closure(subp_in)
+        dom = _iri_obj_triples(cur, RDFS_DOMAIN)
+        rng = _iri_obj_triples(cur, RDFS_RANGE)
+        inv = _iri_obj_triples(cur, OWL_INVERSE)
+
+        def _typed_props(cls: str, _cur=cur) -> DataFrame:
+            return (
+                _cur.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == cls))
+                .select("s")
+                .dropDuplicates()
+            )
+
+        # schema-closure triples themselves (rdfs5 / rdfs11 results)
+        fresh.append(_mk_triples(subc, s="s", p=RDFS_SUBCLASS, o="o"))
+        fresh.append(_mk_triples(subp, s="s", p=RDFS_SUBPROP, o="o"))
+
+        # rdf1: (x P y) → (P a rdf:Property)
+        props = cur.select(F.col("p").alias("s")).dropDuplicates()
+        fresh.append(_mk_triples(props, s="s", p=RDF_TYPE, o=F.lit(RDF_PROPERTY)))
+
+        # rdfs6: (u a rdf:Property) → (u subPropertyOf u)
+        prop_t = _typed_props(RDF_PROPERTY)
+        fresh.append(_mk_triples(prop_t, s="s", p=RDFS_SUBPROP, o=F.col("s")))
+        # rdfs8 + rdfs10: (u a rdfs:Class) → (u ⊑ rdfs:Resource), (u ⊑ u)
+        cls_t = _typed_props(RDFS_CLASS)
+        fresh.append(_mk_triples(cls_t, s="s", p=RDFS_SUBCLASS, o=F.lit(RDFS_RESOURCE)))
+        fresh.append(_mk_triples(cls_t, s="s", p=RDFS_SUBCLASS, o=F.col("s")))
+        # rdfs12: (u a rdfs:ContainerMembershipProperty) → (u ⊑p rdfs:member)
+        fresh.append(_mk_triples(_typed_props(RDFS_CMP), s="s", p=RDFS_SUBPROP, o=F.lit(RDFS_MEMBER)))
+        # rdfs13: (u a rdfs:Datatype) → (u ⊑ rdfs:Literal)
+        fresh.append(_mk_triples(_typed_props(RDFS_DATATYPE), s="s", p=RDFS_SUBCLASS, o=F.lit(RDFS_LITERAL)))
+
+        if forward_chain_rdfs4:
+            # rdfs4a: (u P x) → (u a rdfs:Resource);
+            # rdfs4b: (u P v), v resource → (v a rdfs:Resource)
+            subs = cur.select(F.col("s")).dropDuplicates()
+            fresh.append(_mk_triples(subs, s="s", p=RDF_TYPE, o=F.lit(RDFS_RESOURCE)))
+            objs = (
+                cur.where(F.col("o_kind") != 2)
+                .select(_obj_flat().alias("v"))
+                .dropDuplicates()
+            )
+            fresh.append(_mk_triples_flat_obj(
+                objs.select(F.col("v").alias("s"), F.lit(RDFS_RESOURCE).alias("o")),
+                s="s", p=RDF_TYPE, o="o"))
 
         # rdfs7: (x P y), (P subPropertyOf Q) → (x Q y)
         j = cur.join(F.broadcast(subp.withColumnRenamed("s", "p")), "p")
@@ -183,15 +283,16 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
         # y resource → (y Q x); plus symmetric properties (RuleOwl
         # SymmetricProperty) as self-inverse
         if with_owl:
-            inv2 = inv.unionByName(inv.select(F.col("o").alias("s"), F.col("s").alias("o")))
+            sym = _typed_props(OWL_SYMMETRIC)
+            trans = _typed_props(OWL_TRANSITIVE)
+            inv2 = inv.unionByName(_flip(inv))
             sym2 = sym.select(F.col("s"), F.col("s").alias("o"))
             inv_all = inv2.unionByName(sym2).dropDuplicates()
             j = (
                 cur.where(F.col("o_kind") != 2)
                 .join(F.broadcast(inv_all.withColumnRenamed("s", "p")), "p")
                 .select(
-                    F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
-                    .otherwise(F.col("o_lex")).alias("ns"),
+                    _obj_flat().alias("ns"),
                     F.col("o").alias("np"),
                     F.col("s").alias("no"),
                 )
@@ -203,7 +304,7 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
             tp = cur.join(F.broadcast(trans.withColumnRenamed("s", "p")), "p").where(F.col("o_kind") != 2)
             l = tp.select(
                 F.col("s").alias("x"), F.col("p"),
-                F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex"))).otherwise(F.col("o_lex")).alias("y"),
+                _obj_flat().alias("y"),
             )
             r = tp.select(
                 F.col("s").alias("y"), F.col("p").alias("p2"),
@@ -211,6 +312,47 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
             )
             step = l.join(r, (l["y"] == r["y"]) & (l["p"] == r["p2"])).select("x", "p", "z")
             fresh.append(_mk_triples(step, s="x", p=F.col("p"), o="z"))
+
+            # owl:FunctionalProperty (RuleOwlFunctionalProperty.java:44):
+            # (p a FunctionalProperty), (a p b), (a p c), b ≠ c →
+            # (b sameAs c) — resource objects only (sameAs over literals
+            # is outside the reference's SPO-level rule too)
+            fp = _typed_props(OWL_FUNCTIONAL)
+            fpt = (
+                cur.where(F.col("o_kind") != 2)
+                .join(F.broadcast(fp.withColumnRenamed("s", "p")), "p")
+                .select("s", "p", _obj_flat().alias("b"))
+            )
+            pairs = (
+                fpt.alias("l")
+                .join(fpt.alias("r"), ["s", "p"])
+                .where(F.col("l.b") != F.col("r.b"))
+                .select(F.col("l.b").alias("s"), F.col("r.b").alias("o"))
+                .dropDuplicates()
+            )
+            fresh.append(_mk_triples_flat_obj(
+                pairs.select(F.col("s"), F.col("o")), s="s", p=OWL_SAMEAS, o="o"))
+
+            # owl:InverseFunctionalProperty (RuleOwlInverseFunctional
+            # Property.java): (p a IFP), (b p a), (c p a), b ≠ c →
+            # (b sameAs c)
+            ifp = _typed_props(OWL_INV_FUNCTIONAL)
+            ift = (
+                cur.join(F.broadcast(ifp.withColumnRenamed("s", "p")), "p")
+                .select(F.col("s").alias("b"), "p", "o_kind", "o_lex", "o_dt", "o_lang")
+            )
+            ipairs = (
+                ift.alias("l")
+                .join(ift.alias("r"), ["p", "o_kind", "o_lex"])
+                .where(
+                    F.col("l.b") != F.col("r.b"))
+                .where(F.col("l.o_dt").eqNullSafe(F.col("r.o_dt"))
+                       & F.col("l.o_lang").eqNullSafe(F.col("r.o_lang")))
+                .select(F.col("l.b").alias("s"), F.col("r.b").alias("o"))
+                .dropDuplicates()
+            )
+            fresh.append(_mk_triples_flat_obj(
+                ipairs.select(F.col("s"), F.col("o")), s="s", p=OWL_SAMEAS, o="o"))
 
             # owl:sameAs (RuleOwlSameAs1/1b/2/3).  The reference
             # backchains sameAs (inf/BackchainAccessPath.java); its
@@ -240,30 +382,12 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
                 # objects; replacement may itself be a bnode (_:label)
                 res = not_sa.where(F.col("o_kind") != 2).select(
                     "s", "p",
-                    F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
-                    .otherwise(F.col("o_lex"))
-                    .alias("oy"),
+                    _obj_flat().alias("oy"),
                 )
                 j3 = res.join(eqr, res["oy"] == eqr["__eq_s"]).select(
                     F.col("s"), F.col("p"), F.col("__eq_o").alias("oz")
                 )
-                fresh.append(
-                    j3.select(
-                        F.lit(None).cast("string").alias("g"),
-                        F.col("s"), F.col("p"),
-                        F.when(F.col("oz").startswith("_:"), F.lit(1))
-                        .otherwise(F.lit(0)).cast("tinyint").alias("o_kind"),
-                        F.when(F.col("oz").startswith("_:"), F.expr("substring(oz, 3)"))
-                        .otherwise(F.col("oz")).alias("o_lex"),
-                        F.lit(None).cast("string").alias("o_dt"),
-                        F.lit(None).cast("string").alias("o_lang"),
-                        F.lit(None).cast("decimal(38,18)").alias("o_num"),
-                        F.lit(None).cast("double").alias("o_dbl"),
-                        F.lit(None).cast("timestamp").alias("o_dtm"),
-                        F.lit(None).cast("boolean").alias("o_bool"),
-                        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
-                    ).select(*cur.columns)
-                )
+                fresh.append(_mk_triples_flat_obj(j3, s="s", p=F.col("p"), o="oz"))
 
         # rdfs3: (x P y), (P range C), y is IRI/bnode → (y type C)
         j = (
@@ -271,8 +395,7 @@ def rdfs_closure(statements: DataFrame, max_rounds: int = 50, with_owl: bool = T
             .join(F.broadcast(rng.withColumnRenamed("s", "p")), "p")
             .select(
                 # bnode objects carry a bare label; subjects use "_:label"
-                F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
-                .otherwise(F.col("o_lex")).alias("y"),
+                _obj_flat().alias("y"),
                 F.col("o").alias("cls"),
             )
         )

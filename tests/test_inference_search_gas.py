@@ -142,3 +142,95 @@ def test_pagerank(small_store):
     # Bryan is pointed at by both others → highest rank
     assert max(pr, key=pr.get) == EX + "Bryan"
     assert abs(sum(pr.values()) - 3.0) < 0.2
+
+
+def _closure_triples(spark, ttl, **kw):
+    st = TripleStore.from_turtle(spark, ttl)
+    closed = rdfs_closure(st.statements, **kw)
+    return {(r["s"], r["p"], r["o_lex"]) for r in closed.collect()}
+
+
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_OWL = "http://www.w3.org/2002/07/owl#"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rdfs6_8_10_12_13(spark):
+    got = _closure_triples(spark, """
+        @prefix : <http://example.org/> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        :p a rdf:Property .
+        :C a rdfs:Class .
+        :m a rdfs:ContainerMembershipProperty .
+        :D a rdfs:Datatype .
+    """)
+    E = "http://example.org/"
+    assert (E + "p", _RDFS + "subPropertyOf", E + "p") in got          # rdfs6
+    assert (E + "C", _RDFS + "subClassOf", _RDFS + "Resource") in got  # rdfs8
+    assert (E + "C", _RDFS + "subClassOf", E + "C") in got             # rdfs10
+    assert (E + "m", _RDFS + "subPropertyOf", _RDFS + "member") in got  # rdfs12
+    assert (E + "D", _RDFS + "subClassOf", _RDFS + "Literal") in got   # rdfs13
+
+
+def test_rdf1_property_typing(spark):
+    got = _closure_triples(spark, """
+        @prefix : <http://example.org/> .
+        :a :p :b .
+    """)
+    assert ("http://example.org/p", RDF_TYPE, _RDF + "Property") in got
+
+
+def test_rdfs4_off_by_default_and_flag(spark):
+    ttl = "@prefix : <http://example.org/> .  :a :p :b ."
+    E = "http://example.org/"
+    base = _closure_triples(spark, ttl)
+    assert (E + "a", RDF_TYPE, _RDFS + "Resource") not in base  # reference default
+    on = _closure_triples(spark, ttl, forward_chain_rdfs4=True)
+    assert (E + "a", RDF_TYPE, _RDFS + "Resource") in on   # rdfs4a
+    assert (E + "b", RDF_TYPE, _RDFS + "Resource") in on   # rdfs4b
+
+
+def test_owl_equivalent_class_property(spark):
+    got = _closure_triples(spark, """
+        @prefix : <http://example.org/> .
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        :A owl:equivalentClass :B .
+        :x a :A .  :y a :B .
+        :p owl:equivalentProperty :q .
+        :m :p :n .
+    """)
+    E = "http://example.org/"
+    assert (E + "x", RDF_TYPE, E + "B") in got   # via A ⊑ B
+    assert (E + "y", RDF_TYPE, E + "A") in got   # via B ⊑ A
+    assert (E + "B", _OWL + "equivalentClass", E + "A") in got  # symmetric
+    assert (E + "m", E + "q", E + "n") in got    # via p ⊑p q
+    assert (E + "A", _RDFS + "subClassOf", E + "B") in got
+
+
+def test_owl_functional_property(spark):
+    got = _closure_triples(spark, """
+        @prefix : <http://example.org/> .
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        :hasMother a owl:FunctionalProperty .
+        :child :hasMother :m1 .
+        :child :hasMother :m2 .
+    """)
+    E = "http://example.org/"
+    assert (E + "m1", _OWL + "sameAs", E + "m2") in got
+    assert (E + "m2", _OWL + "sameAs", E + "m1") in got
+
+
+def test_owl_inverse_functional_property(spark):
+    got = _closure_triples(spark, """
+        @prefix : <http://example.org/> .
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        :email a owl:InverseFunctionalProperty .
+        :alice :email "a@x.org" .
+        :al :email "a@x.org" .
+        :bob :email "b@x.org" .
+    """)
+    E = "http://example.org/"
+    assert (E + "alice", _OWL + "sameAs", E + "al") in got
+    assert not any(s == E + "bob" and p == _OWL + "sameAs" for s, p, _ in got)
