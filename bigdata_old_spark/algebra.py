@@ -255,6 +255,10 @@ class DescribeQuery:
     pattern: Optional[object] = None
     values: Optional[ValuesPat] = None
     dataset: Optional[Dataset] = None
+    # DescribeModeEnum.java:47-127: ForwardOneStep | CBD (forward +
+    # recursive bnode-object closure) | SymmetricOneStep (± one step) |
+    # SCBD (symmetric + bnode closure in both directions)
+    mode: str = "CBD"
 
 
 Query = U[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]

@@ -1545,10 +1545,20 @@ class QueryCompiler:
         return out.dropDuplicates()
 
     def compile_describe(self, q: A.DescribeQuery) -> DataFrame:
-        """DESCRIBE — CBD-lite: all statements whose subject is a
-        described resource (DescribeModeEnum.java:47; SCBD/CBD variants
-        collapse to forward properties in v1)."""
+        """DESCRIBE with the reference's mode set
+        (DescribeModeEnum.java:47-127):
+
+          ForwardOneStep    — statements whose subject is a described node
+          CBD               — ForwardOneStep + recursive closure through
+                              blank-node OBJECTS (Concise Bounded
+                              Description, the reference default)
+          SymmetricOneStep  — ForwardOneStep + statements whose OBJECT is
+                              a described node
+          SCBD              — SymmetricOneStep + bnode closure in both
+                              directions
+        """
         spark = self.store.spark
+        mode = getattr(q, "mode", "CBD") or "CBD"
         if q.pattern is not None and any(isinstance(t, A.Var) for t in q.terms):
             c = self.compile_pattern(q.pattern)
             var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
@@ -1562,7 +1572,42 @@ class QueryCompiler:
             rows = [(t.lex,) for t in q.terms if isinstance(t, Term)]
             nodes = spark.createDataFrame(rows, "__s string")
         stmts = self.store.statements
-        out = stmts.join(F.broadcast(nodes), stmts["s"] == nodes["__s"], "left_semi")
+        symmetric = mode in ("SymmetricOneStep", "SCBD")
+        bnode_closure = mode in ("CBD", "SCBD")
+
+        def step(ns: DataFrame) -> DataFrame:
+            fwd = stmts.join(F.broadcast(ns), stmts["s"] == ns["__s"], "left_semi")
+            if not symmetric:
+                return fwd
+            okey = (
+                F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
+                .otherwise(F.col("o_lex"))
+            )
+            rev = (
+                stmts.where(F.col("o_kind") != 2)
+                .join(F.broadcast(ns), okey == ns["__s"], "left_semi")
+            )
+            return fwd.unionByName(rev).dropDuplicates()
+
+        out = step(nodes)
+        if bnode_closure:
+            seen = nodes
+            frontier = nodes
+            for _ in range(32):  # bnode chains are shallow in practice
+                cur = step(frontier)
+                # bnodes reachable from the current slice: objects of
+                # forward statements, and (SCBD) subjects of reverse ones
+                bn = cur.where(F.col("o_kind") == 1).select(
+                    F.concat(F.lit("_:"), F.col("o_lex")).alias("__s"))
+                if symmetric:
+                    bn = bn.unionByName(
+                        cur.where(F.col("s").startswith("_:")).select(F.col("s").alias("__s")))
+                bn = bn.dropDuplicates()
+                frontier = bn.join(seen, "__s", "left_anti").localCheckpoint(eager=True)
+                if frontier.isEmpty():
+                    break
+                seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+                out = out.unionByName(step(frontier))
         return out.select(
             iri_col_to_term(F.col("s")).alias("s"),
             iri_col_to_term(F.col("p")).alias("p"),

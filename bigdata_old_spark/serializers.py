@@ -1,0 +1,297 @@
+"""SPARQL result serializers — the conneg surface.
+
+The reference negotiates SELECT/ASK result writers (SPARQL-XML/JSON/
+CSV/TSV) and RDF statement writers for CONSTRUCT/DESCRIBE via
+ConnegUtil (bigdata-sails/.../webapp/ConnegUtil.java) over the openrdf
+writer registries.  Here each row is serialized JVM-side with Catalyst
+string expressions — the per-row work distributes over the cluster and
+only the (small) protocol envelope is assembled on the driver.  Every
+writer also has a ``write_*`` file variant that streams the serialized
+lines with Spark's distributed text writer, never collecting.
+
+Formats: SPARQL Query Results XML / JSON / CSV / TSV (W3C specs), and
+N-Triples / N-Quads / Turtle for statement-shaped results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.model import (
+    KIND_BNODE,
+    KIND_IRI,
+    XSD_STRING,
+)
+
+# MIME → format key (ConnegUtil parity)
+MIME_FORMATS = {
+    "application/sparql-results+json": "json",
+    "application/json": "json",
+    "application/sparql-results+xml": "xml",
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/n-triples": "ntriples",
+    "text/plain": "ntriples",
+    "application/n-quads": "nquads",
+    "text/turtle": "turtle",
+}
+
+
+def _nt_escape(c: Column) -> Column:
+    """N-Triples / TSV literal escaping."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    c = F.regexp_replace(c, "\t", r"\\t")
+    return c
+
+
+def term_n3(t: Column) -> Column:
+    """Term struct → N-Triples serialization (Column form of Term.n3)."""
+    lit = F.concat(F.lit('"'), _nt_escape(t["lex"]), F.lit('"'))
+    lit = (
+        F.when(t["lang"].isNotNull(), F.concat(lit, F.lit("@"), t["lang"]))
+        .when(
+            t["dt"].isNotNull() & (t["dt"] != XSD_STRING),
+            F.concat(lit, F.lit("^^<"), t["dt"], F.lit(">")),
+        )
+        .otherwise(lit)
+    )
+    return (
+        F.when(t.isNull(), F.lit(None))
+        .when(t["kind"] == KIND_IRI, F.concat(F.lit("<"), t["lex"], F.lit(">")))
+        .when(t["kind"] == KIND_BNODE, F.concat(F.lit("_:"), t["lex"]))
+        .otherwise(lit)
+    )
+
+
+def _xml_escape(c: Column) -> Column:
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# SELECT results
+# ---------------------------------------------------------------------------
+
+def _term_cols(df: DataFrame) -> list[str]:
+    """Projected term-struct columns, in projection order."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.StructType) and not f.name.startswith("__")
+    ]
+
+
+def json_rows(df: DataFrame) -> DataFrame:
+    """One W3C SPARQL-JSON binding object per solution (column `row`)."""
+    cols = _term_cols(df)
+    bindings = []
+    for v in cols:
+        t = F.col(v)
+        obj = F.struct(
+            F.when(t["kind"] == KIND_IRI, F.lit("uri"))
+            .when(t["kind"] == KIND_BNODE, F.lit("bnode"))
+            .otherwise(F.lit("literal")).alias("type"),
+            t["lex"].alias("value"),
+            # lang-tagged literals carry only xml:lang (rdf:langString
+            # is implied in RDF 1.1, not serialized)
+            F.when(
+                (t["kind"] != KIND_IRI) & (t["kind"] != KIND_BNODE)
+                & t["lang"].isNull()
+                & t["dt"].isNotNull() & (t["dt"] != XSD_STRING),
+                t["dt"],
+            ).alias("datatype"),
+            t["lang"].alias("xml:lang"),
+        )
+        bindings.append(F.when(t.isNotNull(), obj).alias(v))
+    return df.select(F.to_json(F.struct(*bindings)).alias("row"))
+
+
+def sparql_json(df: DataFrame) -> str:
+    """Full application/sparql-results+json document (driver assembles
+    the envelope; each binding object was serialized JVM-side)."""
+    cols = _term_cols(df)
+    import json as _json
+
+    head = _json.dumps({"head": {"vars": cols}})[:-1]
+    rows = [r["row"] for r in json_rows(df).collect()]
+    return head + ', "results": {"bindings": [' + ", ".join(rows) + "]}}"
+
+
+def xml_rows(df: DataFrame) -> DataFrame:
+    """One `<result>…</result>` element per solution (column `row`)."""
+    cols = _term_cols(df)
+    parts: list[Column] = [F.lit("  <result>")]
+    for v in cols:
+        t = F.col(v)
+        lex = _xml_escape(t["lex"])
+        body = (
+            F.when(t["kind"] == KIND_IRI, F.concat(F.lit("<uri>"), lex, F.lit("</uri>")))
+            .when(t["kind"] == KIND_BNODE, F.concat(F.lit("<bnode>"), lex, F.lit("</bnode>")))
+            .otherwise(F.concat(
+                F.lit("<literal"),
+                F.coalesce(F.concat(F.lit(' xml:lang="'), t["lang"], F.lit('"')), F.lit("")),
+                F.coalesce(
+                    F.when(t["lang"].isNull() & (t["dt"] != XSD_STRING),
+                           F.concat(F.lit(' datatype="'), _xml_escape(t["dt"]), F.lit('"'))),
+                    F.lit(""),
+                ),
+                F.lit(">"), lex, F.lit("</literal>"),
+            ))
+        )
+        parts.append(
+            F.coalesce(
+                F.when(t.isNotNull(), F.concat(
+                    F.lit(f'\n    <binding name="{v}">'), body, F.lit("</binding>"))),
+                F.lit(""),
+            )
+        )
+    parts.append(F.lit("\n  </result>"))
+    return df.select(F.concat(*parts).alias("row"))
+
+
+def sparql_xml(df: DataFrame) -> str:
+    cols = _term_cols(df)
+    head = (
+        '<?xml version="1.0"?>\n'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+        "<head>\n"
+        + "".join(f'  <variable name="{v}"/>\n' for v in cols)
+        + "</head>\n<results>\n"
+    )
+    rows = [r["row"] for r in xml_rows(df).collect()]
+    return head + "\n".join(rows) + "\n</results>\n</sparql>\n"
+
+
+def _csv_field(t: Column) -> Column:
+    """W3C SPARQL-CSV: plain lexical value, RFC4180-quoted when needed."""
+    lex = F.coalesce(t["lex"], F.lit(""))
+    needs = lex.contains(",") | lex.contains('"') | lex.contains("\n") | lex.contains("\r")
+    quoted = F.concat(F.lit('"'), F.regexp_replace(lex, '"', '""'), F.lit('"'))
+    return F.when(needs, quoted).otherwise(lex)
+
+
+def csv_rows(df: DataFrame) -> DataFrame:
+    cols = _term_cols(df)
+    return df.select(F.concat_ws(",", *[_csv_field(F.col(v)) for v in cols]).alias("row"))
+
+
+def sparql_csv(df: DataFrame) -> str:
+    cols = _term_cols(df)
+    rows = [r["row"] for r in csv_rows(df).collect()]
+    return "\r\n".join([",".join(cols)] + rows) + "\r\n"
+
+
+def tsv_rows(df: DataFrame) -> DataFrame:
+    """W3C SPARQL-TSV: full term syntax per field."""
+    cols = _term_cols(df)
+    return df.select(
+        F.concat_ws("\t", *[F.coalesce(term_n3(F.col(v)), F.lit("")) for v in cols]).alias("row")
+    )
+
+
+def sparql_tsv(df: DataFrame) -> str:
+    cols = _term_cols(df)
+    rows = [r["row"] for r in tsv_rows(df).collect()]
+    return "\n".join(["\t".join("?" + v for v in cols)] + rows) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# Statement-shaped results (CONSTRUCT / DESCRIBE) → RDF writers
+# ---------------------------------------------------------------------------
+
+def ntriples_rows(df: DataFrame) -> DataFrame:
+    """Statements (s/p/o term structs) → one N-Triples line per row."""
+    return df.select(
+        F.concat_ws(" ", term_n3(F.col("s")), term_n3(F.col("p")), term_n3(F.col("o")), F.lit(".")).alias("row")
+    )
+
+
+def ntriples(df: DataFrame) -> str:
+    return "\n".join(r["row"] for r in ntriples_rows(df).collect()) + "\n"
+
+
+def nquads_rows(df: DataFrame) -> DataFrame:
+    """Quads (g/s/p/o; g a term struct or NULL) → N-Quads lines."""
+    g = F.col("g")
+    return df.select(
+        F.concat_ws(
+            " ",
+            term_n3(F.col("s")), term_n3(F.col("p")), term_n3(F.col("o")),
+            *([F.when(g.isNotNull(), term_n3(g))] if "g" in df.columns else []),
+            F.lit("."),
+        ).alias("row")
+    )
+
+
+def turtle(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+    """Turtle with prefix abbreviation and subject grouping — a
+    driver-side pretty writer for protocol responses (for bulk export
+    use write_results with ntriples: it streams)."""
+    prefixes = prefixes or {}
+
+    def abbrev(n3: str) -> str:
+        if n3.startswith("<") and n3.endswith(">"):
+            iri = n3[1:-1]
+            for pfx, ns in prefixes.items():
+                if iri.startswith(ns) and "/" not in iri[len(ns):] and "#" not in iri[len(ns):]:
+                    return f"{pfx}:{iri[len(ns):]}"
+        return n3
+
+    rows = [
+        (abbrev(r["s"]), abbrev(r["p"]), abbrev(r["o"]))
+        for r in df.select(
+            term_n3(F.col("s")).alias("s"),
+            term_n3(F.col("p")).alias("p"),
+            term_n3(F.col("o")).alias("o"),
+        ).collect()
+    ]
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in prefixes.items()]
+    if out:
+        out.append("")
+    by_subj: dict[str, list[tuple[str, str]]] = {}
+    for s, p, o in rows:
+        by_subj.setdefault(s, []).append((p, o))
+    for s, pos in by_subj.items():
+        body = " ;\n    ".join(f"{p} {o}" for p, o in pos)
+        out.append(f"{s} {body} .")
+    return "\n".join(out) + "\n"
+
+
+_ROW_WRITERS = {
+    "json": json_rows,
+    "xml": xml_rows,
+    "csv": csv_rows,
+    "tsv": tsv_rows,
+    "ntriples": ntriples_rows,
+    "nquads": nquads_rows,
+}
+
+_STRING_WRITERS = {
+    "json": sparql_json,
+    "xml": sparql_xml,
+    "csv": sparql_csv,
+    "tsv": sparql_tsv,
+    "ntriples": ntriples,
+    "turtle": turtle,
+}
+
+
+def serialize(df: DataFrame, format: str = "json") -> str:
+    """One-document serialization (the SPARQL-protocol response body).
+    ``format`` is a key of _STRING_WRITERS or a MIME type."""
+    fmt = MIME_FORMATS.get(format, format)
+    return _STRING_WRITERS[fmt](df)
+
+
+def write_results(df: DataFrame, path: str, format: str = "json") -> None:
+    """Distributed file sink: each partition writes its serialized rows
+    with Spark's text writer — no driver collect, any scale."""
+    fmt = MIME_FORMATS.get(format, format)
+    _ROW_WRITERS[fmt](df).write.mode("overwrite").text(path)

@@ -110,15 +110,28 @@ class TripleStore:
         return self._text_index
 
     # -- query ---------------------------------------------------------------
-    def query(self, sparql: str) -> DataFrame:
+    def query(self, sparql: str, describe_mode: str | None = None) -> DataFrame:
         """SPARQL string → result DataFrame (term-struct columns for
         SELECT; s/p/o term structs for CONSTRUCT/DESCRIBE; one boolean
-        row for ASK)."""
+        row for ASK).  ``describe_mode`` picks the DESCRIBE algorithm
+        (ForwardOneStep | CBD | SymmetricOneStep | SCBD — the
+        reference's DescribeModeEnum; default CBD)."""
+        from bigdata_old_spark import algebra as A
         from bigdata_old_spark.compiler import QueryCompiler
         from bigdata_old_spark.parser import parse_query
 
         q = parse_query(sparql)
+        if describe_mode is not None and isinstance(q, A.DescribeQuery):
+            q.mode = describe_mode
         return QueryCompiler(self).compile_query(q)
+
+    def serialize(self, sparql: str, format: str = "json") -> str:
+        """Run a query and serialize the result for the SPARQL protocol
+        (format: json | xml | csv | tsv | ntriples | turtle, or a MIME
+        type — serializers.MIME_FORMATS)."""
+        from bigdata_old_spark import serializers
+
+        return serializers.serialize(self.query(sparql), format)
 
     def query_algebra(self, q) -> DataFrame:
         from bigdata_old_spark.compiler import QueryCompiler

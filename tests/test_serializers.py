@@ -1,0 +1,135 @@
+"""SPARQL result serializers (ConnegUtil writer parity) and DESCRIBE
+modes (DescribeModeEnum: ForwardOneStep/CBD/SymmetricOneStep/SCBD)."""
+
+import json
+
+import pytest
+
+from bigdata_old_spark.store import TripleStore
+
+P = "PREFIX : <http://example.org/>\nPREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n"
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def st(spark):
+    return TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        :a rdfs:label "Ann" ; :age 42 ; :knows :b .
+        :b rdfs:label "Bob, \\"the builder\\""@en .
+    """).persist()
+
+
+def _sel(st):
+    return st.query(P + "SELECT ?s ?o WHERE { ?s rdfs:label ?o } ORDER BY ?o")
+
+
+def test_sparql_json(st):
+    doc = json.loads(st.serialize(P + "SELECT ?s ?o WHERE { ?s rdfs:label ?o } ORDER BY ?o"))
+    assert doc["head"]["vars"] == ["s", "o"]
+    b = doc["results"]["bindings"]
+    assert len(b) == 2
+    assert b[0] == {"s": {"type": "uri", "value": EX + "a"},
+                    "o": {"type": "literal", "value": "Ann"}}
+    assert b[1]["o"]["xml:lang"] == "en"
+
+
+def test_sparql_json_typed_and_unbound(st):
+    doc = json.loads(st.serialize(P + """
+        SELECT ?s ?age WHERE { ?s rdfs:label ?l . OPTIONAL { ?s :age ?age } } ORDER BY ?l"""))
+    b = doc["results"]["bindings"]
+    assert b[0]["age"]["datatype"] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert "age" not in b[1]  # unbound var omitted per spec
+
+
+def test_sparql_xml(st):
+    xml = st.serialize(P + "SELECT ?s ?o WHERE { ?s rdfs:label ?o } ORDER BY ?o", "xml")
+    assert xml.startswith('<?xml version="1.0"?>')
+    assert '<variable name="s"/>' in xml and '<variable name="o"/>' in xml
+    assert f"<uri>{EX}a</uri>" in xml
+    assert '<literal xml:lang="en">Bob, &quot;' not in xml  # quotes are legal in text
+    assert '<literal xml:lang="en">' in xml
+
+
+def test_sparql_csv_quoting(st):
+    csv = st.serialize(P + "SELECT ?o WHERE { ?s rdfs:label ?o } ORDER BY ?o", "text/csv")
+    lines = csv.strip().split("\r\n")
+    assert lines[0] == "o"
+    assert lines[1] == "Ann"
+    assert lines[2] == '"Bob, ""the builder"""'  # RFC4180 quoting
+
+
+def test_sparql_tsv_terms(st):
+    tsv = st.serialize(P + "SELECT ?s ?o WHERE { ?s rdfs:label ?o } ORDER BY ?o", "tsv")
+    lines = tsv.strip().split("\n")
+    assert lines[0] == "?s\t?o"
+    assert lines[1] == f'<{EX}a>\t"Ann"'
+    assert lines[2].endswith('"@en')
+
+
+def test_construct_ntriples_and_turtle(st):
+    q = P + "CONSTRUCT { ?s :label2 ?o } WHERE { ?s rdfs:label ?o }"
+    nt = st.serialize(q, "ntriples")
+    assert f"<{EX}a> <{EX}label2> \"Ann\" ." in nt
+    assert '\\"the builder\\"' in nt  # N-Triples escaping
+    ttl = st.serialize(q, "turtle")
+    # turtle() needs prefixes passed explicitly; default bare form
+    assert f"<{EX}a> <{EX}label2> \"Ann\" ." in ttl
+
+
+def test_write_results_distributed(st, tmp_path):
+    from bigdata_old_spark.serializers import write_results
+
+    out = str(tmp_path / "res")
+    write_results(_sel(st), out, "tsv")
+    text = st.spark.read.text(out).collect()
+    assert len(text) == 2
+
+
+BNODE_TTL = """
+@prefix : <http://example.org/> .
+:x :addr [ :city "Springfield" ; :geo [ :lat 1.5 ] ] .
+:y :link :x .
+:x :name "X" .
+"""
+
+
+@pytest.fixture(scope="module")
+def bst(spark):
+    return TripleStore.from_turtle(spark, BNODE_TTL).persist()
+
+
+def _lexes(df):
+    return {(r["s"]["lex"] if r["s"]["kind"] != 1 else "_b",
+             r["p"]["lex"].rsplit("/")[-1]) for r in df.collect()}
+
+
+def test_describe_forward_one_step(bst):
+    df = bst.query("DESCRIBE <http://example.org/x>", describe_mode="ForwardOneStep")
+    got = _lexes(df)
+    assert (EX + "x", "addr") in got and (EX + "x", "name") in got
+    assert not any(s == "_b" for s, _ in got)  # no bnode recursion
+
+
+def test_describe_cbd_bnode_closure(bst):
+    df = bst.query("DESCRIBE <http://example.org/x>")  # default CBD
+    got = _lexes(df)
+    assert (EX + "x", "addr") in got
+    assert ("_b", "city") in got and ("_b", "geo") in got
+    assert ("_b", "lat") in got  # nested bnode closed over
+    assert not any(p == "link" for _, p in got)  # no reverse arcs in CBD
+
+
+def test_describe_scbd_symmetric(bst):
+    df = bst.query("DESCRIBE <http://example.org/x>", describe_mode="SCBD")
+    got = _lexes(df)
+    assert (EX + "y", "link") in got  # reverse arc included
+    assert ("_b", "lat") in got
+
+
+def test_describe_symmetric_one_step(bst):
+    df = bst.query("DESCRIBE <http://example.org/x>", describe_mode="SymmetricOneStep")
+    got = _lexes(df)
+    assert (EX + "y", "link") in got
+    assert ("_b", "lat") not in got  # no bnode closure
