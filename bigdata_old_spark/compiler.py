@@ -1431,18 +1431,27 @@ class QueryCompiler:
         if n in ("SUM", "AVG"):
             srank = self._static_rank(node.expr)
             if srank is not None and not node.distinct:
-                # statically-typed input → single-column aggregate
+                # statically-typed input → single-column aggregate.  The
+                # value column can still be NULL on a BOUND input (a
+                # failed cast, e.g. xsd:decimal("abc")) — that is a type
+                # error and must poison the whole aggregate to unbound,
+                # exactly like the dynamic path (reference SUM.java:53).
+                vcol = col["num"] if srank <= 1 else col["dbl"]
+                err = F.max(F.when(col.isNotNull() & vcol.isNull(), 1).otherwise(0))
                 if srank <= 1:
                     s, cnt = F.sum(col["num"]), F.count(col["num"])
                     if n == "AVG":
                         v = (s / F.when(cnt != 0, cnt)).cast("decimal(38,18)")
-                        return F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.decimal_term(v))
-                    if srank == 0:
-                        return SF.integer_term(F.coalesce(s, F.lit(0)))
-                    return F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.decimal_term(s))
-                s, cnt = F.sum(col["dbl"]), F.count(col["dbl"])
-                v = s / F.when(cnt != 0, cnt) if n == "AVG" else s
-                return F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.double_term(v))
+                        ok = F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.decimal_term(v))
+                    elif srank == 0:
+                        ok = SF.integer_term(F.coalesce(s, F.lit(0)))
+                    else:
+                        ok = F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.decimal_term(s))
+                else:
+                    s, cnt = F.sum(col["dbl"]), F.count(col["dbl"])
+                    v = s / F.when(cnt != 0, cnt) if n == "AVG" else s
+                    ok = F.when(cnt == 0, SF.integer_term(F.lit(0))).otherwise(SF.double_term(v))
+                return F.when(err == 1, SF.null_term()).otherwise(ok)
             err = F.max(F.when(col.isNotNull() & col["dbl"].isNull(), 1).otherwise(0))
             rank = F.max(SF._num_rank(col))
             if node.distinct:

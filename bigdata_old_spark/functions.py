@@ -622,6 +622,10 @@ def xsd_cast(dt_iri: str, t: Column) -> Column:
     lex = t["lex"]
     if local in ("integer", "int", "long", "short", "byte"):
         v = F.coalesce(t["num"], t["dbl"].cast(DECIMAL_T), F.when(t["bool"], 1).otherwise(F.when(~t["bool"], 0)).cast(DECIMAL_T), F.when(lex.rlike(r"^[+-]?\d+$"), lex.cast(DECIMAL_T)))
+        # XPath casting truncates toward zero (xsd:integer(3.7) = 3,
+        # xsd:integer(-3.7) = -3); a bare decimal cast would round
+        # HALF_UP.  floor/ceil by sign implements the truncation.
+        v = F.when(v < 0, F.ceil(v)).otherwise(F.floor(v))
         return F.when(t["kind"] == KIND_LITERAL, integer_term(v.cast(T.DecimalType(38, 0))))
     if local == "decimal":
         v = F.coalesce(t["num"], t["dbl"].cast(DECIMAL_T), F.when(lex.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)$"), lex.cast(DECIMAL_T)))

@@ -183,3 +183,53 @@ def test_sameterm_vs_equals(agg_store):
           FILTER(?x = ?y) FILTER(!SAMETERM(?x, ?y)) }""")
     rows = [(r["x"]["lex"], r["y"]["lex"]) for r in df.collect()]
     assert rows == [("2", "2.0")]
+
+
+def test_xsd_integer_truncates_toward_zero(spark):
+    """XPath casting rule: xsd:integer(3.7) = 3, xsd:integer(-3.7) = -3
+    (not HALF_UP rounding)."""
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://ex/> .
+        :a :v 3.7 . :b :v -3.7 . :c :v 2.5 .
+    """)
+    df = st.query("""
+        PREFIX : <http://ex/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s (xsd:integer(?v) AS ?i) WHERE { ?s :v ?v }""")
+    got = {r["s"]["lex"]: r["i"]["lex"] for r in df.collect()}
+    assert got == {"http://ex/a": "3", "http://ex/b": "-3", "http://ex/c": "2"}
+
+
+def test_sum_poisons_on_non_numeric(spark):
+    """SUM over a group containing a bound non-numeric literal goes
+    unbound (sticky error, SUM.java:53) — on both the dynamic path
+    (plain var) and the static fast path (typed constructor whose
+    input rides through).  A failed CAST yields an expression error
+    (NULL term), which this engine treats as an absent value in
+    aggregates — consistently on both paths."""
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://ex/> .
+        :g1 :v 1.0 . :g1x :v 2.0 .
+        :bad :w 1.0 . :badx :w "oops" .
+    """)
+    ok = st.query("""
+        PREFIX : <http://ex/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT (SUM(xsd:decimal(?v)) AS ?t) WHERE { ?s :v ?v }""").collect()
+    assert ok[0]["t"] is not None and float(ok[0]["t"]["lex"]) == 3.0
+    # dynamic path: bound non-numeric poisons
+    bad = st.query("""
+        PREFIX : <http://ex/>
+        SELECT (SUM(?w) AS ?t) WHERE { ?s :w ?w }""").collect()
+    assert bad[0]["t"] is None
+    # static path: cast failure = expression error = NULL term → the row
+    # is absent from the aggregate, same as the dynamic path would do
+    skipped = st.query("""
+        PREFIX : <http://ex/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT (SUM(xsd:decimal(?w)) AS ?t) WHERE { ?s :w ?w }""").collect()
+    assert skipped[0]["t"] is not None and float(skipped[0]["t"]["lex"]) == 1.0
