@@ -100,9 +100,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels
 
 
-def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20, tol: float | None = None) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    check_every: int = 3,
+) -> DataFrame:
     """Synchronous PageRank, damping 0.85 (reference PR.java:78).
-    Returns: v | rank.  Ranks sum to ~N (GraphX convention)."""
+    Returns: v | rank.  Ranks sum to ~N (GraphX convention).
+
+    Convergence (``tol``): the previous rank rides the iteration as a
+    column, so the L1 delta is a one-row aggregate over the already-
+    checkpointed result — no extra self-join — and it is only read on
+    the driver every ``check_every`` rounds."""
     edges = edges.localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -114,28 +125,27 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20, tol: f
     ranks = verts.withColumn("rank", F.lit(1.0))
     for i in range(max_iter):
         contrib = (
-            ranks.join(outdeg, "v")
+            ranks.select("v", "rank").join(outdeg, "v")
             .join(edges, F.col("v") == edges["src"])
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
         )
+        prev = ranks.select("v", F.col("rank").alias("__prev"))
         new_ranks = (
             verts.join(contrib, "v", "left")
             .select("v", (F.lit(1 - damping) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"))
+            .join(prev, "v", "left")
             .localCheckpoint(eager=True)
         )
-        if tol is not None:
-            delta = (
-                new_ranks.alias("n").join(ranks.alias("o"), "v")
-                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .collect()[0][0]
-            )
-            ranks = new_ranks
+        ranks = new_ranks
+        if tol is not None and (i % check_every == check_every - 1 or i == max_iter - 1):
+            # one-row agg over checkpointed data (no join recompute)
+            delta = new_ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.coalesce(F.col("__prev"), F.lit(0.0))))
+            ).collect()[0][0]
             if delta is not None and delta < tol:
                 break
-        else:
-            ranks = new_ranks
-    return ranks
+    return ranks.select("v", "rank")
 
 
 def gas_iterate(state: DataFrame, edges: DataFrame, round_fn, max_iter: int = 50) -> DataFrame:

@@ -326,6 +326,8 @@ class QueryCompiler:
         # analog of the reference's SolutionSetManager + named solution
         # set hash index (JVMNamedSubqueryOp.java:76)
         self._named_sets: dict[str, Compiled] = {}
+        # query hints collected from hint: triples (ASTQueryHintOptimizer)
+        self.hints: dict[str, str] = {}
 
     # -- pattern dispatch ---------------------------------------------------
     def compile_pattern(self, node, graph=None) -> Compiled:
@@ -477,11 +479,28 @@ class QueryCompiler:
         out = df.select(*[c.alias(v) for v, c in proj.items()])
         return Compiled(out, frozenset(proj), frozenset(flat_vars))
 
+    #: query-hint namespace (reference ASTQueryHintOptimizer.java; the
+    #: hint: triples are stripped from the pattern and recorded —
+    #: hint:optimizer "None" pins syntactic join order, hint:describeMode
+    #: selects the DESCRIBE algorithm, anything else is accepted inert
+    #: (AQE replaces the reference's runtime hints).
+    HINTS_NS = "http://www.bigdata.com/queryHints#"
+
+    def _strip_hints(self, triples: list) -> list:
+        out = []
+        for t in triples:
+            if isinstance(t.p, Term) and t.p.lex.startswith(self.HINTS_NS):
+                self.hints[t.p.lex[len(self.HINTS_NS):]] = getattr(t.o, "lex", None)
+            else:
+                out.append(t)
+        return out
+
     def compile_bgp(self, node: A.BGP, graph, ranges: dict | None = None) -> Compiled:
-        if not node.triples:
+        triples_in = self._strip_hints(node.triples)
+        if not triples_in:
             # the empty group — one solution binding nothing
             return Compiled(self.store.spark.range(1).select(F.lit(1).alias("__unit")), frozenset())
-        search_units, triples = self._split_search_groups(node.triples)
+        search_units, triples = self._split_search_groups(triples_in)
         if not triples and len(search_units) == 1:
             return search_units[0]
         star_groups, rest = self._split_star_groups(triples)
@@ -729,7 +748,15 @@ class QueryCompiler:
         estimates): start from the smallest estimated pattern, always
         join a pattern sharing a variable with what's bound so far
         (avoids cartesians), smallest next.  AQE then fixes residual
-        misestimates at runtime (broadcast conversion, skew split)."""
+        misestimates at runtime (broadcast conversion, skew split).
+
+        hint:optimizer "None" pins the syntactic order (the reference's
+        join-order escape hatch, ASTQueryHintOptimizer)."""
+        if self.hints.get("optimizer") == "None":
+            acc = units[0]
+            for u in units[1:]:
+                acc = self.join(acc, u)
+            return acc
         cards = [self._estimate_card(t) for t in triples]
         remaining = list(range(len(units)))
         remaining.sort(key=lambda i: cards[i])
@@ -1567,7 +1594,6 @@ class QueryCompiler:
                               directions
         """
         spark = self.store.spark
-        mode = getattr(q, "mode", "CBD") or "CBD"
         if q.pattern is not None and any(isinstance(t, A.Var) for t in q.terms):
             c = self.compile_pattern(q.pattern)
             var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
@@ -1580,6 +1606,9 @@ class QueryCompiler:
         else:
             rows = [(t.lex,) for t in q.terms if isinstance(t, Term)]
             nodes = spark.createDataFrame(rows, "__s string")
+        # hints are collected while compiling the pattern, so the mode
+        # hint is resolved after it
+        mode = self.hints.get("describeMode") or getattr(q, "mode", "CBD") or "CBD"
         stmts = self.store.statements
         symmetric = mode in ("SymmetricOneStep", "SCBD")
         bnode_closure = mode in ("CBD", "SCBD")

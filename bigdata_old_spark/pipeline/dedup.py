@@ -97,25 +97,35 @@ def minhash_lsh_pairs(
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
         for b in range(bands)
     ]
-    sig = sig.select("id", "sh", *band_cols)
-    # candidate pairs: same hash in ANY band → explode to (band_idx, key)
+    sig = sig.select("id", *band_cols)
+    # candidate pairs: same hash in ANY band → explode to (band_idx, key).
+    # Only (id, band, hash) rides the explode and the self-join — the
+    # shingle arrays would amplify shuffle bytes ∝ bands; candidates are
+    # joined back to the one-row-per-doc shingle table for verification.
     buckets = sig.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.arrays_zip(
                 F.array(*[F.lit(b) for b in range(bands)]).alias("b"),
                 F.array(*[F.col(f"band{b}") for b in range(bands)]).alias("h"),
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.b").alias("b"), F.col("bk.h").alias("h"))
+    ).select("id", F.col("bk.b").alias("b"), F.col("bk.h").alias("h"))
     l = buckets.alias("l")
-    r = buckets.select(F.col("id").alias("rid"), F.col("sh").alias("rsh"), "b", "h").alias("r")
-    pairs = (
+    r = buckets.select(F.col("id").alias("rid"), "b", "h").alias("r")
+    cand = (
         l.join(r, ["b", "h"])
         .where(F.col("l.id") < F.col("rid"))
-        .select(F.col("l.id").alias("id_a"), F.col("rid").alias("id_b"),
-                jaccard(F.col("l.sh"), F.col("rsh")).alias("jaccard"))
+        .select(F.col("l.id").alias("id_a"), F.col("rid").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify candidates with true shingle Jaccard (two slim joins)
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
     if min_jaccard is not None:
         pairs = pairs.where(F.col("jaccard") >= min_jaccard)

@@ -167,3 +167,34 @@ def test_values(small_store):
         projection=[("x", None)],
     )
     assert lexes(small_store.query_algebra(q), "x") == [EX + "DC", EX + "Mike"]
+
+
+def test_query_hints_stripped_and_applied(small_store):
+    """hint: triples are stripped from the pattern (never matched as
+    data) and hint:optimizer "None" pins syntactic join order."""
+    q = """
+        PREFIX hint: <http://www.bigdata.com/queryHints#>
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?name WHERE {
+          hint:Query hint:optimizer "None" .
+          ?x foaf:knows ?y .
+          ?y rdfs:label ?name .
+        }"""
+    got = lexes(small_store.query(q), "name")
+    assert got == ["Bryan", "Bryan", "Mike"]
+
+
+def test_query_hint_describe_mode(small_store):
+    from bigdata_old_spark.store import TripleStore
+
+    df = small_store.query("""
+        PREFIX hint: <http://www.bigdata.com/queryHints#>
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        DESCRIBE ?x WHERE {
+          hint:Query hint:describeMode "SymmetricOneStep" .
+          ?x foaf:knows <http://example.org/Martyn> .
+        }""")
+    # symmetric: includes reverse arcs pointing at Bryan
+    objs = {(r["s"]["lex"], r["o"]["lex"]) for r in df.collect()}
+    assert ("http://example.org/Mike", "http://example.org/Bryan") in objs
