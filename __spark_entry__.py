@@ -465,6 +465,35 @@ def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: CC over verified LSH pairs, canonical =
+    min id.  Oracle-checkable because the verified LSH pair set equals
+    the exact n-gram-Jaccard pair set on this corpus (see
+    _ngram_jaccard_oracle) and CC is engine-independent."""
+    from bigdata_old_spark.pipeline.dedup import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_clusters(docs, min_jaccard=0.4).select("doc_id", "cluster_id", "is_keep")
+
+
+def _p_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream table (6 h gap),
+    closed-form bounds (member min/max), epoch-seconds output."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.streaming import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_seconds=21600)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 5).alias("value_sum"),
+    )
+
+
 def _p_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -544,6 +573,62 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+def _dedup_clusters_oracle(min_j: float = 0.4) -> str:
+    """Connected components over the exact-Jaccard pair graph via a
+    recursive reachability CTE (feasible at oracle scale), cluster id =
+    min reachable doc id — replicates dedup.dedup_clusters."""
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM base
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+              THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh)))
+              ELSE 1.0::DOUBLE END AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), und AS (
+  SELECT a, b FROM pairs WHERE j >= {min_j}
+  UNION ALL
+  SELECT b, a FROM pairs WHERE j >= {min_j}
+), reach(src, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.v
+)
+SELECT src AS doc_id, min(v) AS cluster_id, (src = min(v)) AS is_keep
+FROM reach GROUP BY src"""
+
+
+def _sessionize_oracle(gap_seconds: int = 21600) -> str:
+    """Replicates streaming.sessionize_batch: per-user gap break flags,
+    cumulative session index, member-bound aggregation."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts - lag(ts) OVER w) > {gap_seconds} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM o
+)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts)))::BIGINT AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 5) AS value_sum
+FROM s GROUP BY user_id, sidx"""
 
 
 def _quality_lang_oracle() -> str:
@@ -761,6 +846,8 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
+    "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
+    "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
 }
 
 

@@ -110,10 +110,10 @@ def pagerank(
     """Synchronous PageRank, damping 0.85 (reference PR.java:78).
     Returns: v | rank.  Ranks sum to ~N (GraphX convention).
 
-    Convergence (``tol``): the previous rank rides the iteration as a
-    column, so the L1 delta is a one-row aggregate over the already-
-    checkpointed result — no extra self-join — and it is only read on
-    the driver every ``check_every`` rounds."""
+    Convergence (``tol``): checked only every ``check_every`` rounds,
+    as a join of two already-checkpointed (LogicalRDD) frames — a tiny
+    extra job with no lineage recomputation, instead of a per-round
+    driver action."""
     edges = edges.localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -125,27 +125,29 @@ def pagerank(
     ranks = verts.withColumn("rank", F.lit(1.0))
     for i in range(max_iter):
         contrib = (
-            ranks.select("v", "rank").join(outdeg, "v")
+            ranks.join(outdeg, "v")
             .join(edges, F.col("v") == edges["src"])
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
         )
-        prev = ranks.select("v", F.col("rank").alias("__prev"))
         new_ranks = (
             verts.join(contrib, "v", "left")
             .select("v", (F.lit(1 - damping) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"))
-            .join(prev, "v", "left")
             .localCheckpoint(eager=True)
         )
-        ranks = new_ranks
         if tol is not None and (i % check_every == check_every - 1 or i == max_iter - 1):
-            # one-row agg over checkpointed data (no join recompute)
-            delta = new_ranks.agg(
-                F.sum(F.abs(F.col("rank") - F.coalesce(F.col("__prev"), F.lit(0.0))))
-            ).collect()[0][0]
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "v")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
             if delta is not None and delta < tol:
                 break
-    return ranks.select("v", "rank")
+        else:
+            ranks = new_ranks
+    return ranks
 
 
 def gas_iterate(state: DataFrame, edges: DataFrame, round_fn, max_iter: int = 50) -> DataFrame:

@@ -237,6 +237,51 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-duplicate clustering (pairs → components → canonical doc)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    **lsh_kw,
+) -> DataFrame:
+    """Near-duplicate clusters with a canonical representative per
+    cluster — the standard "collapse LSH pairs into groups, keep one"
+    step of a training-data dedup pipeline.
+
+    Connected components over the verified near-dup pair graph (pairs
+    default to :func:`minhash_lsh_pairs`); cluster id = min member id;
+    ``is_keep`` marks the canonical doc.  Docs in no pair are singleton
+    clusters of themselves.
+
+    Returns: doc_id | cluster_id | is_keep.
+
+    Scale shape: the pair graph comes from banded LSH (never all
+    pairs), and CC is min-label propagation — rounds ∝ cluster
+    diameter, and near-dup clusters are shallow (copies of one
+    original), so it converges in 2-3 rounds of slim (id, id) shuffles.
+    The final assignment is one left join keyed on the doc id.
+    """
+    from bigdata_old_spark.analytics import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kw)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)  # v | component (pair members only)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (direct, for verification / small candidate sets)
 # ---------------------------------------------------------------------------
 

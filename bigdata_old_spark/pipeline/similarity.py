@@ -129,6 +129,121 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed lists
+# ---------------------------------------------------------------------------
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    return [cosine(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Arg-max centroid id by cosine (ties → higher id, deterministic).
+    Pure Catalyst expression — centroids ride the plan as literals, the
+    per-row work is a map, no join and no shuffle."""
+    sims = _centroid_sims(vec, centroids)
+    return F.array_max(
+        F.array(*[F.struct(s.alias("s"), F.lit(i).alias("cid")) for i, s in enumerate(sims)])
+    ).getField("cid")
+
+
+def _probe_set(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids (desc similarity)."""
+    sims = _centroid_sims(vec, centroids)
+    ranked = F.reverse(F.array_sort(
+        F.array(*[F.struct(s.alias("s"), F.lit(i).alias("cid")) for i, s in enumerate(sims)])
+    ))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x.getField("cid"))
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer.
+
+    Init = the ``n_centroids`` vectors with the smallest
+    ``xxhash64(id)`` (a deterministic uniform sample — no RNG state, so
+    reruns and the test oracle agree).  Each Lloyd iteration is one
+    distributed pass: arg-max assignment is a Catalyst expression, the
+    new centroid is a per-dimension mean via posexplode + groupBy.
+    Only the (n_centroids × dim) centroid table ever reaches the
+    driver — the model state, not data."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = (
+        e.withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h", "id").limit(n_centroids)
+        .select("v").collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(iters):
+        assigned = e.withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform(F.col("pm"), lambda s: s.getField("m")).alias("c"))
+            .collect()
+        )
+        new = dict((r["cid"], list(r["c"])) for r in means)
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → inverted lists
+    keyed by centroid id → each query probes its ``nprobe`` nearest
+    lists → exact cosine re-rank of probed candidates.
+
+    Returns: q_id | vec_id | sim | rnk — same shape as
+    :func:`brute_force_topk`; with ``nprobe == n_centroids`` the probe
+    covers every list, so the output equals the exact baseline.
+
+    Scale shape: candidate generation is an equi-join on ``cid`` — the
+    scan is confined to the probed fraction (~nprobe/n_centroids) of
+    the corpus instead of all of it, and the join shuffles slim
+    (cid, vector) rows.  Pre-train centroids once with
+    :func:`train_centroids` and pass them in to amortize across query
+    batches (the index-build/query split of a real IVF index).
+    Centroids are plan literals (a broadcast of model state); at
+    thousands of centroids move the arg-max into a pandas UDF."""
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_centroids, kmeans_iters, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
+    ).withColumn("cid", F.explode(_probe_set(F.col("qv"), centroids, nprobe)))
+    cand = q.join(e, "cid")
+    scored = cand.select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     min_sim: float = 0.95,

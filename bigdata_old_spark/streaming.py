@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 from bigdata_old_spark.model import STATEMENTS_SCHEMA, STYPE_EXPLICIT
 
 
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks/session windows need TIMESTAMP (LTZ); parquet written
+    without UTC adjustment reads back as TIMESTAMP_NTZ in Spark 4 —
+    reinterpret it in the session zone (semantics unchanged for the
+    UTC sessions this engine uses)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def parse_lines_to_statements(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: N-Triples lines → statements rows."""
     from bigdata_old_spark.rio import parse_ntriples_line
@@ -64,6 +76,139 @@ def ingest_ntriples_once(spark: SparkSession, source_dir: str, store_dir: str, c
     q.awaitTermination()
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation via the built-in ``session_window``
+    (dynamic gap-merged windows; batch or streaming — on a stream the
+    watermark closes sessions whose gap has definitively elapsed).
+    Window end = last event + gap, per Spark session semantics.
+    Returns: user_id-ish key | session_start | session_end | n | value_sum."""
+    df = _with_event_time(events, ts_col)
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col(key_col), F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"), "n", "value_sum",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 21600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization with closed-form session bounds: a new
+    session starts where the gap to the previous event (per key) exceeds
+    ``gap_seconds``; session bounds are the member min/max event times
+    (no +gap extension — the oracle-friendly convention).
+
+    Returns: key | session_start | session_end | n_events | value_sum.
+
+    Scale shape: one window partitioned BY KEY (never global) to flag
+    session breaks + one hash aggregation on (key, session index) —
+    both shuffle on the key, skew-bounded by the hottest single user.
+    """
+    from pyspark.sql import Window
+
+    events = _with_event_time(events, ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    ts = F.col(ts_col)
+    brk = F.when(
+        F.lag(ts).over(w).isNull()
+        | (ts.cast("double") - F.lag(ts).over(w).cast("double") > gap_seconds),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.withColumn("__sidx", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy(key_col, "__sidx")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .drop("__sidx")
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 21600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    timeout_ms: int = 30000,
+) -> DataFrame:
+    """Custom stateful session operator over a STREAM:
+    ``applyInPandasWithState`` keeps (start, end, n, sum) per key,
+    closes a session when an event arrives past the gap or when the
+    processing-time timeout fires with the gap definitively elapsed.
+
+    Semantics match :func:`sessionize_batch` (bounds = member min/max)
+    once the stream is drained and timeouts have fired.  This is the
+    template for stateful operators the built-in ``session_window``
+    cannot express (e.g. emitting MID-session updates or custom
+    eviction); prefer :func:`sessionized_event_counts` when it can.
+
+    State is per-key and O(1) — the canonical keyed-state scale shape.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, value_sum double"
+    )
+    state_schema = (
+        "session_start timestamp, session_end timestamp, n_events long, value_sum double"
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        cols = ["session_start", "session_end", "n_events", "value_sum"]
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                closed.append((s, e, n, v))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            cur = list(state.get) if state.exists else None
+            for ts, val in zip(rows[ts_col], rows["value"]):
+                ts = ts.to_pydatetime()
+                if cur is None:
+                    cur = [ts, ts, 0, 0.0]
+                elif (ts - cur[1]).total_seconds() > gap_seconds:
+                    closed.append(tuple(cur))
+                    cur = [ts, ts, 0, 0.0]
+                cur[1] = max(cur[1], ts)
+                cur[2] += 1
+                cur[3] += float(val) if val is not None else 0.0
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(timeout_ms)
+        if closed:
+            out = pd.DataFrame(closed, columns=cols)
+            out.insert(0, key_col, user)
+            yield out
+
+    events = _with_event_time(events, ts_col)
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -74,7 +219,7 @@ def windowed_event_counts(
     """Tumbling-window counts+sums with late-data watermark.  Works on a
     streaming OR batch events DataFrame (same code path — Spark's
     unified semantics; batch mode simply ignores the watermark)."""
-    df = events
+    df = _with_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (

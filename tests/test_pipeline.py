@@ -152,3 +152,52 @@ def test_multimodal_stub(spark):
     assert all(again[r["media_id"]] == r["sha256"] for r in feats)
     plan = frame_sample_plan(media, every_ms=1000)
     assert plan.where(F.col("media_id") == 2).count() == 5  # 5s video @1fps
+
+
+def test_dedup_clusters(docs):
+    from bigdata_old_spark.pipeline.dedup import dedup_clusters
+
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keep"]) for r in dedup_clusters(docs, min_jaccard=0.5).collect()}
+    # 1, 2, 3, 6 are one near-dup component → min id 1 is canonical
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[6] == (1, False)
+    # 4 and 5 are singletons of themselves
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from bigdata_old_spark.pipeline.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = train_centroids(emb, n_centroids=8, iters=1)
+    exact = brute_force_topk(emb, queries, k=5)
+    full = ivf_topk(emb, queries, k=5, nprobe=8, centroids=cents)
+    want = {(r["q_id"], r["vec_id"], r["rnk"]) for r in exact.collect()}
+    got = {(r["q_id"], r["vec_id"], r["rnk"]) for r in full.collect()}
+    assert got == want  # probing every list IS the exhaustive scan
+
+
+def test_ivf_recall(spark):
+    from bigdata_old_spark.pipeline.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = train_centroids(emb, n_centroids=16, iters=2)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
+    want = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+    # the query vector itself (sim=1.0) must always be found: its own
+    # list is always the nearest probe
+    for q in range(5):
+        assert (q, q) in got

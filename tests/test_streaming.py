@@ -57,3 +57,60 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select sum(n) from wincounts").collect()[0][0]
     assert got == 200
+
+
+def test_sessionize_batch(spark):
+    from bigdata_old_spark.streaming import sessionize_batch, sessionized_event_counts
+
+    events = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    out = sessionize_batch(events, gap_seconds=21600).cache()
+    # every event lands in exactly one session
+    assert out.agg(F.sum("n_events")).collect()[0][0] == events.count()
+    # sessions of one user never overlap and respect the gap
+    rows = sorted(
+        ((r["session_start"], r["session_end"]) for r in out.where(F.col("user_id") == out.select("user_id").first()[0]).collect()),
+    )
+    for (s1, e1), (s2, _) in zip(rows, rows[1:]):
+        assert (s2 - e1).total_seconds() > 21600
+    # built-in session_window agrees on session starts and sizes
+    # (its end = last event + gap; starts and membership are identical)
+    sw = sessionized_event_counts(events, gap="6 hours")
+    a = {(r["user_id"], r["session_start"], r["n"]) for r in sw.collect()}
+    b = {(r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()}
+    assert a == b
+
+
+def test_sessionize_stateful_stream(spark, tmp_path):
+    import time
+
+    from bigdata_old_spark.streaming import sessionize_batch, sessionize_stateful
+
+    events = read_table(spark, "/root/testdata/sf0.001/events.parquet").where(F.col("user_id") < 10)
+    src = tmp_path / "sess_src"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    sess = sessionize_stateful(stream, gap_seconds=21600, timeout_ms=1500)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        expect = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionize_batch(events, gap_seconds=21600).collect()
+        }
+        got: set = set()
+        deadline = time.time() + 60
+        while time.time() < deadline and got != expect:
+            time.sleep(2)
+            got = {
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.sql("select * from sessions").collect()
+            }
+        assert got == expect
+    finally:
+        q.stop()
