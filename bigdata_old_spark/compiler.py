@@ -37,6 +37,7 @@ from bigdata_old_spark.model import (
     TERM_TYPE,
     Term,
     iri_col_to_term,
+    iri_name_to_term,
     obj_cols_to_term,
     term_lit,
     term_to_iri_string,
@@ -173,7 +174,7 @@ def _upgrade(c: Compiled, names) -> Compiled:
     if not vs:
         return c
     cols = [
-        (iri_col_to_term(F.col(v)) if v in vs else F.col(v)).alias(v)
+        (iri_name_to_term(v) if v in vs else F.col(v)).alias(v)
         for v in c.df.columns
     ]
     return Compiled(c.df.select(*cols), c.certain, c.flat - vs)
@@ -444,9 +445,9 @@ class QueryCompiler:
             else:
                 cond.extend(flat_eq(var_or_term))
 
-        bind(t.s, iri_col_to_term(F.col("s")),
+        bind(t.s, iri_name_to_term("s"),
              lambda o: [F.col("s") == _term_as_flat_string(o)], flat_col=F.col("s"))
-        bind(t.p, iri_col_to_term(F.col("p")),
+        bind(t.p, iri_name_to_term("p"),
              lambda o: [F.col("p") == o.lex], flat_col=F.col("p"))
 
         def obj_eq(o: Term):
@@ -1378,6 +1379,12 @@ class QueryCompiler:
             key_cols.append(k)
             drop_keys.append(k)
 
+        # Materialize each aggregate's input expression as one projected
+        # column BEFORE the groupBy (ChunkedMaterializationOp analog for
+        # value expressions): the aggregate functions then reference a
+        # plain column instead of inlining the full constructor/promotion
+        # expression 4-6× each — smaller codegen units, one evaluation
+        # per row.
         aggs = []
         seen: dict = {}
         for node in agg_nodes:
@@ -1385,7 +1392,12 @@ class QueryCompiler:
                 continue
             name = _fresh("agg")
             seen[id(node)] = name
-            aggs.append(self._agg_expr(node, resolve_in).alias(name))
+            col = None
+            if node.expr is not None:
+                in_name = _fresh("agg_in")
+                df = df.withColumn(in_name, compile_expr(node.expr, resolve_in))
+                col = F.col(in_name)
+            aggs.append(self._agg_expr(node, col).alias(name))
         if not aggs:
             aggs = [F.count(F.lit(1)).alias(_fresh("agg_dummy"))]
 
@@ -1439,12 +1451,13 @@ class QueryCompiler:
                     return max(r, 1) if n == "/" else r
         return None
 
-    def _agg_expr(self, node: A.Aggregate, resolve: dict) -> Column:
+    def _agg_expr(self, node: A.Aggregate, col: Column | None) -> Column:
         """One SPARQL aggregate → a Spark aggregate expression returning a
         term struct (reference bop/rdf/aggregate/COUNT|SUM|AVERAGE|MIN|
-        MAX|SAMPLE|GROUP_CONCAT.java)."""
+        MAX|SAMPLE|GROUP_CONCAT.java).  ``col`` is the aggregate's input
+        term expression, already materialized as a projected column by
+        ``_aggregate`` (None for COUNT(*))."""
         n = node.name.upper()
-        col = compile_expr(node.expr, resolve) if node.expr is not None else None
 
         if n == "COUNT":
             if col is None:

@@ -33,15 +33,16 @@ from bigdata_old_spark.model import (
     XSD_FLOAT,
     XSD_INTEGER,
     XSD_STRING,
+    lit_c,
     mk_term_col,
     term_lit,
 )
 
 def null_term() -> Column:
     """A NULL term struct (= unbound / type error)."""
-    from bigdata_old_spark.model import TERM_TYPE
+    from bigdata_old_spark.model import TERM_TYPE, cached_col
 
-    return F.lit(None).cast(TERM_TYPE)
+    return cached_col("null_term", lambda: F.lit(None).cast(TERM_TYPE))
 
 
 # ---------------------------------------------------------------------------
@@ -51,30 +52,30 @@ def null_term() -> Column:
 def boolean_term(b: Column) -> Column:
     """bool Column → xsd:boolean term; NULL in → NULL term (error)."""
     t = mk_term_col(
-        kind=F.lit(KIND_LITERAL),
-        lex=F.when(b, F.lit("true")).otherwise(F.lit("false")),
-        dt=F.lit(XSD_BOOLEAN),
+        kind=KIND_LITERAL,
+        lex=F.when(b, lit_c("true")).otherwise(lit_c("false")),
+        dt=XSD_BOOLEAN,
         bool_=b,
     )
     return F.when(b.isNotNull(), t)
 
 
 def string_term(s: Column, lang: Column | None = None) -> Column:
-    dt = F.when(lang.isNotNull(), F.lit(RDF_LANGSTRING)).otherwise(F.lit(XSD_STRING)) if lang is not None else F.lit(XSD_STRING)
-    t = mk_term_col(kind=F.lit(KIND_LITERAL), lex=s, dt=dt, lang=lang)
+    dt = F.when(lang.isNotNull(), lit_c(RDF_LANGSTRING)).otherwise(lit_c(XSD_STRING)) if lang is not None else XSD_STRING
+    t = mk_term_col(kind=KIND_LITERAL, lex=s, dt=dt, lang=lang)
     return F.when(s.isNotNull(), t)
 
 
 def iri_term(s: Column) -> Column:
-    return F.when(s.isNotNull(), mk_term_col(kind=F.lit(KIND_IRI), lex=s))
+    return F.when(s.isNotNull(), mk_term_col(kind=KIND_IRI, lex=s))
 
 
 def integer_term(v: Column) -> Column:
     v = v.cast(DECIMAL_T)
     t = mk_term_col(
-        kind=F.lit(KIND_LITERAL),
+        kind=KIND_LITERAL,
         lex=v.cast(T.DecimalType(38, 0)).cast("string"),
-        dt=F.lit(XSD_INTEGER),
+        dt=XSD_INTEGER,
         num=v,
         dbl=v.cast("double"),
     )
@@ -90,9 +91,9 @@ def _trim_decimal_lex(s: Column) -> Column:
 def decimal_term(v: Column) -> Column:
     v = v.cast(DECIMAL_T)
     t = mk_term_col(
-        kind=F.lit(KIND_LITERAL),
+        kind=KIND_LITERAL,
         lex=_trim_decimal_lex(v.cast("string")),
-        dt=F.lit(XSD_DECIMAL),
+        dt=XSD_DECIMAL,
         num=v,
         dbl=v.cast("double"),
     )
@@ -101,15 +102,15 @@ def decimal_term(v: Column) -> Column:
 
 def double_term(v: Column) -> Column:
     v = v.cast("double")
-    t = mk_term_col(kind=F.lit(KIND_LITERAL), lex=v.cast("string"), dt=F.lit(XSD_DOUBLE), dbl=v)
+    t = mk_term_col(kind=KIND_LITERAL, lex=v.cast("string"), dt=XSD_DOUBLE, dbl=v)
     return F.when(v.isNotNull(), t)
 
 
 def datetime_term(v: Column, dt_iri: str = XSD_DATETIME) -> Column:
     t = mk_term_col(
-        kind=F.lit(KIND_LITERAL),
+        kind=KIND_LITERAL,
         lex=F.date_format(v, "yyyy-MM-dd'T'HH:mm:ss"),
-        dt=F.lit(dt_iri),
+        dt=dt_iri,
         dtm=v,
     )
     return F.when(v.isNotNull(), t)

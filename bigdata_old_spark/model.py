@@ -275,37 +275,77 @@ def parse_xsd_datetime(lex: str) -> datetime | None:
 # Column-side term construction
 # ---------------------------------------------------------------------------
 
+# Every F.lit/cast/alias is a py4j round trip, and query compilation
+# builds the same constant sub-expressions thousands of times per plan
+# (measured ~2s of driver time on a 5-pattern query).  Column objects
+# are immutable expression handles, so constant fragments are safe to
+# memoize; the key includes the active SparkContext so a restarted JVM
+# never sees stale handles.
+_COL_CACHE: dict = {}
+
+
+def cached_col(key, build) -> Column:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    k = (id(sc), key)
+    c = _COL_CACHE.get(k)
+    if c is None:
+        c = build()
+        _COL_CACHE[k] = c
+    return c
+
+
+def lit_c(v) -> Column:
+    """Cached literal column for hashable constants."""
+    return cached_col(("lit", v), lambda: F.lit(v))
+
+
 def mk_term_col(
-    kind: Column,
-    lex: Column,
-    dt: Column | None = None,
-    lang: Column | None = None,
-    num: Column | None = None,
-    dbl: Column | None = None,
-    dtm: Column | None = None,
-    bool_: Column | None = None,
+    kind,
+    lex,
+    dt=None,
+    lang=None,
+    num=None,
+    dbl=None,
+    dtm=None,
+    bool_=None,
 ) -> Column:
-    """Assemble a term struct column in canonical field order."""
-    null = F.lit(None)
+    """Assemble a term struct column in canonical field order.  Fields
+    may be Columns, None (NULL of the field type), or plain str/int/
+    float constants — constant fields resolve to cached, pre-aliased
+    fragments (zero py4j traffic on reuse)."""
+
+    def fld(val, name, dtype):
+        if val is None:
+            return cached_col(("nullf", name), lambda: F.lit(None).cast(dtype).alias(name))
+        if isinstance(val, (str, int, float, bool)):
+            return cached_col(("constf", name, val), lambda: F.lit(val).cast(dtype).alias(name))
+        return val.cast(dtype).alias(name)
+
     return F.struct(
-        kind.cast(T.ByteType()).alias("kind"),
-        lex.cast(T.StringType()).alias("lex"),
-        (dt if dt is not None else null).cast(T.StringType()).alias("dt"),
-        (lang if lang is not None else null).cast(T.StringType()).alias("lang"),
-        (num if num is not None else null).cast(DECIMAL_T).alias("num"),
-        (dbl if dbl is not None else null).cast(T.DoubleType()).alias("dbl"),
-        (dtm if dtm is not None else null).cast(T.TimestampType()).alias("dtm"),
-        (bool_ if bool_ is not None else null).cast(T.BooleanType()).alias("bool"),
+        fld(kind, "kind", T.ByteType()),
+        fld(lex, "lex", T.StringType()),
+        fld(dt, "dt", T.StringType()),
+        fld(lang, "lang", T.StringType()),
+        fld(num, "num", DECIMAL_T),
+        fld(dbl, "dbl", T.DoubleType()),
+        fld(dtm, "dtm", T.TimestampType()),
+        fld(bool_, "bool", T.BooleanType()),
     )
 
 
 def term_lit(t: Term) -> Column:
-    """A constant term as a struct literal column."""
+    """A constant term as a struct literal column (cached per value)."""
     row = t.as_row()
-    cols = []
-    for field, v in zip(TERM_FIELDS, row):
-        cols.append(F.lit(v).cast(field.dataType).alias(field.name))
-    return F.struct(*cols)
+
+    def build():
+        cols = []
+        for field, v in zip(TERM_FIELDS, row):
+            cols.append(F.lit(v).cast(field.dataType).alias(field.name))
+        return F.struct(*cols)
+
+    return cached_col(("term_lit", row), build)
 
 
 def iri_col_to_term(c: Column) -> Column:
@@ -314,15 +354,16 @@ def iri_col_to_term(c: Column) -> Column:
     struct of NULL fields — so BOUND/coalesce/equality see unbound."""
     is_bnode = c.startswith("_:")
     struct = mk_term_col(
-        kind=F.when(is_bnode, F.lit(KIND_BNODE)).otherwise(F.lit(KIND_IRI)),
-        lex=F.when(is_bnode, c.substr(F.lit(3), F.length(c))).otherwise(c),
+        kind=F.when(is_bnode, lit_c(KIND_BNODE)).otherwise(lit_c(KIND_IRI)),
+        lex=F.when(is_bnode, c.substr(lit_c(3), F.length(c))).otherwise(c),
     )
     return F.when(c.isNotNull(), struct)
 
 
 def obj_cols_to_term(prefix: str = "o_") -> Column:
-    """Statements-table object columns → term struct."""
-    return F.struct(
+    """Statements-table object columns → term struct (cached: the
+    column names are fixed per prefix)."""
+    return cached_col(("obj_term", prefix), lambda: F.struct(
         F.col(prefix + "kind").alias("kind"),
         F.col(prefix + "lex").alias("lex"),
         F.col(prefix + "dt").alias("dt"),
@@ -331,7 +372,24 @@ def obj_cols_to_term(prefix: str = "o_") -> Column:
         F.col(prefix + "dbl").alias("dbl"),
         F.col(prefix + "dtm").alias("dtm"),
         F.col(prefix + "bool").alias("bool"),
+    ))
+
+
+def iri_name_to_term(name: str) -> Column:
+    """`iri_col_to_term` for a NAMED column — the whole expression is
+    parsed JVM-side from one SQL string and cached per name, replacing
+    ~30 py4j round trips with zero on reuse.  Only safe where the bare
+    name is unambiguous (single-relation scope)."""
+    q = f"`{name}`"
+    sql = (
+        f"CASE WHEN {q} IS NOT NULL THEN named_struct("
+        f"'kind', CAST(CASE WHEN substring({q}, 1, 2) = '_:' THEN {KIND_BNODE} ELSE {KIND_IRI} END AS TINYINT), "
+        f"'lex', CASE WHEN substring({q}, 1, 2) = '_:' THEN substring({q}, 3) ELSE {q} END, "
+        f"'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING), "
+        f"'num', CAST(NULL AS DECIMAL(38,18)), 'dbl', CAST(NULL AS DOUBLE), "
+        f"'dtm', CAST(NULL AS TIMESTAMP), 'bool', CAST(NULL AS BOOLEAN)) END"
     )
+    return cached_col(("iri_name", name), lambda: F.expr(sql))
 
 
 def term_to_iri_string(c: Column) -> Column:
