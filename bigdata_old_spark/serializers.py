@@ -113,12 +113,27 @@ def json_rows(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*bindings)).alias("row"))
 
 
+def _ask_value(df: DataFrame) -> bool | None:
+    """ASK results are a single boolean column — the protocol envelope
+    differs (boolean member / <boolean> element, W3C SPARQL results
+    formats §ASK)."""
+    import pyspark.sql.types as T
+
+    if len(df.schema.fields) == 1 and isinstance(df.schema.fields[0].dataType, T.BooleanType):
+        rows = df.collect()
+        return bool(rows[0][0]) if rows else False
+    return None
+
+
 def sparql_json(df: DataFrame) -> str:
     """Full application/sparql-results+json document (driver assembles
     the envelope; each binding object was serialized JVM-side)."""
-    cols = _term_cols(df)
     import json as _json
 
+    ask = _ask_value(df)
+    if ask is not None:
+        return _json.dumps({"head": {}, "boolean": ask})
+    cols = _term_cols(df)
     head = _json.dumps({"head": {"vars": cols}})[:-1]
     rows = [r["row"] for r in json_rows(df).collect()]
     return head + ', "results": {"bindings": [' + ", ".join(rows) + "]}}"
@@ -157,6 +172,13 @@ def xml_rows(df: DataFrame) -> DataFrame:
 
 
 def sparql_xml(df: DataFrame) -> str:
+    ask = _ask_value(df)
+    if ask is not None:
+        return (
+            '<?xml version="1.0"?>\n'
+            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+            f"<head/>\n<boolean>{'true' if ask else 'false'}</boolean>\n</sparql>\n"
+        )
     cols = _term_cols(df)
     head = (
         '<?xml version="1.0"?>\n'

@@ -1,0 +1,157 @@
+"""SPARQL 1.1 Protocol endpoint — the reference's REST surface
+re-expressed as a thin stdlib HTTP layer over :class:`TripleStore`.
+
+Reference parity (bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/):
+  * `NanoSparqlServer.java:79` — embedded HTTP server bootstrap
+    (Jetty there; `http.server.ThreadingHTTPServer` here — the service
+    layer is not the scale path, query execution stays in Spark).
+  * `RESTServlet.java:43` / `QueryServlet.java:88` — GET/POST dispatch,
+    `?explain` surface.
+  * `ConnegUtil.java` — Accept-header content negotiation, mapped via
+    `serializers.MIME_FORMATS`.
+  * `UpdateServlet` — SPARQL UPDATE via POST (`update=` form field or
+    `application/sparql-update` body).
+
+Protocol forms implemented (SPARQL 1.1 Protocol §2):
+  * GET  /sparql?query=…               (query via URL)
+  * POST /sparql  application/x-www-form-urlencoded  query=… | update=…
+  * POST /sparql  application/sparql-query   (raw query body)
+  * POST /sparql  application/sparql-update  (raw update body)
+  * any of the above with ?explain — returns the formatted Spark
+    physical plan as text/plain (QueryServlet ?explain analog).
+
+UPDATE swaps the handler's store atomically (the engine's UPDATE is a
+batch statements-DF rewrite returning a new TripleStore).
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from bigdata_old_spark.serializers import MIME_FORMATS
+
+_FORMAT_MIME = {
+    "json": "application/sparql-results+json",
+    "xml": "application/sparql-results+xml",
+    "csv": "text/csv",
+    "tsv": "text/tab-separated-values",
+    "ntriples": "application/n-triples",
+    "nquads": "application/n-quads",
+    "turtle": "text/turtle",
+}
+
+_GRAPH_FORMS = ("CONSTRUCT", "DESCRIBE")
+
+
+def _negotiate(accept: str | None, sparql: str) -> str:
+    """Accept header → serializer format key (ConnegUtil analog).
+    q-values are honored in header order; defaults: graphs → turtle,
+    solutions → json."""
+    if accept:
+        for part in accept.split(","):
+            mime = part.split(";")[0].strip().lower()
+            if mime in MIME_FORMATS:
+                return MIME_FORMATS[mime]
+            if mime == "*/*":
+                break
+    head = sparql.lstrip().upper()
+    # skip prologue to find the query form
+    for form in _GRAPH_FORMS:
+        if form in head:
+            return "turtle"
+    return "json"
+
+
+class SparqlHandler(BaseHTTPRequestHandler):
+    """One request = one query/update against ``server.store``."""
+
+    protocol_version = "HTTP/1.1"
+
+    # -- helpers ------------------------------------------------------------
+    def _reply(self, code: int, body: str, ctype: str) -> None:
+        data = body.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", f"{ctype}; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt: str, *args) -> None:  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _params(self) -> dict[str, list[str]]:
+        # keep_blank_values: `?explain` (no value) must survive parsing
+        return parse_qs(urlparse(self.path).query, keep_blank_values=True)
+
+    def _run_query(self, sparql: str, explain: bool) -> None:
+        store = self.server.store
+        if explain:
+            self._reply(200, store.explain(sparql), "text/plain")
+            return
+        fmt = _negotiate(self.headers.get("Accept"), sparql)
+        body = store.serialize(sparql, fmt)
+        self._reply(200, body, _FORMAT_MIME[fmt])
+
+    def _run_update(self, sparql_update: str) -> None:
+        with self.server.store_lock:
+            self.server.store = self.server.store.update(sparql_update)
+        self._reply(200, "", "text/plain")
+
+    # -- verbs --------------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        p = self._params()
+        q = p.get("query", [None])[0]
+        if q is None:
+            self._reply(400, "missing query parameter", "text/plain")
+            return
+        try:
+            self._run_query(q, "explain" in p)
+        except Exception as e:  # malformed query → 400 per protocol
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+
+    def do_POST(self) -> None:  # noqa: N802
+        p = self._params()
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length).decode("utf-8") if length else ""
+        query = p.get("query", [None])[0]
+        update = p.get("update", [None])[0]
+        if ctype == "application/x-www-form-urlencoded":
+            form = parse_qs(body)
+            query = form.get("query", [query])[0]
+            update = form.get("update", [update])[0]
+        elif ctype == "application/sparql-query":
+            query = body
+        elif ctype == "application/sparql-update":
+            update = body
+        try:
+            if update is not None:
+                self._run_update(update)
+            elif query is not None:
+                self._run_query(query, "explain" in p)
+            else:
+                self._reply(400, "missing query/update", "text/plain")
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+
+
+def make_server(store, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Create (not start) the endpoint; ``port=0`` picks a free port.
+    ``server.store`` is the live store (replaced by UPDATEs)."""
+    srv = ThreadingHTTPServer((host, port), SparqlHandler)
+    srv.store = store
+    srv.store_lock = threading.Lock()
+    srv.verbose = False
+    return srv
+
+
+def serve_background(store, host: str = "127.0.0.1", port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the endpoint on a daemon thread; returns (server, thread).
+    Shut down with ``server.shutdown()``."""
+    srv = make_server(store, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t

@@ -1,0 +1,103 @@
+"""SPARQL 1.1 Protocol endpoint (reference NanoSparqlServer/QueryServlet
+parity) — exercised over real localhost HTTP."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from bigdata_old_spark.server import serve_background
+from bigdata_old_spark.store import TripleStore
+
+TTL = """
+@prefix : <http://example.org/> .
+:a :p "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
+:a :p "2"^^<http://www.w3.org/2001/XMLSchema#integer> .
+:b :q :a .
+"""
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark):
+    store = TripleStore.from_turtle(spark, TTL).persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    yield base, srv
+    srv.shutdown()
+
+
+def _get(url, accept=None):
+    req = urllib.request.Request(url, headers={"Accept": accept} if accept else {})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.headers.get_content_type(), r.read().decode()
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(url, data=data.encode(), headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.headers.get_content_type(), r.read().decode()
+
+
+def test_get_select_json(endpoint):
+    base, _ = endpoint
+    q = "PREFIX : <http://example.org/> SELECT ?o WHERE { :a :p ?o } ORDER BY ?o"
+    code, ctype, body = _get(f"{base}?query={urllib.parse.quote(q)}")
+    assert code == 200 and ctype == "application/sparql-results+json"
+    doc = json.loads(body)
+    assert doc["head"]["vars"] == ["o"]
+    assert [b["o"]["value"] for b in doc["results"]["bindings"]] == ["1", "2"]
+
+
+def test_conneg_csv_and_xml(endpoint):
+    base, _ = endpoint
+    q = "PREFIX : <http://example.org/> SELECT ?o WHERE { :a :p ?o } ORDER BY ?o"
+    url = f"{base}?query={urllib.parse.quote(q)}"
+    code, ctype, body = _get(url, accept="text/csv")
+    assert code == 200 and ctype == "text/csv" and body.splitlines()[0] == "o"
+    code, ctype, body = _get(url, accept="application/sparql-results+xml")
+    assert code == 200 and ctype == "application/sparql-results+xml"
+    assert "<sparql" in body and "<literal" in body
+
+
+def test_post_construct_turtle(endpoint):
+    base, _ = endpoint
+    q = """PREFIX : <http://example.org/>
+           CONSTRUCT { ?s :copy ?o } WHERE { ?s :p ?o }"""
+    code, ctype, body = _post(base, q, "application/sparql-query")
+    assert code == 200 and ctype == "text/turtle"
+    assert "copy" in body
+
+
+def test_ask(endpoint):
+    base, _ = endpoint
+    q = "PREFIX : <http://example.org/> ASK { :b :q :a }"
+    code, _, body = _get(f"{base}?query={urllib.parse.quote(q)}")
+    assert code == 200 and json.loads(body)["boolean"] is True
+
+
+def test_explain(endpoint):
+    base, _ = endpoint
+    q = "PREFIX : <http://example.org/> SELECT ?o WHERE { :a :p ?o }"
+    code, ctype, body = _get(f"{base}?query={urllib.parse.quote(q)}&explain")
+    assert code == 200 and ctype == "text/plain"
+    assert "Physical Plan" in body
+
+
+def test_update_roundtrip(endpoint):
+    base, _ = endpoint
+    upd = 'PREFIX : <http://example.org/> INSERT DATA { :c :p "9"^^<http://www.w3.org/2001/XMLSchema#integer> }'
+    code, _, _ = _post(base, f"update={urllib.parse.quote(upd)}", "application/x-www-form-urlencoded")
+    assert code == 200
+    q = "PREFIX : <http://example.org/> SELECT ?o WHERE { :c :p ?o }"
+    code, _, body = _get(f"{base}?query={urllib.parse.quote(q)}")
+    assert [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]] == ["9"]
+
+
+def test_bad_query_400(endpoint):
+    base, _ = endpoint
+    try:
+        _get(f"{base}?query=NOT%20SPARQL")
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
