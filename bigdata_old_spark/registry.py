@@ -58,3 +58,59 @@ def register_service(iri: str, handler: Callable) -> None:
 
 def lookup_service(iri: str) -> Callable | None:
     return _SERVICES.get(iri)
+
+
+# ---------------------------------------------------------------------------
+# Built-in extension aggregates (additive, registered at import):
+# sketch-backed aggregates under the engine's own namespace.  These are
+# the single-pass, partial-aggregatable summaries a 100 TB pipeline
+# needs where exact DISTINCT/median would shuffle the world:
+# approx_count_distinct is an HLL++ sketch (map-side partials merge),
+# percentile_approx is a Greenwald-Khanna quantile sketch.
+# ---------------------------------------------------------------------------
+
+AGG_NS = "urn:x-bdos:agg#"
+
+
+def _term_identity(col):
+    """Term → identity string for distinct-counting (kind/dt/lang/lex)."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "\x1f",
+        col["kind"].cast("string"),
+        F.coalesce(col["dt"], F.lit("")),
+        F.coalesce(col["lang"], F.lit("")),
+        col["lex"],
+    )
+
+
+def _builtin_extension_aggregates() -> dict[str, Callable]:
+    def count_distinct_approx(col, distinct):
+        from pyspark.sql import functions as F
+
+        from bigdata_old_spark import functions as SF
+
+        return SF.integer_term(F.approx_count_distinct(_term_identity(col)))
+
+    def _numeric(fn):
+        def build(col, distinct):
+            from bigdata_old_spark import functions as SF
+
+            return SF.double_term(fn(col["dbl"]))
+
+        return build
+
+    from pyspark.sql import functions as F
+
+    return {
+        AGG_NS + "countDistinctApprox": count_distinct_approx,
+        AGG_NS + "median": _numeric(lambda c: F.percentile_approx(c, 0.5)),
+        AGG_NS + "p90": _numeric(lambda c: F.percentile_approx(c, 0.9)),
+        AGG_NS + "p99": _numeric(lambda c: F.percentile_approx(c, 0.99)),
+        AGG_NS + "stddev": _numeric(F.stddev_samp),
+        AGG_NS + "variance": _numeric(F.var_samp),
+    }
+
+
+_AGGREGATES.update(_builtin_extension_aggregates())

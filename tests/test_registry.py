@@ -140,3 +140,26 @@ def test_service_silent_unregistered(small_store):
           ?x rdfs:label ?name . FILTER(?name = "DC")
         }""")
     assert [r["x"]["lex"] for r in df.collect()] == [EX + "DC"]
+
+
+def test_builtin_sketch_aggregates(spark):
+    """Pre-registered sketch aggregates (urn:x-bdos:agg#): HLL distinct
+    count, quantile sketch, stddev — exact at tiny cardinality."""
+    from bigdata_old_spark.store import TripleStore
+
+    rows = [(f"http://ex/s{i}", "http://ex/p", i % 7) for i in range(50)]
+    ttl = "\n".join(
+        f'<{s}> <{p}> "{o}"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+        for s, p, o in rows
+    )
+    st = TripleStore.from_turtle(spark, ttl)
+    df = st.query("""
+        PREFIX agg: <urn:x-bdos:agg#>
+        SELECT (agg:countDistinctApprox(?o) AS ?ndv)
+               (agg:median(?o) AS ?med)
+               (agg:stddev(?o) AS ?sd)
+        WHERE { ?s <http://ex/p> ?o }""")
+    r = df.collect()[0]
+    assert int(r["ndv"]["num"]) == 7          # HLL exact at this cardinality
+    assert r["med"]["dbl"] == 3.0
+    assert r["sd"]["dbl"] > 0
