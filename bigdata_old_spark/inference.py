@@ -61,23 +61,46 @@ def _iri_obj_triples(df: DataFrame, p: str) -> DataFrame:
     )
 
 
+def _null_cols() -> list:
+    """Cached constant columns shared by every inferred-triple builder
+    (each rule plan is rebuilt every round — ~20 builders × rounds —
+    so the constant fragments dominate py4j traffic without this)."""
+    from bigdata_old_spark.model import cached_col
+
+    mk = lambda name, typ: cached_col(  # noqa: E731
+        ("inf_null", name), lambda: F.lit(None).cast(typ).alias(name)
+    )
+    return [
+        mk("o_dt", "string"), mk("o_lang", "string"),
+        mk("o_num", "decimal(38,18)"), mk("o_dbl", "double"),
+        mk("o_dtm", "timestamp"), mk("o_bool", "boolean"),
+    ]
+
+
+def _g_stype_cols() -> tuple:
+    from bigdata_old_spark.model import cached_col
+
+    g = cached_col(("inf_null", "g"), lambda: F.lit(None).cast("string").alias("g"))
+    st = cached_col(("inf_const", "stype"), lambda: F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"))
+    return g, st
+
+
 def _mk_triples(df: DataFrame, s="s", p=None, o=None) -> DataFrame:
     """Build inferred statements rows: object is always an IRI here
     (the closure rules only derive IRI-object triples).  ``p`` and ``o``
     may be column names or Columns."""
+    from bigdata_old_spark.model import cached_col
+
+    g, stype = _g_stype_cols()
+    okind = cached_col(("inf_const", "o_kind_iri"), lambda: F.lit(KIND_IRI).cast("tinyint").alias("o_kind"))
     return df.select(
-        F.lit(None).cast("string").alias("g"),
+        g,
         F.col(s).alias("s"),
         (F.lit(p) if isinstance(p, str) else p).cast("string").alias("p"),
-        F.lit(KIND_IRI).cast("tinyint").alias("o_kind"),
+        okind,
         (F.col(o) if isinstance(o, str) else o).alias("o_lex"),
-        F.lit(None).cast("string").alias("o_dt"),
-        F.lit(None).cast("string").alias("o_lang"),
-        F.lit(None).cast("decimal(38,18)").alias("o_num"),
-        F.lit(None).cast("double").alias("o_dbl"),
-        F.lit(None).cast("timestamp").alias("o_dtm"),
-        F.lit(None).cast("boolean").alias("o_bool"),
-        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+        *_null_cols(),
+        stype,
     )
 
 
@@ -119,7 +142,10 @@ def _transitive_closure(rel: DataFrame) -> DataFrame:
             .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
             .dropDuplicates()
         )
-        new = step.join(result, ["s", "o"], "left_anti")
+        # checkpoint the delta BEFORE the emptiness probe so the join is
+        # evaluated once per round, not once for the probe and again for
+        # the union
+        new = step.join(result, ["s", "o"], "left_anti").localCheckpoint(eager=True)
         if new.isEmpty():
             return result
         result = result.unionByName(new).localCheckpoint(eager=True)
@@ -133,19 +159,15 @@ def _mk_triples_flat_obj(df: DataFrame, s="s", p=None, o="o") -> DataFrame:
     """Inferred statements whose object arrives as a flat resource
     string ("_:label" or IRI) — splits the bnode prefix back out."""
     oc = F.col(o)
+    g, stype = _g_stype_cols()
     return df.select(
-        F.lit(None).cast("string").alias("g"),
+        g,
         F.col(s).alias("s"),
         (F.lit(p) if isinstance(p, str) else p).cast("string").alias("p"),
         F.when(oc.startswith("_:"), F.lit(1)).otherwise(F.lit(KIND_IRI)).cast("tinyint").alias("o_kind"),
         F.when(oc.startswith("_:"), F.expr(f"substring({o}, 3)")).otherwise(oc).alias("o_lex"),
-        F.lit(None).cast("string").alias("o_dt"),
-        F.lit(None).cast("string").alias("o_lang"),
-        F.lit(None).cast("decimal(38,18)").alias("o_num"),
-        F.lit(None).cast("double").alias("o_dbl"),
-        F.lit(None).cast("timestamp").alias("o_dtm"),
-        F.lit(None).cast("boolean").alias("o_bool"),
-        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+        *_null_cols(),
+        stype,
     )
 
 
@@ -404,7 +426,9 @@ def rdfs_closure(
         cand = fresh[0]
         for d in fresh[1:]:
             cand = cand.unionByName(d)
-        new = _anti_new(cand, out)
+        # checkpoint first: the whole rule program runs ONCE per round
+        # (the emptiness probe then reads the checkpointed delta)
+        new = _anti_new(cand, out).localCheckpoint(eager=True)
         if new.isEmpty():
             break
         out = out.unionByName(new).localCheckpoint(eager=True)
