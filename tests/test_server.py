@@ -101,3 +101,29 @@ def test_bad_query_400(endpoint):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_real_service_federation(spark, endpoint):
+    """SERVICE <…> against OUR OWN protocol endpoint over real HTTP —
+    the full ServiceCallJoin loop (compile → POST → results-JSON →
+    vectored join) with no fake transport."""
+    from bigdata_old_spark import service
+    from bigdata_old_spark.store import TripleStore
+
+    base, _ = endpoint
+    service.set_transport(None)  # ensure the real urllib transport
+    local = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        :a :tag "local-a" . :zzz :tag "local-z" .
+    """)
+    df = local.query(f"""
+        PREFIX : <http://example.org/>
+        SELECT ?s ?tag ?o WHERE {{
+          ?s :tag ?tag .
+          SERVICE <{base}> {{ ?s :p ?o }}
+        }} ORDER BY ?o""")
+    rows = df.collect()
+    # remote store binds :a :p 1/2 — the join keeps only :a
+    assert [r["o"]["lex"] for r in rows] == ["1", "2"]
+    assert all(r["s"]["lex"] == "http://example.org/a" for r in rows)
+    assert all(r["tag"]["lex"] == "local-a" for r in rows)
