@@ -64,9 +64,10 @@ def _store(spark: SparkSession, sf_dir: str):
             if spark.catalog.tableExists(table):
                 spark.sql(f"DROP TABLE `{table}`")
             TripleStore(spark, triplify_dir(spark, sf_dir)).write_bucketed(table, 32, path=path)
-            _STORES[key] = TripleStore.from_table(spark, table)
+            # triplified TPC-H data is triples-only: skip the graph probe
+            _STORES[key] = TripleStore.from_table(spark, table, has_named_graphs=False)
         else:
-            _STORES[key] = TripleStore.from_bucketed(spark, table, path, 32)
+            _STORES[key] = TripleStore.from_bucketed(spark, table, path, 32, has_named_graphs=False)
     return _STORES[key]
 
 
@@ -438,6 +439,55 @@ def _p_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = brute_force_topk(emb, queries_df, k=10)
     return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
+def _p_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == n_centroids: every inverted list is probed, so
+    the result provably equals the exact brute-force top-k — the same
+    all-pairs oracle as p03 value-checks the whole IVF path (quantizer,
+    inverted lists, probe join, re-rank)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(emb, queries_df, k=10, n_centroids=8, nprobe=8)
+    return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
+def _p_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked + exact verify,
+    gate-checked against a DuckDB all-pairs list_cosine_similarity
+    filter.  The raw embeddings table has no near-dup pairs (max
+    pairwise cosine ≈ 0.51), so every vec_id % 10 == 0 vector gets a
+    deterministic perturbed twin (0.98·v + 0.02·next vector, id+100000)
+    on BOTH the Spark and DuckDB sides — twin pairs land at cosine
+    ≈ 0.9997, far above the blocking recall knee, and the all-pairs
+    oracle then value-checks the whole LSH → verify path."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    nxt = emb.select((F.col("id") - 1).alias("id"), F.col("v").alias("nv"))
+    twins = (
+        emb.where(F.col("id") % 10 == 0)
+        .join(nxt, "id")
+        .select(
+            (F.col("id") + 100000).alias("id"),
+            F.zip_with("v", "nv", lambda x, y: x * F.lit(0.98) + y * F.lit(0.02)).alias("v"),
+        )
+    )
+    aug = emb.unionByName(twins)
+    out = cosine_near_dup_pairs(
+        aug, min_sim=0.98, id_col="id", vec_col="v", n_planes=16, hamming_radius=16
+    )
+    return out.select("id_a", "id_b", F.round(F.col("sim"), 5).alias("sim"))
 
 
 def _p_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,6 +892,39 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
            CROSS JOIN embeddings e
            QUALIFY rnk <= 10""",
+    ),
+    "p09_ivf_topk_fullprobe": (
+        _p_ivf_topk,
+        # nprobe == n_centroids ⇒ IVF provably equals the exact top-k,
+        # so the brute-force oracle value-checks the IVF machinery
+        """SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.embedding, e.embedding), 5) AS sim,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                  ) AS rnk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN embeddings e
+           QUALIFY rnk <= 10""",
+    ),
+    "p10_cosine_near_dup": (
+        _p_cosine_near_dup,
+        """WITH base AS (
+             SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+           ),
+           aug AS (
+             SELECT id, v FROM base
+             UNION ALL
+             SELECT e.id + 100000,
+                    list_transform(range(1, 1 + len(e.v)),
+                                   i -> e.v[i] * 0.98 + n.v[i] * 0.02)
+             FROM base e JOIN base n ON n.id = e.id + 1
+             WHERE e.id % 10 = 0
+           )
+           SELECT a.id AS id_a, b.id AS id_b,
+                  round(list_cosine_similarity(a.v, b.v), 5) AS sim
+           FROM aug a JOIN aug b ON a.id < b.id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.98""",
     ),
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),

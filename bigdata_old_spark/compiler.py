@@ -403,8 +403,19 @@ class QueryCompiler:
         if graph is None:
             if ds is not None and ds.default_graphs is not None:
                 # FROM g1,g2 — the default graph becomes the RDF merge of
-                # the listed named graphs (DataSetJoin: isin on ?g)
-                return df.where(F.col("g").isin(ds.default_graphs))
+                # the listed named graphs (DataSetJoin: isin on ?g).  The
+                # merge is set semantics: a triple present in several
+                # listed graphs binds once.
+                scan = df.where(F.col("g").isin(ds.default_graphs))
+                if len(ds.default_graphs) > 1:
+                    scan = scan.dropDuplicates(["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"])
+                return scan
+            if self.store.union_default_graph and self.store.has_named_graphs:
+                # Reference quads-mode default (AbstractTripleStore /
+                # BigdataSail: no dataset → the RDF merge of ALL graphs,
+                # incl. the unnamed one).  Dedup only when named graphs
+                # actually exist — a triples-only store scans untouched.
+                return df.dropDuplicates(["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"])
             return df.where(F.col("g").isNull())
         if isinstance(graph, A.Var):
             out = df.where(F.col("g").isNotNull())
@@ -979,9 +990,17 @@ class QueryCompiler:
         shared = sorted(set(c.vars) & set(sub.vars))
         marker = _fresh("ex")
         if not shared:
-            nonempty = len(sub.df.take(1)) > 0
-            return c.df.withColumn(marker, F.lit(nonempty)), F.col(marker)
+            # lazy: a 1-row nonempty probe rides the plan (global agg on
+            # limit(1) always yields exactly one row), broadcast-crossed
+            # onto the input — no Spark job at compile time.
+            probe = (
+                sub.df.limit(1)
+                .groupBy()
+                .agg((F.count(F.lit(1)) > 0).alias(marker))
+            )
+            return c.df.crossJoin(F.broadcast(probe)), F.col(marker)
         keys = sub.df.select(*[F.col(v).alias(f"__r_{v}") for v in shared]).dropDuplicates()
+        all_certain = all(v in c.certain and v in sub.certain for v in shared)
         compat = None
         for v in shared:
             lc, rc = c.df[v], keys[f"__r_{v}"]
@@ -999,6 +1018,19 @@ class QueryCompiler:
             else:
                 cc = lc.isNull() | rc.isNull() | (lc == rc)
             compat = cc if compat is None else (compat & cc)
+        if all_certain:
+            # one-pass: the key set is distinct and equality is strict,
+            # so a left join matches each input row at most once — a
+            # single scan of the (possibly large) left side instead of
+            # the semi+anti pair.
+            flagged = keys.withColumn("__exm", F.lit(True))
+            joined = c.df.join(flagged, compat, "left_outer")
+            out = joined.withColumn(
+                marker, F.coalesce(F.col("__exm"), F.lit(False))
+            ).drop("__exm", *[f"__r_{v}" for v in shared])
+            return out, F.col(marker)
+        # unbound-compatible matching can hit many key rows per input
+        # row — the semi+anti pair is the duplication-free form there
         pos = c.df.join(keys, compat, "left_semi").withColumn(marker, F.lit(True))
         neg_ = c.df.join(keys, compat, "left_anti").withColumn(marker, F.lit(False))
         return pos.unionByName(neg_), F.col(marker)
@@ -1495,9 +1527,28 @@ class QueryCompiler:
             err = F.max(F.when(col.isNotNull() & col["dbl"].isNull(), 1).otherwise(0))
             rank = F.max(SF._num_rank(col))
             if node.distinct:
-                s_num, s_dbl = F.sum_distinct(col["num"]), F.sum_distinct(col["dbl"])
-                cnt = F.count_distinct(col["num"]) + F.lit(0)  # approximation note in docstring
-                cnt_dbl = F.count_distinct(col["dbl"])
+                # SPARQL Distinct(M) removes duplicate TERMS, not values:
+                # "1"^^xsd:integer and "01"^^xsd:integer both contribute.
+                # Dedup on the flat term key (collect_set of a slim
+                # (key, num, dbl) struct), then fold the set — err/rank
+                # above are max-style and thus dedup-invariant.
+                item = F.when(
+                    col.isNotNull(),
+                    F.struct(
+                        _key_from_term(col).alias("k"),
+                        col["num"].alias("num"),
+                        col["dbl"].alias("dbl"),
+                    ),
+                )
+                vals = F.collect_set(item)
+                cnt = cnt_dbl = F.size(vals)
+                dec0 = F.lit(0).cast("decimal(38,18)")
+                s_num = F.aggregate(
+                    vals, dec0, lambda acc, x: (acc + x["num"]).cast("decimal(38,18)")
+                )
+                s_dbl = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x["dbl"])
+                s_num = F.when(cnt != 0, s_num)
+                s_dbl = F.when(cnt_dbl != 0, s_dbl)
             else:
                 s_num, s_dbl = F.sum(col["num"]), F.sum(col["dbl"])
                 cnt = F.count(col["num"])
@@ -1529,7 +1580,18 @@ class QueryCompiler:
             return F.first(col, ignorenulls=True)
 
         if n == "GROUP_CONCAT":
-            vals = F.collect_set(col["lex"]) if node.distinct else F.collect_list(col["lex"])
+            if node.distinct:
+                # distinct TERMS — "a"@en and "a"@fr both contribute an
+                # "a"; dedup on the flat term key, then keep the lex
+                items = F.collect_set(
+                    F.when(
+                        col.isNotNull(),
+                        F.struct(_key_from_term(col).alias("k"), col["lex"].alias("lex")),
+                    )
+                )
+                vals = F.transform(items, lambda x: x["lex"])
+            else:
+                vals = F.collect_list(col["lex"])
             # SPARQL leaves concatenation order implementation-defined;
             # sorting makes results deterministic across shuffles (and
             # oracle-comparable)

@@ -284,21 +284,33 @@ def parse_xsd_datetime(lex: str) -> datetime | None:
 _COL_CACHE: dict = {}
 
 
+_COL_CACHE_CTX: list = [None]
+
+
 def cached_col(key, build) -> Column:
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    k = (id(sc), key)
-    c = _COL_CACHE.get(k)
+    # identity that can't be recycled across stop/restart (id() can):
+    # applicationId + startTime are unique per context.  On a context
+    # change the whole cache is dropped — stale Columns hold dead JVM
+    # gateway references and must never be served.
+    ctx = (sc.applicationId, sc.startTime) if sc is not None else None
+    if ctx != _COL_CACHE_CTX[0]:
+        _COL_CACHE.clear()
+        _COL_CACHE_CTX[0] = ctx
+    c = _COL_CACHE.get(key)
     if c is None:
         c = build()
-        _COL_CACHE[k] = c
+        _COL_CACHE[key] = c
     return c
 
 
 def lit_c(v) -> Column:
-    """Cached literal column for hashable constants."""
-    return cached_col(("lit", v), lambda: F.lit(v))
+    """Cached literal column for hashable constants.  The value's type
+    is part of the key: True == 1 == 1.0 in Python, and a bool-typed
+    literal must not be served where an int was asked for."""
+    return cached_col(("lit", type(v).__name__, v), lambda: F.lit(v))
 
 
 def mk_term_col(
@@ -320,7 +332,10 @@ def mk_term_col(
         if val is None:
             return cached_col(("nullf", name), lambda: F.lit(None).cast(dtype).alias(name))
         if isinstance(val, (str, int, float, bool)):
-            return cached_col(("constf", name, val), lambda: F.lit(val).cast(dtype).alias(name))
+            return cached_col(
+                ("constf", name, type(val).__name__, val),
+                lambda: F.lit(val).cast(dtype).alias(name),
+            )
         return val.cast(dtype).alias(name)
 
     return F.struct(

@@ -317,3 +317,45 @@ def write_results(df: DataFrame, path: str, format: str = "json") -> None:
     with Spark's text writer — no driver collect, any scale."""
     fmt = MIME_FORMATS.get(format, format)
     _ROW_WRITERS[fmt](df).write.mode("overwrite").text(path)
+
+
+# -- readers ------------------------------------------------------------------
+# SPARQL Query Results XML Format reader — the inverse of sparql_xml().
+# Mirrors the reference's Sesame SPARQLResultsXMLParser use in
+# AbstractDataDrivenSPARQLTestCase.java:299 (expected-result loading).
+
+def parse_sparql_xml(text: str):
+    """SPARQL-results XML → bool (ASK envelope) or (vars, rows) where
+    rows is a list of {var: Term} dicts (unbound vars absent)."""
+    import xml.etree.ElementTree as ET
+
+    from bigdata_old_spark.model import Term
+
+    NS = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(text)
+    boolean = root.find(f"{NS}boolean")
+    if boolean is not None:
+        return boolean.text.strip().lower() in ("true", "1")
+    head = root.find(f"{NS}head")
+    variables = [
+        v.get("name") for v in (head.findall(f"{NS}variable") if head is not None else [])
+    ]
+    rows = []
+    results = root.find(f"{NS}results")
+    for result in results.findall(f"{NS}result") if results is not None else []:
+        row = {}
+        for b in result.findall(f"{NS}binding"):
+            name = b.get("name")
+            for child in b:
+                tag = child.tag.removeprefix(NS)
+                txt = child.text or ""
+                if tag == "uri":
+                    row[name] = Term.iri(txt)
+                elif tag == "bnode":
+                    row[name] = Term.bnode(txt)
+                elif tag == "literal":
+                    dt = child.get("datatype")
+                    lang = child.get("{http://www.w3.org/XML/1998/namespace}lang")
+                    row[name] = Term.literal(txt, dt=dt, lang=lang)
+        rows.append(row)
+    return variables, rows

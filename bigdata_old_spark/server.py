@@ -26,6 +26,7 @@ batch statements-DF rewrite returning a new TripleStore).
 
 from __future__ import annotations
 
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -44,6 +45,20 @@ _FORMAT_MIME = {
 
 _GRAPH_FORMS = ("CONSTRUCT", "DESCRIBE")
 
+_QUERY_FORM_RE = re.compile(
+    r"(?:\s|#[^\n]*\n?|(?:PREFIX\s+[^\s:]*:\s*<[^>]*>)|(?:BASE\s*<[^>]*>))*"
+    r"([A-Za-z]+)",
+    re.IGNORECASE,
+)
+
+
+def _query_form(sparql: str) -> str:
+    """First query-form keyword after comments and the PREFIX/BASE
+    prologue — NOT a substring search (a SELECT whose IRIs mention
+    'construct' must still negotiate a bindings format)."""
+    m = _QUERY_FORM_RE.match(sparql)
+    return m.group(1).upper() if m else ""
+
 
 def _negotiate(accept: str | None, sparql: str) -> str:
     """Accept header → serializer format key (ConnegUtil analog).
@@ -56,12 +71,7 @@ def _negotiate(accept: str | None, sparql: str) -> str:
                 return MIME_FORMATS[mime]
             if mime == "*/*":
                 break
-    head = sparql.lstrip().upper()
-    # skip prologue to find the query form
-    for form in _GRAPH_FORMS:
-        if form in head:
-            return "turtle"
-    return "json"
+    return "turtle" if _query_form(sparql) in _GRAPH_FORMS else "json"
 
 
 class SparqlHandler(BaseHTTPRequestHandler):
@@ -107,10 +117,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         if q is None:
             self._reply(400, "missing query parameter", "text/plain")
             return
-        try:
-            self._run_query(q, "explain" in p)
-        except Exception as e:  # malformed query → 400 per protocol
-            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+        self._dispatch(q, None, "explain" in p)
 
     def do_POST(self) -> None:  # noqa: N802
         p = self._params()
@@ -127,15 +134,36 @@ class SparqlHandler(BaseHTTPRequestHandler):
             query = body
         elif ctype == "application/sparql-update":
             update = body
+        if query is not None and update is not None:
+            # SPARQL 1.1 Protocol: exactly one operation per request
+            self._reply(400, "exactly one of query/update allowed", "text/plain")
+            return
+        if query is None and update is None:
+            self._reply(400, "missing query/update", "text/plain")
+            return
+        self._dispatch(query, update, "explain" in p)
+
+    def _dispatch(self, query, update, explain: bool) -> None:
+        """Parse errors → 400 (client fault); failures after a
+        successful parse → 500 (server fault) — not everything is 400."""
+        from bigdata_old_spark.parser import parse_query
+        from bigdata_old_spark.update import parse_update
+
+        try:
+            if update is not None:
+                parse_update(update)
+            else:
+                parse_query(query)
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            return
         try:
             if update is not None:
                 self._run_update(update)
-            elif query is not None:
-                self._run_query(query, "explain" in p)
             else:
-                self._reply(400, "missing query/update", "text/plain")
+                self._run_query(query, explain)
         except Exception as e:
-            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
 
 
 def make_server(store, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:

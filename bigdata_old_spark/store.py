@@ -17,9 +17,47 @@ from bigdata_old_spark.model import STATEMENTS_SCHEMA, statements_df_from_terms
 
 
 class TripleStore:
-    def __init__(self, spark: SparkSession, statements: DataFrame):
+    """Quad store over a flat statements DataFrame.
+
+    ``union_default_graph`` mirrors the reference's quads-mode default
+    (AbstractTripleStore: a query with no dataset runs against the RDF
+    merge of ALL graphs, not just the unnamed one — the behavior the
+    data-driven fixture corpus assumes).  Set False for strict SPARQL
+    dataset semantics (default graph = unnamed triples only).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        statements: DataFrame,
+        union_default_graph: bool = True,
+        has_named_graphs: bool | None = None,
+    ):
         self.spark = spark
         self.statements = statements
+        self.union_default_graph = union_default_graph
+        self._has_ng = has_named_graphs
+
+    @property
+    def has_named_graphs(self) -> bool:
+        """Lazily probed once per store; drives the union-default-graph
+        scan (a triples-only store never pays the merge dedup)."""
+        if self._has_ng is None:
+            self._has_ng = (
+                self.statements.where(F.col("g").isNotNull()).limit(1).count() > 0
+            )
+        return self._has_ng
+
+    def with_statements(
+        self, statements: DataFrame, has_named_graphs: bool | None = None
+    ) -> "TripleStore":
+        """Derived store carrying this store's semantics flags."""
+        return TripleStore(
+            self.spark,
+            statements,
+            union_default_graph=self.union_default_graph,
+            has_named_graphs=has_named_graphs,
+        )
 
     # -- constructors --------------------------------------------------------
     @staticmethod
@@ -37,7 +75,10 @@ class TripleStore:
     @staticmethod
     def from_rows(spark: SparkSession, rows: list[tuple]) -> "TripleStore":
         """rows: (g, s, p, o[, stype]) with o a Term or plain Python value."""
-        return TripleStore(spark, statements_df_from_terms(rows, spark))
+        has_ng = any(r[0] is not None for r in rows)
+        return TripleStore(
+            spark, statements_df_from_terms(rows, spark), has_named_graphs=has_ng
+        )
 
     @staticmethod
     def from_tpch_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None, cache: bool = True) -> "TripleStore":
@@ -47,7 +88,8 @@ class TripleStore:
         df = triplify_dir(spark, sf_dir, tables)
         if cache:
             df = df.persist()
-        return TripleStore(spark, df)
+        # triplify emits g=NULL throughout — no named graphs, no merge dedup
+        return TripleStore(spark, df, has_named_graphs=False)
 
     @staticmethod
     def from_turtle(spark: SparkSession, text: str, graph: str | None = None) -> "TripleStore":
@@ -156,14 +198,14 @@ class TripleStore:
         """RDFS forward closure (inference.rdfs_closure)."""
         from bigdata_old_spark.inference import rdfs_closure
 
-        return TripleStore(self.spark, rdfs_closure(self.statements))
+        return self.with_statements(rdfs_closure(self.statements))
 
     def add(self, other: DataFrame) -> "TripleStore":
-        return TripleStore(self.spark, self.statements.unionByName(other).dropDuplicates())
+        return self.with_statements(self.statements.unionByName(other).dropDuplicates())
 
     def remove(self, other: DataFrame) -> "TripleStore":
         keys = [c for c in self.statements.columns if c != "stype"]
-        return TripleStore(self.spark, self.statements.join(other.select(*keys).dropDuplicates(), keys, "left_anti"))
+        return self.with_statements(self.statements.join(other.select(*keys).dropDuplicates(), keys, "left_anti"), has_named_graphs=self._has_ng and None)
 
     def persist(self) -> "TripleStore":
         self.statements = self.statements.persist()
@@ -235,16 +277,30 @@ class TripleStore:
         spark.sql(f"ALTER TABLE `{table}` RECOVER PARTITIONS")
 
     @staticmethod
-    def from_bucketed(spark: SparkSession, table: str, path: str, buckets: int = 32) -> "TripleStore":
+    def from_bucketed(
+        spark: SparkSession,
+        table: str,
+        path: str,
+        buckets: int = 32,
+        has_named_graphs: bool | None = None,
+    ) -> "TripleStore":
         """Open a bucketed store written by ``write_bucketed(path=...)``,
-        registering it in this session's catalog if needed."""
+        registering it in this session's catalog if needed.  Pass
+        ``has_named_graphs=False`` for triples-only data to skip the
+        one-time graph probe."""
         TripleStore.register_bucketed(spark, table, path, buckets)
-        return TripleStore.from_table(spark, table)
+        return TripleStore.from_table(spark, table, has_named_graphs=has_named_graphs)
 
     @staticmethod
-    def from_table(spark: SparkSession, table: str) -> "TripleStore":
+    def from_table(
+        spark: SparkSession, table: str, has_named_graphs: bool | None = None
+    ) -> "TripleStore":
         """Read a write_bucketed table; scans keep the bucket metadata
         so subject joins skip the shuffle (verify: no Exchange in
         explain)."""
         df = spark.read.table(table)
-        return TripleStore(spark, df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]))
+        return TripleStore(
+            spark,
+            df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]),
+            has_named_graphs=has_named_graphs,
+        )

@@ -149,17 +149,34 @@ def sessionize_stateful(
     ts_col: str = "ts",
     key_col: str = "user_id",
     timeout_ms: int = 30000,
+    flush_on_idle: bool = True,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Custom stateful session operator over a STREAM:
-    ``applyInPandasWithState`` keeps (start, end, n, sum) per key,
-    closes a session when an event arrives past the gap or when the
-    processing-time timeout fires with the gap definitively elapsed.
+    ``applyInPandasWithState`` keeps (start, end, n, sum) per key and
+    closes a session when an event arrives past the gap.
 
-    Semantics match :func:`sessionize_batch` (bounds = member min/max)
-    once the stream is drained and timeouts have fired.  This is the
-    template for stateful operators the built-in ``session_window``
-    cannot express (e.g. emitting MID-session updates or custom
-    eviction); prefer :func:`sessionized_event_counts` when it can.
+    Idle keys (``flush_on_idle``, the default): after ``timeout_ms`` of
+    processing-time inactivity for a key, its open session is CLOSED
+    AND EMITTED regardless of the event-time gap — flush-on-idle
+    semantics.  On a drained stream this converges to
+    :func:`sessionize_batch` (which also closes every open session at
+    end of input); on a live stream, a key idle longer than
+    ``timeout_ms`` of wall-clock (lag, bursty sources) has its session
+    split even though the event-time gap has not elapsed.
+
+    ``flush_on_idle=False`` gives strict event-time semantics instead:
+    pass a ``watermark`` delay, and a timed-out session is only emitted
+    once the tracked watermark has passed ``session_end + gap`` —
+    otherwise the timeout re-arms.  Sessions then never split early,
+    but the last session per key stays open until the watermark
+    advances past its gap (it never does on a frozen stream — standard
+    watermark behavior, same as ``session_window`` + append mode).
+
+    This is the template for stateful operators the built-in
+    ``session_window`` cannot express (e.g. emitting MID-session
+    updates or custom eviction); prefer
+    :func:`sessionized_event_counts` when it can.
 
     State is per-key and O(1) — the canonical keyed-state scale shape.
     """
@@ -172,6 +189,12 @@ def sessionize_stateful(
     state_schema = (
         "session_start timestamp, session_end timestamp, n_events long, value_sum double"
     )
+    gap_ms = gap_seconds * 1000
+
+    def _epoch_ms(ts) -> int:
+        from datetime import timezone
+
+        return int(ts.replace(tzinfo=timezone.utc).timestamp() * 1000)
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user,) = key
@@ -180,8 +203,19 @@ def sessionize_stateful(
         if state.hasTimedOut:
             if state.exists:
                 s, e, n, v = state.get
-                closed.append((s, e, n, v))
-                state.remove()
+                if flush_on_idle:
+                    close = True
+                else:
+                    # getCurrentWatermarkMs raises without a watermark —
+                    # only consulted in strict event-time mode
+                    wm = state.getCurrentWatermarkMs()
+                    close = wm > 0 and wm - _epoch_ms(e) > gap_ms
+                if close:
+                    closed.append((s, e, n, v))
+                    state.remove()
+                else:
+                    # gap not definitively elapsed in event time — re-arm
+                    state.setTimeoutDuration(timeout_ms)
         else:
             rows = pd.concat(list(pdfs)).sort_values(ts_col)
             cur = list(state.get) if state.exists else None
@@ -204,6 +238,8 @@ def sessionize_stateful(
             yield out
 
     events = _with_event_time(events, ts_col)
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
     return events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
     )

@@ -314,8 +314,10 @@ def execute_update(store, text: str):
     from bigdata_old_spark.compiler import QueryCompiler
     from bigdata_old_spark.store import TripleStore
 
+    union_flag = store.union_default_graph
     for op in parse_update(text):
         store = _execute_one(store, op)
+        store.union_default_graph = union_flag
     return store
 
 

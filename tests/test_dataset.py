@@ -28,9 +28,26 @@ def test_from_merges_named_into_default(quad_store):
     assert lex(df, "s") == [EX + "a", EX + "b"]
 
 
-def test_default_graph_without_from(quad_store):
+def test_default_graph_without_from_union(quad_store):
+    # reference quads-mode default: no dataset → RDF merge of ALL graphs
     df = quad_store.query(P + "SELECT ?s WHERE { ?s :p ?o }")
+    assert lex(df, "s") == [EX + "a", EX + "b", EX + "c", EX + "d"]
+
+
+def test_default_graph_without_from_strict(quad_store):
+    # strict SPARQL dataset semantics behind the flag
+    strict = quad_store.with_statements(quad_store.statements)
+    strict.union_default_graph = False
+    df = strict.query(P + "SELECT ?s WHERE { ?s :p ?o }")
     assert lex(df, "s") == [EX + "d"]
+
+
+def test_union_default_graph_merge_dedups(spark):
+    # the same triple in two graphs binds once (RDF merge = set union)
+    st = TripleStore.from_turtle(spark, "@prefix : <http://example.org/> . :x :p :v .")
+    st = st.update(P + "INSERT DATA { GRAPH :g1 { :x :p :v } GRAPH :g2 { :x :p :v } }")
+    df = st.query(P + "SELECT ?s WHERE { ?s :p :v }")
+    assert lex(df, "s") == [EX + "x"]
 
 
 def test_from_named_restricts_graph_var(quad_store):

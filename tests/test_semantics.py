@@ -233,3 +233,50 @@ def test_sum_poisons_on_non_numeric(spark):
         PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
         SELECT (SUM(xsd:decimal(?w)) AS ?t) WHERE { ?s :w ?w }""").collect()
     assert skipped[0]["t"] is not None and float(skipped[0]["t"]["lex"]) == 1.0
+
+
+# -- DISTINCT aggregates dedup on TERM identity (VERDICT r02 item 2) ---------
+
+DISTINCT_TTL = """
+@prefix : <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+:s1 :v "1"^^xsd:integer , "01"^^xsd:integer , "1.0"^^xsd:decimal .
+:s2 :w "a"@en , "a"@fr , "a" .
+"""
+
+
+@pytest.fixture(scope="module")
+def distinct_store(spark):
+    return TripleStore.from_turtle(spark, DISTINCT_TTL).persist()
+
+
+def test_sum_distinct_term_identity(distinct_store):
+    # three DISTINCT terms with values 1, 1, 1.0 → SUM = 3 (not 1)
+    v = one(distinct_store.query(P + "SELECT (SUM(DISTINCT ?o) AS ?m) WHERE { :s1 :v ?o }"), "m")
+    assert float(v["num"]) == 3.0
+
+
+def test_avg_distinct_term_identity(distinct_store):
+    v = one(distinct_store.query(P + "SELECT (AVG(DISTINCT ?o) AS ?m) WHERE { :s1 :v ?o }"), "m")
+    assert float(v["num"]) == 1.0
+
+
+def test_group_concat_distinct_term_identity(distinct_store):
+    # "a"@en, "a"@fr, "a" are three distinct terms → three concat items
+    v = one(
+        distinct_store.query(
+            P + 'SELECT (GROUP_CONCAT(DISTINCT ?o; SEPARATOR="|") AS ?m) WHERE { :s2 :w ?o }'
+        ),
+        "m",
+    )
+    assert v["lex"] == "a|a|a"
+
+
+def test_sum_distinct_dedups_true_duplicates(distinct_store):
+    # the same term twice in different rows still counts once
+    st = TripleStore.from_turtle(
+        distinct_store.spark,
+        "@prefix : <http://example.org/> . :a :p 5 . :b :p 5 . :c :p 7 .",
+    )
+    v = one(st.query(P + "SELECT (SUM(DISTINCT ?o) AS ?m) WHERE { ?s :p ?o }"), "m")
+    assert float(v["num"]) == 12.0
