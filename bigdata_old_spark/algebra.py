@@ -201,6 +201,11 @@ class Dataset:
 
     default_graphs: Optional[list] = None  # None = the real default graph
     named_graphs: Optional[list] = None    # None = all named graphs
+    # FROM [NAMED] VIRTUAL GRAPH <vg> — membership comes from
+    # (vg, bd:virtualGraph, ?g) data triples (reference BD.VIRTUAL_GRAPH,
+    # TestVirtualGraphs.java:80); resolved by the compiler as a semi-join
+    virtual_default: Optional[list] = None
+    virtual_named: Optional[list] = None
 
 
 @dataclass
@@ -257,8 +262,10 @@ class DescribeQuery:
     dataset: Optional[Dataset] = None
     # DescribeModeEnum.java:47-127: ForwardOneStep | CBD (forward +
     # recursive bnode-object closure) | SymmetricOneStep (± one step) |
-    # SCBD (symmetric + bnode closure in both directions)
-    mode: str = "CBD"
+    # SCBD (symmetric + bnode closure in both directions).  None →
+    # compiler default (SymmetricOneStep, the reference's
+    # QueryHints.DEFAULT_DESCRIBE_MODE).
+    mode: str | None = None
 
 
 Query = U[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]

@@ -33,6 +33,7 @@ from bigdata_old_spark import algebra as A
 from bigdata_old_spark import functions as SF
 from bigdata_old_spark.model import (
     KIND_BNODE,
+    KIND_IRI,
     KIND_LITERAL,
     TERM_TYPE,
     Term,
@@ -355,11 +356,35 @@ class QueryCompiler:
         if isinstance(node, A.ValuesPat):
             return self.values(node)
         if isinstance(node, A.GraphPat):
+            if isinstance(node.child, A.BGP) and not node.child.triples:
+                # GRAPH ?g {} binds ?g to every nonempty named graph;
+                # GRAPH <g> {} is a nonempty-graph test (reference
+                # trac709/trac429, TestGraphEmptyPattern709_429)
+                base = self.store.statements.where(F.col("g").isNotNull())
+                ds = self.dataset
+                g = node.graph
+                if isinstance(g, A.Var):
+                    if ds is not None and ds.named_graphs is not None:
+                        base = base.where(F.col("g").isin(ds.named_graphs))
+                    df = base.select(F.col("g").alias(g.name)).dropDuplicates()
+                    return Compiled(df, frozenset([g.name]), frozenset([g.name]))
+                if ds is not None and ds.named_graphs is not None and g.lex not in ds.named_graphs:
+                    df = base.limit(0).select(F.lit(1).alias("__unit"))
+                else:
+                    df = base.where(F.col("g") == g.lex).limit(1).select(F.lit(1).alias("__unit"))
+                return Compiled(df, frozenset())
             return self.compile_pattern(node.child, graph=node.graph)
         if isinstance(node, A.SubSelect):
             return self.compile_subselect(node.query)
         if isinstance(node, A.IncludePat):
             c = self._named_sets.get(node.name)
+            if c is None:
+                # durable named solution sets on the store (reference
+                # ISolutionSetManager / SolutionSetManager — INCLUDE of a
+                # pre-materialized set, TestInclude.java:144)
+                df = self.store.solution_sets.get(node.name)
+                if df is not None:
+                    c = Compiled(df, frozenset())
             if c is None:
                 raise ValueError(f"INCLUDE %{node.name}: no such named subquery")
             # fresh alias per INCLUDE so two includes of the same set
@@ -401,13 +426,22 @@ class QueryCompiler:
         df = self.store.statements
         ds = self.dataset
         if graph is None:
-            if ds is not None and ds.default_graphs is not None:
-                # FROM g1,g2 — the default graph becomes the RDF merge of
-                # the listed named graphs (DataSetJoin: isin on ?g).  The
+            if ds is not None and (ds.default_graphs is not None or ds.virtual_default):
+                # FROM g1,g2 / FROM VIRTUAL GRAPH vg — the default graph
+                # becomes the RDF merge of the listed (or vg-member)
+                # named graphs (DataSetJoin: isin/semi-join on ?g).  The
                 # merge is set semantics: a triple present in several
-                # listed graphs binds once.
-                scan = df.where(F.col("g").isin(ds.default_graphs))
-                if len(ds.default_graphs) > 1:
+                # graphs binds once.
+                parts = []
+                if ds.default_graphs is not None:
+                    parts.append(df.where(F.col("g").isin(ds.default_graphs)))
+                if ds.virtual_default:
+                    m = self._vg_members(ds.virtual_default)
+                    parts.append(df.join(m, df["g"] == m["__vg"], "left_semi"))
+                scan = parts[0]
+                for extra in parts[1:]:
+                    scan = scan.unionByName(extra)
+                if ds.virtual_default or len(ds.default_graphs or ()) > 1:
                     scan = scan.dropDuplicates(["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"])
                 return scan
             if self.store.union_default_graph and self.store.has_named_graphs:
@@ -419,12 +453,42 @@ class QueryCompiler:
             return df.where(F.col("g").isNull())
         if isinstance(graph, A.Var):
             out = df.where(F.col("g").isNotNull())
-            if ds is not None and ds.named_graphs is not None:
-                out = out.where(F.col("g").isin(ds.named_graphs))
+            if ds is not None and (ds.named_graphs is not None or ds.virtual_named):
+                if ds.virtual_named:
+                    m = self._vg_members(ds.virtual_named)
+                    if ds.named_graphs is not None:
+                        lit = self.store.spark.createDataFrame(
+                            [(g,) for g in ds.named_graphs], "__vg string")
+                        m = m.unionByName(lit).dropDuplicates()
+                    out = out.join(m, out["g"] == m["__vg"], "left_semi")
+                else:
+                    out = out.where(F.col("g").isin(ds.named_graphs))
             return out
-        if ds is not None and ds.named_graphs is not None and graph.lex not in ds.named_graphs:
-            return df.limit(0)
+        if ds is not None and (ds.named_graphs is not None or ds.virtual_named):
+            if graph.lex not in (ds.named_graphs or ()):
+                if not ds.virtual_named:
+                    return df.limit(0)
+                m = self._vg_members(ds.virtual_named).where(F.col("__vg") == graph.lex)
+                return df.where(F.col("g") == graph.lex).join(
+                    m, df["g"] == m["__vg"], "left_semi")
         return df.where(F.col("g") == graph.lex)
+
+    #: BD.VIRTUAL_GRAPH (reference bigdata-rdf/store/BD.java — virtual
+    #: graph membership is data: (vg, bd:virtualGraph, member))
+    VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
+
+    def _vg_members(self, vgs) -> DataFrame:
+        """Member graphs of the given virtual graphs, as a 1-col DF."""
+        st = self.store.statements
+        return (
+            st.where(
+                (F.col("p") == self.VIRTUAL_GRAPH)
+                & F.col("s").isin(list(vgs))
+                & (F.col("o_kind") == KIND_IRI)
+            )
+            .select(F.col("o_lex").alias("__vg"))
+            .dropDuplicates()
+        )
 
     def compile_triple(self, t: A.TriplePattern, graph, ranges: dict | None = None) -> Compiled:
         if not isinstance(t.p, (A.Var, Term)):
@@ -1214,17 +1278,22 @@ class QueryCompiler:
             frontier = new
             depth += 1
         if min_len == 0:
-            nodes = self._graph_nodes(graph)
-            zero = nodes.select(F.col("__n").alias("__src"), F.col("__n").alias("__dst"))
+            # Reference semantics (ZeroLengthPathOp over the path's edge
+            # relation, TestPropertyPaths test_inVar_outVar_noSharedVars):
+            # var-var zero-length endpoints range over the VERTICES OF
+            # THE PATH'S EDGE SET, not every term in the graph — a
+            # deliberate deviation from the strict W3C ALP definition
+            # that bigdata ships, and vastly cheaper at scale (no
+            # all-graph-nodes cross).
+            verts = (
+                edges.select(F.col("__src").alias("__n"))
+                .unionByName(edges.select(F.col("__dst").alias("__n")))
+                .dropDuplicates()
+            )
+            zero = verts.select(F.col("__n").alias("__src"), F.col("__n").alias("__dst"))
             result = zero.unionByName(result).dropDuplicates()
         return result
 
-    def _graph_nodes(self, graph) -> DataFrame:
-        """Every node of the graph as a flat path key."""
-        base = self._scan(graph)
-        subs = base.select(F.col("s").alias("__n"))
-        objs = base.select(_key_from_obj().alias("__n"))
-        return subs.unionByName(objs).dropDuplicates()
 
     # -- query forms -------------------------------------------------------------
     def compile_select(self, q: A.SelectQuery) -> DataFrame:
@@ -1669,21 +1738,29 @@ class QueryCompiler:
                               directions
         """
         spark = self.store.spark
-        if q.pattern is not None and any(isinstance(t, A.Var) for t in q.terms):
+        var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
+        const_rows = [(t.lex,) for t in q.terms if isinstance(t, Term)]
+        nodes = None
+        if q.pattern is not None:
+            # always compile the pattern — even an all-constant DESCRIBE
+            # carries hint: triples (describe-SymmetricOneStep-1.rq)
             c = self.compile_pattern(q.pattern)
-            var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
-            nodes = None
             for v in var_names:
                 vcol = F.col(v) if v in c.flat else term_to_iri_string(F.col(v))
                 d = c.df.select(vcol.alias("__s")).where(F.col("__s").isNotNull())
                 nodes = d if nodes is None else nodes.unionByName(d)
-            nodes = nodes.dropDuplicates()
-        else:
-            rows = [(t.lex,) for t in q.terms if isinstance(t, Term)]
-            nodes = spark.createDataFrame(rows, "__s string")
+        if const_rows:
+            cdf = spark.createDataFrame(const_rows, "__s string")
+            nodes = cdf if nodes is None else nodes.unionByName(cdf)
+        nodes = nodes.dropDuplicates()
         # hints are collected while compiling the pattern, so the mode
-        # hint is resolved after it
-        mode = self.hints.get("describeMode") or getattr(q, "mode", "CBD") or "CBD"
+        # hint is resolved after it.  Default mode matches the reference
+        # (QueryHints.DEFAULT_DESCRIBE_MODE = SymmetricOneStep).
+        mode = (
+            self.hints.get("describeMode")
+            or getattr(q, "mode", None)
+            or "SymmetricOneStep"
+        )
         stmts = self.store.statements
         symmetric = mode in ("SymmetricOneStep", "SCBD")
         bnode_closure = mode in ("CBD", "SCBD")
@@ -1702,10 +1779,12 @@ class QueryCompiler:
             )
             return fwd.unionByName(rev).dropDuplicates()
 
-        out = step(nodes)
-        if bnode_closure:
-            seen = nodes
-            frontier = nodes
+        def closure_from(ns: DataFrame) -> DataFrame:
+            res = step(ns)
+            if not bnode_closure:
+                return res
+            seen = ns
+            frontier = ns
             for _ in range(32):  # bnode chains are shallow in practice
                 cur = step(frontier)
                 # bnodes reachable from the current slice: objects of
@@ -1720,7 +1799,46 @@ class QueryCompiler:
                 if frontier.isEmpty():
                     break
                 seen = seen.unionByName(frontier).localCheckpoint(eager=True)
-                out = out.unionByName(step(frontier))
+                res = res.unionByName(step(frontier))
+            return res
+
+        out = closure_from(nodes)
+        if bnode_closure:
+            # CBD/SCBD step 3 (w3.org/Submission/CBD, describe-CBD-1
+            # fixture): include the description of every REIFICATION of a
+            # statement in the description — resources whose rdf:subject/
+            # rdf:predicate/rdf:object point at an included triple.  One
+            # reification level (reifications-of-reifications do not
+            # occur in practice; the reference stops there too).
+            RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            skey = (
+                F.when(F.col("o_kind") == 1, F.concat(F.lit("_:"), F.col("o_lex")))
+                .otherwise(F.col("o_lex"))
+            )
+            subj_of = stmts.where((F.col("p") == RDF_NS + "subject") & (F.col("o_kind") != 2)).select(
+                F.col("s").alias("__r"), skey.alias("__ts"))
+            pred_of = stmts.where((F.col("p") == RDF_NS + "predicate") & (F.col("o_kind") == 0)).select(
+                F.col("s").alias("__r"), F.col("o_lex").alias("__tp"))
+            obj_of = stmts.where(F.col("p") == RDF_NS + "object").select(
+                F.col("s").alias("__r"),
+                *[F.col(c).alias(f"__t{c}") for c in ("o_kind", "o_lex", "o_dt", "o_lang")])
+            cand = subj_of.join(pred_of, "__r").join(obj_of, "__r")
+            included = out.select("s", "p", "o_kind", "o_lex", "o_dt", "o_lang").dropDuplicates()
+            reif = (
+                cand.join(
+                    included,
+                    (cand["__ts"] == included["s"])
+                    & (cand["__tp"] == included["p"])
+                    & (cand["__to_kind"] == included["o_kind"])
+                    & (cand["__to_lex"] == included["o_lex"])
+                    & cand["__to_dt"].eqNullSafe(included["o_dt"])
+                    & cand["__to_lang"].eqNullSafe(included["o_lang"]),
+                    "left_semi",
+                )
+                .select(F.col("__r").alias("__s"))
+                .dropDuplicates()
+            )
+            out = out.unionByName(closure_from(reif))
         return out.select(
             iri_col_to_term(F.col("s")).alias("s"),
             iri_col_to_term(F.col("p")).alias("p"),

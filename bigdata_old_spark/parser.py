@@ -46,9 +46,10 @@ _TOKEN_RE = re.compile(
   | (?P<DECIMAL>\d*\.\d+)
   | (?P<INTEGER>\d+)
   | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
+  | (?P<ASSIGN>:=)
   | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.%-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.%-]*|:)
   | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*+/|^?!<>=-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|:=|[{}()\[\].,;*+/|^?!<>=-])
   | (?P<WS>\s+)
     """,
     re.VERBOSE,
@@ -72,7 +73,8 @@ class _Parser:
             pos = m.end()
             if m.lastgroup in ("WS", "COMMENT"):
                 continue
-            self.toks.append((m.lastgroup, m.group()))
+            kind = "OP" if m.lastgroup == "ASSIGN" else m.lastgroup
+            self.toks.append((kind, m.group()))
         if pos != len(text):
             raise ParseError(f"cannot tokenize at …{text[pos:pos+30]!r}")
         self.i = 0
@@ -135,11 +137,31 @@ class _Parser:
             else:
                 return
 
+    #: silently-declared well-known prefixes (reference
+    #: PrefixDeclProcessor.java:193 checkForWellKnownNamespacePrefix —
+    #: queries may use hint:/bds:/bd:/… without a PREFIX decl)
+    WELL_KNOWN_PREFIXES = {
+        "bd": "http://www.bigdata.com/rdf#",
+        "bds": "http://www.bigdata.com/rdf/search#",
+        "hint": "http://www.bigdata.com/queryHints#",
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+        "foaf": "http://xmlns.com/foaf/0.1/",
+        "fn": "http://www.w3.org/2005/xpath-functions#",
+        "owl": "http://www.w3.org/2002/07/owl#",
+        "sesame": "http://www.openrdf.org/schema/sesame#",
+        "gas": "http://www.bigdata.com/rdf/gas#",
+    }
+
     # -- terms -------------------------------------------------------------------
     def resolve_pname(self, v: str) -> str:
         pfx, _, local = v.partition(":")
         if pfx not in self.prefixes:
-            raise ParseError(f"undefined prefix '{pfx}:'")
+            wk = self.WELL_KNOWN_PREFIXES.get(pfx)
+            if wk is None:
+                raise ParseError(f"undefined prefix '{pfx}:'")
+            self.prefixes[pfx] = wk
         return self.prefixes[pfx] + local
 
     def parse_iri(self) -> Term:
@@ -222,14 +244,20 @@ class _Parser:
         """FROM <g> / FROM NAMED <g> → Dataset (DataSetJoin analog)."""
         default: list = []
         named: list = []
+        vdefault: list = []
+        vnamed: list = []
         while self.take_word("FROM"):
-            if self.take_word("NAMED"):
+            is_named = bool(self.take_word("NAMED"))
+            if self.take_word("VIRTUAL"):
+                self.expect_word("GRAPH")
+                (vnamed if is_named else vdefault).append(self.parse_iri().lex)
+            elif is_named:
                 named.append(self.parse_iri().lex)
             else:
                 default.append(self.parse_iri().lex)
-        if not default and not named:
+        if not (default or named or vdefault or vnamed):
             return None
-        return A.Dataset(default or None, named or None)
+        return A.Dataset(default or None, named or None, vdefault or None, vnamed or None)
 
     def parse_select(self, top: bool = False) -> A.SelectQuery:
         self.expect_word("SELECT")
@@ -266,6 +294,23 @@ class _Parser:
         self.parse_solution_modifiers(q)
         if self.take_word("VALUES"):
             q.values = self.parse_values_body()
+        elif self.take_word("BINDINGS"):
+            # SPARQL 1.1 draft BINDINGS clause (pre-VALUES syntax, kept
+            # by the reference grammar: bare var list, parenthesized rows)
+            names: list[str] = []
+            while self.peek()[0] == "VAR":
+                names.append(self.parse_var().name)
+            self.expect_op("{")
+            rows: list[list] = []
+            while self.at_op("("):
+                self.next()
+                row = []
+                while not self.at_op(")"):
+                    row.append(self.parse_values_term())
+                self.expect_op(")")
+                rows.append(row)
+            self.expect_op("}")
+            q.values = A.ValuesPat(names, rows)
         return q
 
     def parse_ask(self) -> A.AskQuery:
@@ -434,6 +479,17 @@ class _Parser:
                 e = self.parse_expr()
                 self.expect_word("AS")
                 var = self.parse_var()
+                self.expect_op(")")
+                flush_bgp()
+                base = acc if acc is not None else A.BGP()
+                acc = A.Extend(base, var.name, e)
+            elif self.take_word("LET"):
+                # bigdata extension: LET (?v := expr) ≡ BIND(expr AS ?v)
+                # (reference BigdataExprBuilder LET support)
+                self.expect_op("(")
+                var = self.parse_var()
+                self.expect_op(":=")
+                e = self.parse_expr()
                 self.expect_op(")")
                 flush_bgp()
                 base = acc if acc is not None else A.BGP()

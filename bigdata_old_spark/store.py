@@ -37,6 +37,11 @@ class TripleStore:
         self.statements = statements
         self.union_default_graph = union_default_graph
         self._has_ng = has_named_graphs
+        #: durable named solution sets (reference ISolutionSetManager,
+        #: SolutionSetManager.java) — INCLUDE %name resolves here when
+        #: no WITH {…} AS %name named subquery is in scope.  Values are
+        #: DataFrames with term-struct columns (one per variable).
+        self.solution_sets: dict[str, DataFrame] = {}
 
     @property
     def has_named_graphs(self) -> bool:
@@ -52,12 +57,20 @@ class TripleStore:
         self, statements: DataFrame, has_named_graphs: bool | None = None
     ) -> "TripleStore":
         """Derived store carrying this store's semantics flags."""
-        return TripleStore(
+        st = TripleStore(
             self.spark,
             statements,
             union_default_graph=self.union_default_graph,
             has_named_graphs=has_named_graphs,
         )
+        st.solution_sets = dict(self.solution_sets)
+        return st
+
+    def put_solution_set(self, name: str, df: DataFrame) -> None:
+        """Store a durable named solution set for ``INCLUDE %name``
+        (reference SolutionSetManager.putSolutions).  ``df`` columns are
+        term structs, one per variable."""
+        self.solution_sets[name.lstrip("%")] = df
 
     # -- constructors --------------------------------------------------------
     @staticmethod
@@ -157,7 +170,8 @@ class TripleStore:
         SELECT; s/p/o term structs for CONSTRUCT/DESCRIBE; one boolean
         row for ASK).  ``describe_mode`` picks the DESCRIBE algorithm
         (ForwardOneStep | CBD | SymmetricOneStep | SCBD — the
-        reference's DescribeModeEnum; default CBD)."""
+        reference's DescribeModeEnum; default SymmetricOneStep, matching
+        QueryHints.DEFAULT_DESCRIBE_MODE)."""
         from bigdata_old_spark import algebra as A
         from bigdata_old_spark.compiler import QueryCompiler
         from bigdata_old_spark.parser import parse_query

@@ -39,7 +39,19 @@ SKIP: dict[str, str] = {}
 with open(MANIFEST) as _f:
     _m = json.load(_f)
 ENTRIES = _m["entries"]
-IDS = [f"{e['suite']}__{e['uri'].replace('/', '_')}" for e in ENTRIES]
+
+
+def _mk_id(e):
+    base = f"{e['suite']}__{e['uri'].replace('/', '_')}"
+    q = e["query"].removesuffix(".rq")
+    if q != e["uri"]:
+        base += f"__{q}"
+    if e["data"] and e["data"][0].rsplit(".", 1)[0] not in (e["uri"], q):
+        base += f"__{e['data'][0].rsplit('.', 1)[0]}"
+    return base
+
+
+IDS = [_mk_id(e) for e in ENTRIES]
 
 
 def _read(name: str) -> str:
@@ -96,6 +108,38 @@ _spark_ref = [None]
 @pytest.fixture(scope="module", autouse=True)
 def _bind_spark(spark):
     _spark_ref[0] = spark
+    # TestQueryHints 08/08b/09/10 run against a registered mock service
+    # (TestQueryHints.java:1283 OpenrdfNativeMockServiceFactory with
+    # solutions {x: bd:Mike}, {x: bd:Bryan})
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.compiler import Compiled
+    from bigdata_old_spark.model import iri_col_to_term
+    from bigdata_old_spark.registry import register_service
+
+    def mock_service(store, pattern, compiler):
+        df = store.spark.createDataFrame(
+            [("http://www.bigdata.com/Mike",), ("http://www.bigdata.com/Bryan",)],
+            "x string",
+        ).select(iri_col_to_term(F.col("x")).alias("x"))
+        return Compiled(df, frozenset(["x"]))
+
+    register_service("http://www.bigdata.com/mockService", mock_service)
+
+    # TestCustomFunction registers myFunction (label → label-label) and
+    # myFunction2 (label == "Mike") before running its fixtures
+    # (TestCustomFunction.java:84,127)
+    from bigdata_old_spark.functions import boolean_term, string_term
+    from bigdata_old_spark.registry import register_function
+
+    register_function(
+        "http://www.bigdata.com/myFunction",
+        lambda args: string_term(F.concat(args[0]["lex"], F.lit("-"), args[0]["lex"])),
+    )
+    register_function(
+        "http://www.bigdata.com/myFunction2",
+        lambda args: boolean_term(args[0]["lex"] == F.lit("Mike")),
+    )
     yield
 
 
@@ -152,6 +196,55 @@ def _expected(entry, form):
     return ("rows", rows, ordered or entry["check_order"])
 
 
+def _solution_set_df(spark, var_names, rows):
+    """rows: list of {var: Term} → DataFrame of term-struct columns."""
+    from pyspark.sql import types as T
+
+    from bigdata_old_spark.model import TERM_TYPE
+
+    schema = T.StructType([T.StructField(v, TERM_TYPE) for v in var_names])
+    data = [
+        tuple(r.get(v).as_row() if r.get(v) is not None else None for v in var_names)
+        for r in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def _include_sets(spark, uri):
+    """Pre-materialized named solution sets for the TestInclude fixtures
+    (the Java tests populate them via SolutionSetManager —
+    TestInclude.java:144,254 — not via WITH…AS)."""
+    from bigdata_old_spark.model import Term
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#int"
+
+    def i(n):
+        return Term.literal(str(n), dt=XSD_INT)
+
+    BD = "http://www.bigdata.com/"
+    if uri in ("include_01", "include_02"):
+        return {
+            "solutionSet1": _solution_set_df(
+                spark,
+                ["x", "y", "z"],
+                [{"x": i(1), "y": i(2)}, {}, {"x": i(3), "y": i(4), "z": i(5)}],
+            )
+        }
+    if uri in ("include_03", "include_03a"):
+        return {
+            "solutionSet1": _solution_set_df(
+                spark,
+                ["x", "y"],
+                [
+                    {"x": Term.iri(BD + "Mike"), "y": i(2)},
+                    {"x": Term.iri(BD + "Bryan"), "y": i(4)},
+                    {"x": Term.iri(BD + "DC"), "y": i(1)},
+                ],
+            )
+        }
+    return {}
+
+
 @pytest.mark.parametrize("entry", ENTRIES, ids=IDS)
 def test_reference_fixture(entry, spark, request):
     fixture_id = request.node.callspec.id
@@ -176,6 +269,8 @@ def test_reference_fixture(entry, spark, request):
     )
 
     store = _load_store(spark, entry["data"])
+    for name, sdf in _include_sets(spark, entry["uri"]).items():
+        store.put_solution_set(name, sdf)
     df = store.query(query_text)
 
     kind, *rest = _expected(entry, form)
