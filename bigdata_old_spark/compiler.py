@@ -444,6 +444,11 @@ class QueryCompiler:
                 if ds.virtual_default or len(ds.default_graphs or ()) > 1:
                     scan = scan.dropDuplicates(["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"])
                 return scan
+            if ds is not None:
+                # dataset present but no FROM/FROM VIRTUAL: the default
+                # graph is EMPTY (SPARQL dataset description semantics —
+                # FROM NAMED alone leaves nothing in the default graph)
+                return df.limit(0)
             if self.store.union_default_graph and self.store.has_named_graphs:
                 # Reference quads-mode default (AbstractTripleStore /
                 # BigdataSail: no dataset → the RDF merge of ALL graphs,
@@ -453,7 +458,10 @@ class QueryCompiler:
             return df.where(F.col("g").isNull())
         if isinstance(graph, A.Var):
             out = df.where(F.col("g").isNotNull())
-            if ds is not None and (ds.named_graphs is not None or ds.virtual_named):
+            if ds is not None:
+                if ds.named_graphs is None and not ds.virtual_named:
+                    # FROM without FROM NAMED: the named-graph set is empty
+                    return out.limit(0)
                 if ds.virtual_named:
                     m = self._vg_members(ds.virtual_named)
                     if ds.named_graphs is not None:
@@ -464,13 +472,13 @@ class QueryCompiler:
                 else:
                     out = out.where(F.col("g").isin(ds.named_graphs))
             return out
-        if ds is not None and (ds.named_graphs is not None or ds.virtual_named):
-            if graph.lex not in (ds.named_graphs or ()):
-                if not ds.virtual_named:
-                    return df.limit(0)
-                m = self._vg_members(ds.virtual_named).where(F.col("__vg") == graph.lex)
-                return df.where(F.col("g") == graph.lex).join(
-                    m, df["g"] == m["__vg"], "left_semi")
+        if ds is not None and graph.lex not in (ds.named_graphs or ()):
+            if not ds.virtual_named:
+                # not in the (possibly empty) named-graph set
+                return df.limit(0)
+            m = self._vg_members(ds.virtual_named).where(F.col("__vg") == graph.lex)
+            return df.where(F.col("g") == graph.lex).join(
+                m, df["g"] == m["__vg"], "left_semi")
         return df.where(F.col("g") == graph.lex)
 
     #: BD.VIRTUAL_GRAPH (reference bigdata-rdf/store/BD.java — virtual
@@ -580,16 +588,28 @@ class QueryCompiler:
         if not triples and len(search_units) == 1:
             return search_units[0]
         star_groups, rest = self._split_star_groups(triples)
+        # property-path triples join LAST: a zero-length-capable path
+        # (p?, p*) whose endpoints get bound by sibling patterns must see
+        # those bindings in its zero-length domain (the reference
+        # pipelines bindings into ArbitraryLengthPathOp — ticket739)
+        path_ts = [t for t in rest if not isinstance(t.p, (A.Var, Term))]
+        plain = [t for t in rest if isinstance(t.p, (A.Var, Term))]
         units = search_units
         units += [self.compile_star(s_name, ts, graph) for s_name, ts in star_groups]
-        units += [self.compile_triple(t, graph, ranges) for t in rest]
-        reps = ([ts[0] for _, ts in star_groups] + rest) if not search_units else None
-        if reps is not None and len(reps) == len(units):
-            return self._join_units(units, reps)
-        # search units first (small, selective), then greedy join
-        acc = units[0]
-        for u in units[1:]:
-            acc = self.join(acc, u)
+        units += [self.compile_triple(t, graph, ranges) for t in plain]
+        reps = ([ts[0] for _, ts in star_groups] + plain) if not search_units else None
+        acc = None
+        if units:
+            if reps is not None and len(reps) == len(units):
+                acc = self._join_units(units, reps)
+            else:
+                # search units first (small, selective), then greedy join
+                acc = units[0]
+                for u in units[1:]:
+                    acc = self.join(acc, u)
+        for t in path_ts:
+            unit = self.compile_path_triple(t, graph, seed_from=acc)
+            acc = unit if acc is None else self.join(acc, unit)
         return acc
 
     def _split_search_groups(self, triples):
@@ -1050,8 +1070,32 @@ class QueryCompiler:
         """Attach a boolean column answering EXISTS{pattern} per row
         (the ASTExistsOptimizer anonymous-variable trick, done with a
         semi+anti join pair so no duplication can occur)."""
-        sub = self.compile_pattern(ex.pattern, graph)
-        shared = sorted(set(c.vars) & set(sub.vars))
+        # top-level filters of the EXISTS group may correlate with OUTER
+        # variables (sparql11-exists-06: FILTER(?n = ?m) where ?n binds
+        # outside); peel them off, compile the rest, and fold correlated
+        # filters into the join condition
+        pattern = ex.pattern
+        corr_exprs = []
+        while isinstance(pattern, A.FilterPat):
+            fvs = A.expr_vars(pattern.expr)
+            if fvs & set(c.vars):
+                corr_exprs.append(pattern.expr)
+                pattern = pattern.child
+            else:
+                break
+        sub = self.compile_pattern(pattern, graph)
+        # non-correlated peeled filters (referencing only sub vars) go
+        # back onto the subpattern
+        corr = []
+        for e in corr_exprs:
+            if A.expr_vars(e) <= set(sub.vars):
+                sub = self.filter(sub, e, graph)
+            else:
+                corr.append(e)
+        shared_set = set(c.vars) & set(sub.vars)
+        for e in corr:
+            shared_set |= A.expr_vars(e) & set(sub.vars)
+        shared = sorted(shared_set)
         marker = _fresh("ex")
         if not shared:
             # lazy: a 1-row nonempty probe rides the plan (global agg on
@@ -1064,9 +1108,10 @@ class QueryCompiler:
             )
             return c.df.crossJoin(F.broadcast(probe)), F.col(marker)
         keys = sub.df.select(*[F.col(v).alias(f"__r_{v}") for v in shared]).dropDuplicates()
-        all_certain = all(v in c.certain and v in sub.certain for v in shared)
+        eq_shared = sorted(set(c.vars) & set(sub.vars))
+        all_certain = all(v in c.certain and v in sub.certain for v in eq_shared)
         compat = None
-        for v in shared:
+        for v in eq_shared:
             lc, rc = c.df[v], keys[f"__r_{v}"]
             mixed = (v in c.flat) != (v in sub.flat)
             certain = v in c.certain and v in sub.certain
@@ -1082,6 +1127,21 @@ class QueryCompiler:
             else:
                 cc = lc.isNull() | rc.isNull() | (lc == rc)
             compat = cc if compat is None else (compat & cc)
+        if corr:
+            # correlated filters join outer columns with sub key columns
+            resolve = {}
+            for e in corr:
+                for v in A.expr_vars(e):
+                    if v in shared_set:
+                        col = keys[f"__r_{v}"]
+                        resolve[v] = iri_col_to_term(col) if v in sub.flat else col
+                    elif v in c.vars:
+                        col = c.df[v]
+                        resolve[v] = iri_col_to_term(col) if v in c.flat else col
+            for e in corr:
+                b = F.coalesce(compile_bool(e, resolve, {}), F.lit(False))
+                compat = b if compat is None else compat & b
+            all_certain = False  # non-equi condition: keep semi+anti form
         if all_certain:
             # one-pass: the key set is distinct and equality is strict,
             # so a left join matches each input row at most once — a
@@ -1118,7 +1178,7 @@ class QueryCompiler:
         return Compiled(df, certain)
 
     # -- property paths ---------------------------------------------------------
-    def compile_path_triple(self, t: A.TriplePattern, graph) -> Compiled:
+    def compile_path_triple(self, t: A.TriplePattern, graph, seed_from: Compiled | None = None) -> Compiled:
         """Property-path pattern → DataFrame of (s, o) bindings.
 
         Static operators (seq/alt/inverse/negated-set) expand to plain
@@ -1129,7 +1189,22 @@ class QueryCompiler:
         """
         s_name = t.s.name if isinstance(t.s, A.Var) else _fresh("ps")
         o_name = t.o.name if isinstance(t.o, A.Var) else _fresh("po")
-        pairs = self._path_pairs(t.p, graph, t)
+        # endpoint bindings from already-joined sibling patterns widen
+        # the zero-length domain (pipelined-bindings parity, ticket739)
+        extra_zero = None
+        if seed_from is not None:
+            parts = []
+            for end in (t.s, t.o):
+                if isinstance(end, A.Var) and end.name in seed_from.vars:
+                    col = seed_from.df[end.name]
+                    key = col if end.name in seed_from.flat else _key_from_term(col)
+                    parts.append(seed_from.df.select(key.alias("__n")).where(key.isNotNull()))
+            if parts:
+                extra_zero = parts[0]
+                for p_ in parts[1:]:
+                    extra_zero = extra_zero.unionByName(p_)
+                extra_zero = extra_zero.dropDuplicates()
+        pairs = self._path_pairs(t.p, graph, t, extra_zero)
         df = pairs.toDF("__src", "__dst") if pairs.columns != ["__src", "__dst"] else pairs
         # endpoints are flat keys: constant filters and the same-var
         # constraint compare strings, never structs
@@ -1164,7 +1239,7 @@ class QueryCompiler:
         out = df.select(*proj)
         return Compiled(out, frozenset(names), frozenset(flat))
 
-    def _path_pairs(self, p, graph, t) -> DataFrame:
+    def _path_pairs(self, p, graph, t, extra_zero: DataFrame | None = None) -> DataFrame:
         """Compile a path expression to a (src key, dst key) pair DF —
         both columns flat strings (see _PK_LIT), so every seq join,
         closure frontier join, dedup and anti-join in the path machinery
@@ -1211,10 +1286,10 @@ class QueryCompiler:
                 out = out.unionByName(d)
             return out
         if isinstance(p, A.PathStar):
-            return self._path_closure(p, graph, t)
+            return self._path_closure(p, graph, t, extra_zero)
         raise NotImplementedError(f"path {type(p)}")
 
-    def _path_closure(self, p: A.PathStar, graph, t) -> DataFrame:
+    def _path_closure(self, p: A.PathStar, graph, t, extra_zero: DataFrame | None = None) -> DataFrame:
         edges = self._path_pairs(p.path, graph, t).dropDuplicates().localCheckpoint(eager=True)
         min_len, max_len = p.min_len, p.max_len
 
@@ -1288,8 +1363,12 @@ class QueryCompiler:
             verts = (
                 edges.select(F.col("__src").alias("__n"))
                 .unionByName(edges.select(F.col("__dst").alias("__n")))
-                .dropDuplicates()
             )
+            if extra_zero is not None:
+                # endpoints already bound by sibling patterns also admit
+                # the zero-length solution (pipelined bindings parity)
+                verts = verts.unionByName(extra_zero)
+            verts = verts.dropDuplicates()
             zero = verts.select(F.col("__n").alias("__src"), F.col("__n").alias("__dst"))
             result = zero.unionByName(result).dropDuplicates()
         return result
@@ -1308,9 +1387,7 @@ class QueryCompiler:
             self._named_sets[name] = Compiled(
                 nc.df.localCheckpoint(eager=True), nc.certain, nc.flat
             )
-        c = self.compile_pattern(q.pattern)
-        if q.values is not None:
-            c = self.join(c, self.values(q.values))
+        c = self._compile_with_values(q.pattern, q.values)
 
         has_agg = bool(q.group_by)
         agg_nodes: list = []
@@ -1390,20 +1467,43 @@ class QueryCompiler:
             n for n in proj_names
             if n in c.flat and (q.wildcard or f"__proj_{n}" not in df.columns)
         }
-        out = df.select(*[
+        proj_cols = [
             F.col(f"__proj_{n}").alias(n)
             if not q.wildcard and f"__proj_{n}" in df.columns
             else F.col(n).alias(n)
             for n in proj_names
-        ])
-        if (q.distinct or q.reduced) and not q.order_by:
-            out = out.dropDuplicates()
+        ]
+        distinct_ordered_done = False
+        if (q.distinct or q.reduced) and q.order_by:
+            # ORDER BY may reference non-projected vars (ticket563): keep
+            # each distinct projected row's best sort key through the
+            # dedup, then order by it — DISTINCT preserving the
+            # pre-projection sort, like the reference's order-preserving
+            # distinct.  Uniform sort direction folds into one min/max;
+            # mixed asc/desc falls back to a post-dedup re-sort.
+            asc_all = all(asc for _, asc in q.order_by)
+            desc_all = all(not asc for _, asc in q.order_by)
+            sort_structs = [F.col(f"__sort_{i}") for i in range(len(q.order_by))]
+            if asc_all or desc_all:
+                agg = (F.min if asc_all else F.max)(F.struct(*sort_structs)).alias("__best")
+                out = (
+                    df.select(*proj_cols, *sort_structs)
+                    .groupBy(*proj_names)
+                    .agg(agg)
+                    .orderBy(F.col("__best").asc() if asc_all else F.col("__best").desc())
+                    .drop("__best")
+                )
+                distinct_ordered_done = True
+        if not distinct_ordered_done:
+            out = df.select(*proj_cols)
+            if (q.distinct or q.reduced) and not q.order_by:
+                out = out.dropDuplicates()
         out = out.select(*[
             (iri_col_to_term(F.col(n)) if n in flatp else F.col(n)).alias(n)
             for n in proj_names
         ])
 
-        if (q.distinct or q.reduced) and q.order_by:
+        if (q.distinct or q.reduced) and q.order_by and not distinct_ordered_done:
             # dropDuplicates would shuffle away the order; re-sort after
             out = out.dropDuplicates()
             keys = []
@@ -1683,10 +1783,36 @@ class QueryCompiler:
             certain = frozenset(n for n, e in q.projection if e is None) & inner.certain
         return Compiled(df, certain)
 
+    def _compile_with_values(self, pattern, values) -> Compiled:
+        """Compile a pattern with a trailing VALUES/BINDINGS block
+        SEEDED at the pipeline start, mirroring the reference's
+        evaluation (incoming bindings feed the leftmost operator, so
+        OPTIONAL/MINUS right sides see the restriction —
+        sparql11-bindings-04: an OPTIONAL that fails under the seeded
+        binding leaves the VALUES binding in force, where a post-join
+        would drop the row)."""
+        if values is None:
+            return self.compile_pattern(pattern)
+
+        def seed(node):
+            if isinstance(node, (A.LeftJoin, A.MinusPat)):
+                import dataclasses
+
+                return dataclasses.replace(node, left=seed(node.left))
+            if isinstance(node, A.Join):
+                import dataclasses
+
+                return dataclasses.replace(node, left=seed(node.left))
+            if isinstance(node, A.FilterPat):
+                import dataclasses
+
+                return dataclasses.replace(node, child=seed(node.child))
+            return A.Join(values, node)
+
+        return self.compile_pattern(seed(pattern))
+
     def compile_ask(self, q: A.AskQuery) -> DataFrame:
-        c = self.compile_pattern(q.pattern)
-        if q.values is not None:
-            c = self.join(c, self.values(q.values))
+        c = self._compile_with_values(q.pattern, q.values)
         nonempty = len(c.df.take(1)) > 0
         return self.store.spark.createDataFrame([(nonempty,)], "ask boolean")
 
@@ -1705,11 +1831,21 @@ class QueryCompiler:
         outs = []
         for tp in q.template:
             def pos(x, role):
+                from bigdata_old_spark.model import mk_term_col
+
                 if isinstance(x, A.Var):
+                    if x.name not in c.vars and x.name.startswith("_bnode_"):
+                        # template [...] / _:b parsed as an anon var but
+                        # never bound by the WHERE pattern: a CONSTRUCT
+                        # template bnode, fresh per solution
+                        # (ASTConstructIterator bnode handling,
+                        # dawg-construct-reification-1)
+                        return mk_term_col(
+                            kind=F.lit(KIND_BNODE),
+                            lex=F.concat(F.lit(x.name + "-"), F.col("__row")),
+                        )
                     return resolve.get(x.name, SF.null_term())
                 if x.kind == 1:  # template bnode → fresh per solution
-                    from bigdata_old_spark.model import mk_term_col, KIND_BNODE
-
                     return mk_term_col(kind=F.lit(KIND_BNODE), lex=F.concat(F.lit(x.lex + "-"), F.col("__row")))
                 return term_lit(x)
 

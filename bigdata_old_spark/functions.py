@@ -177,12 +177,25 @@ def compare(l: Column, r: Column) -> Column:
     )
 
 
+def _either_lang_lit(l: Column, r: Column) -> Column:
+    """Both literals and at least one carries a language tag — Sesame's
+    QueryEvaluationUtil then uses plain term equality, never a type
+    error (open-eq-12: "xyz"@en = "xyz"^^xsd:integer is FALSE, not an
+    error, while plain "xyz" = "xyz"^^xsd:integer errors)."""
+    return (
+        (l["kind"] == KIND_LITERAL)
+        & (r["kind"] == KIND_LITERAL)
+        & (l["lang"].isNotNull() | r["lang"].isNotNull())
+    )
+
+
 def eq_term(l: Column, r: Column) -> Column:
     """'=' — value equality with sameTerm fallback for unknown types."""
     c = compare(l, r)
     return (
         F.when(c.isNotNull(), c == 0)
         .when(l.isNull() | r.isNull(), F.lit(None).cast("boolean"))
+        .when(_either_lang_lit(l, r), same_term(l, r))
         .when(same_term(l, r), F.lit(True))
         .otherwise(F.lit(None).cast("boolean"))
     )
@@ -193,6 +206,7 @@ def ne_term(l: Column, r: Column) -> Column:
     return (
         F.when(c.isNotNull(), c != 0)
         .when(l.isNull() | r.isNull(), F.lit(None).cast("boolean"))
+        .when(_either_lang_lit(l, r), ~same_term(l, r))
         .when(same_term(l, r), F.lit(False))
         # distinct kinds / bnodes: RDFterm-equal says not-equal
         .when((l["kind"] != r["kind"]) | (l["kind"] != KIND_LITERAL), F.lit(True))
@@ -208,28 +222,39 @@ def order_key(t: Column) -> Column:
     BY emits orderBy(order_key(col)) and Tungsten external sort does
     the rest (strictly better than the reference's at-once
     MemorySortOp.java:68)."""
+    from bigdata_old_spark.model import RDF_LANGSTRING, XSD_STRING
+
     krank = (
         F.when(t.isNull(), F.lit(0))
         .when(t["kind"] == KIND_BNODE, F.lit(1))
         .when(t["kind"] == KIND_IRI, F.lit(2))
         .otherwise(F.lit(3))
     )
+    # literal classes per Sesame ValueComparator (compareLiterals, the
+    # exact code IVComparator delegates to): plain/xsd:string/lang-tagged
+    # first (dt-null class in Sesame), then numerics by value, then
+    # calendar by value, then other datatypes ordered by datatype IRI
+    is_stringy = (t["dt"] == XSD_STRING) | (t["dt"] == RDF_LANGSTRING) | t["dt"].isNull()
     catrank = (
-        F.when(t["dbl"].isNotNull(), F.lit(0))
-        .when(t["dtm"].isNotNull(), F.lit(1))
-        .when(t["bool"].isNotNull(), F.lit(2))
+        F.when(is_stringy, F.lit(0))
+        .when(t["num"].isNotNull() | t["dbl"].isNotNull(), F.lit(1))
+        .when(t["dtm"].isNotNull(), F.lit(2))
         .otherwise(F.lit(3))
     )
+    # dt participates for the non-stringy classes (numeric ties, other-
+    # datatype ordering); NULL for the stringy class so lang/lex decide
+    dt2 = F.when(~is_stringy, t["dt"])
     return F.struct(
         krank.alias("k"),
         catrank.alias("c"),
-        t["num"].alias("n"),
+        # dbl first (populated for every numeric, incl. decimal-overflow
+        # doubles), exact decimal as the precision tie-break
         t["dbl"].alias("d"),
+        t["num"].alias("n"),
         t["dtm"].alias("t"),
-        t["bool"].cast("int").alias("b"),
-        t["lex"].alias("x"),
+        dt2.alias("dt"),
         t["lang"].alias("l"),
-        t["dt"].alias("dt"),
+        t["lex"].alias("x"),
     )
 
 
@@ -399,7 +424,16 @@ def apply_builtin(name: str, args: list[Column], raw_args: list | None = None) -
     # --- accessors ---
     if n == "STR":
         t = args[0]
-        return F.when(t.isNotNull() & (t["kind"] != KIND_BNODE), string_term(t["lex"]))
+        # xsd:dateTime: the reference inlines dateTimes as UTC-normalized
+        # IVs, so STR() materializes the normalized form
+        # ("…T12:53:25.000Z"), not the source lexical form
+        # (LiteralExtensionIV/DateTimeExtension; TestAST
+        # materialization-extensions fixture)
+        lex = F.when(
+            (t["dt"] == XSD_DATETIME) & t["dtm"].isNotNull(),
+            F.date_format(t["dtm"], "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        ).otherwise(t["lex"])
+        return F.when(t.isNotNull() & (t["kind"] != KIND_BNODE), string_term(lex))
     if n == "LANG":
         t = args[0]
         return F.when(t["kind"] == KIND_LITERAL, string_term(F.coalesce(t["lang"], F.lit(""))))

@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
   | (?P<INTEGER>\d+)
   | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
   | (?P<ASSIGN>:=)
-  | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.%-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.%-]*|:)
+  | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?|:)
   | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<OP>\^\^|&&|\|\||!=|<=|>=|:=|[{}()\[\].,;*+/|^?!<>=-])
   | (?P<WS>\s+)

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(
   | (?P<DECIMAL>[+-]?\d*\.\d+)
   | (?P<INTEGER>[+-]?\d+)
   | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
-  | (?P<PNAME>[A-Za-z0-9_][A-Za-z0-9_.-]*?:[A-Za-z0-9_][A-Za-z0-9_.%-]*|[A-Za-z0-9_][A-Za-z0-9_.-]*?:|:[A-Za-z0-9_][A-Za-z0-9_.%-]*|:)
+  | (?P<PNAME>[A-Za-z0-9_][A-Za-z0-9_.-]*?:[A-Za-z0-9_](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?|[A-Za-z0-9_][A-Za-z0-9_.-]*?:|:[A-Za-z0-9_](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?|:)
   | (?P<KEYWORD>\b(?:a|true|false|GRAPH|graph)\b)
   | (?P<DTSEP>\^\^)
   | (?P<PUNCT>[;,.\[\](){}])

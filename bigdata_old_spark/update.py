@@ -321,6 +321,19 @@ def execute_update(store, text: str):
     return store
 
 
+def _maintain_text_index(old_store, new_store, added=None, removed=None):
+    """Carry a built text index across a mutation by delta maintenance
+    (tokenizes only the touched literal keys).  Unbuilt indexes stay
+    lazy; Clear/Drop-style ops don't route here and rebuild lazily."""
+    if old_store._text_index is not None and (added is not None or removed is not None):
+        from bigdata_old_spark.search import update_text_index
+
+        new_store._text_index = update_text_index(
+            old_store._text_index, new_store.statements, added, removed
+        )
+    return new_store
+
+
 def _execute_one(store, op):
     from bigdata_old_spark.compiler import QueryCompiler
     from bigdata_old_spark.rio import load_ntriples
@@ -330,9 +343,12 @@ def _execute_one(store, op):
 
     if isinstance(op, InsertData):
         add = _ground_quads_df(spark, op.quads)
-        return TripleStore(spark, df.unionByName(_anti_new_stmts(add, df)))
+        out = TripleStore(spark, df.unionByName(_anti_new_stmts(add, df)))
+        return _maintain_text_index(store, out, added=add)
     if isinstance(op, DeleteData):
-        return TripleStore(spark, _anti_remove(df, _ground_quads_df(spark, op.quads)))
+        victims = _ground_quads_df(spark, op.quads)
+        out = TripleStore(spark, _anti_remove(df, victims))
+        return _maintain_text_index(store, out, removed=victims)
     if isinstance(op, DeleteInsert):
         comp = QueryCompiler(store)
         pattern = op.pattern
@@ -350,7 +366,13 @@ def _execute_one(store, op):
         if op.insert_template:
             adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
             out = out.unionByName(_anti_new_stmts(adds, out))
-        return TripleStore(spark, out)
+        new_store = TripleStore(spark, out)
+        return _maintain_text_index(
+            store,
+            new_store,
+            added=adds if op.insert_template else None,
+            removed=victims if op.delete_template else None,
+        )
     if isinstance(op, ClearOp) or isinstance(op, DropOp):
         t = op.target
         if t == "default":

@@ -33,7 +33,15 @@ MANIFEST = os.path.join(os.path.dirname(__file__), "fixture_manifest.json")
 
 # fixture id -> reason.  Populated as failures are triaged; every entry
 # must carry an explanation the judge can check.
-SKIP: dict[str, str] = {}
+SKIP: dict[str, str] = {
+    # the reference itself marks these known-bad and skips them
+    # (TestTCK.java:756,803 `if(!BigdataStatics.runKnownBadTests) return`):
+    # the .srx predates the LCWC ORDER BY semantics change and expects a
+    # projected ?cnt the query does not select
+    "TestTCK__sparql11-order-02": "reference known-bad (runKnownBadTests guard, TestTCK.java:756)",
+    "TestTCK__sparql11-order-03": "reference known-bad (runKnownBadTests guard, TestTCK.java:803)",
+    "TestSubQuery__test_ticket_801b_complex_optionals": "reference known-bad (runKnownBadTests guard, TestSubQuery.java:392)",
+}
 
 # fixtures whose SELECT results must match in order (ORDER BY in query)
 with open(MANIFEST) as _f:
@@ -83,6 +91,12 @@ def _load_store(spark, data_files: list[str]):
         text = _read(df)
         tag = bn[0]
         bn[0] += 1
+        # The reference harness loads quads-mode data with DEFAULT
+        # CONTEXT = the file's URI (AbstractDataAndSPARQLTestCase.java:
+        # 153 handler.setContext(new URIImpl(uri))) — so .ttl/.rdf files
+        # land in a named graph, and TriG default-block statements do
+        # too; only explicit TriG graph blocks keep their own context.
+        file_ctx = "file:" + os.path.join(REF_DIR, df)
         if df.endswith(".trig"):
             quads = parse_trig(text)
             for g, s, p, o in quads:
@@ -92,13 +106,13 @@ def _load_store(spark, data_files: list[str]):
                     from bigdata_old_spark.model import Term
 
                     o2 = Term.bnode(f"f{tag}{o.lex}")
-                rows.append((g, s2, p, o2))
+                rows.append((g if g is not None else file_ctx, s2, p, o2))
         elif df.endswith((".rdf", ".owl")):
             for s, p, o in rename_bnodes(parse_rdfxml(text), tag):
-                rows.append((None, s, p, o))
+                rows.append((file_ctx, s, p, o))
         else:  # .ttl / .nt / .n3 — engine turtle parser handles all three
             for s, p, o in rename_bnodes(parse_turtle(text), tag):
-                rows.append((None, s, p, o))
+                rows.append((file_ctx, s, p, o))
     return TripleStore.from_rows(_spark_ref[0], rows)
 
 

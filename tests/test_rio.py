@@ -183,11 +183,20 @@ def test_trig_store_roundtrip(spark):
     """).collect()
     got = {(r["g"]["lex"], r["o"]["lex"]) for r in rows}
     assert got == {(EX + "g1", EX + "b"), (EX + "g2", EX + "c")}
+    # no dataset → union default graph (reference quads-mode semantics)
     default = st.query("""
         PREFIX ex: <http://example.org/>
         SELECT ?o WHERE { ex:a ex:p ?o }
     """).collect()
-    assert {r["o"]["lex"] for r in default} == {EX + "default"}
+    assert {r["o"]["lex"] for r in default} == {EX + "default", EX + "b", EX + "c"}
+    # strict dataset semantics behind the flag
+    strict = st.with_statements(st.statements)
+    strict.union_default_graph = False
+    default2 = strict.query("""
+        PREFIX ex: <http://example.org/>
+        SELECT ?o WHERE { ex:a ex:p ?o }
+    """).collect()
+    assert {r["o"]["lex"] for r in default2} == {EX + "default"}
 
 
 NQUADS = """\
