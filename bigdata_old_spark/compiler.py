@@ -485,6 +485,46 @@ class QueryCompiler:
     #: graph membership is data: (vg, bd:virtualGraph, member))
     VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
 
+    def _compile_reif_triple(self, t: A.TriplePattern) -> Compiled:
+        """?sid rdf:subject/predicate/object ?x against the SID reverse
+        map (provenance mode) — the virtual reification access path.
+        Strictly more than the reference, which cannot reverse-map a SID
+        (AbstractTripleStore.java:757); here the map is one slim DF."""
+        m = self.store.sid_map
+        role = self._REIF_PREDS[t.p.lex]
+        df = m
+        proj = []
+        names: list[str] = []
+        flat: set[str] = set()
+        # subject position: the SID (flat resource string)
+        if isinstance(t.s, A.Var):
+            proj.append(F.col("sid").alias(t.s.name))
+            names.append(t.s.name)
+            flat.add(t.s.name)
+        else:
+            df = df.where(F.col("sid") == t.s.lex)
+        # object position
+        if role == "s":
+            col, is_flat = F.col("ts"), True
+        elif role == "p":
+            col, is_flat = F.col("tp"), True
+        else:
+            col, is_flat = obj_cols_to_term("to_"), False
+        if isinstance(t.o, A.Var):
+            if isinstance(t.s, A.Var) and t.o.name == t.s.name:
+                df = df.where(F.col("sid") == (col if is_flat else _key_from_term(col)))
+            else:
+                proj.append(col.alias(t.o.name))
+                names.append(t.o.name)
+                if is_flat:
+                    flat.add(t.o.name)
+        else:
+            key = _key_from_term(term_lit(t.o))
+            df = df.where((col if is_flat else _key_from_term(col)) == key)
+        if not proj:
+            proj = [F.lit(1).alias("__unit")]
+        return Compiled(df.select(*proj), frozenset(names), frozenset(flat))
+
     def _vg_members(self, vgs) -> DataFrame:
         """Member graphs of the given virtual graphs, as a 1-col DF."""
         st = self.store.statements
@@ -498,9 +538,23 @@ class QueryCompiler:
             .dropDuplicates()
         )
 
+    #: virtual-reification predicates answered from the SID map when the
+    #: store is in provenance mode (provenance.to_sids)
+    _REIF_PREDS = {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#subject": "s",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate": "p",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#object": "o",
+    }
+
     def compile_triple(self, t: A.TriplePattern, graph, ranges: dict | None = None) -> Compiled:
         if not isinstance(t.p, (A.Var, Term)):
             return self.compile_path_triple(t, graph)
+        if (
+            isinstance(t.p, Term)
+            and t.p.lex in self._REIF_PREDS
+            and self.store.sid_map is not None
+        ):
+            return self._compile_reif_triple(t)
         df = self._scan(graph)
         cond = []
         proj: dict[str, Column] = {}

@@ -86,6 +86,10 @@ DATETIME_DTS = frozenset((XSD_DATETIME, XSD_DATE))
 KIND_IRI = 0
 KIND_BNODE = 1
 KIND_LITERAL = 2
+# statement identifiers / SIDs (reference VTE.java:42-54 STATEMENT —
+# provenance mode, AbstractTripleStore.Options.STATEMENT_IDENTIFIERS).
+# A SID rides the s/o positions as a flat "sid:<hash>" resource string.
+KIND_SID = 3
 
 # Statement types (reference StatementEnum.java:42-51).
 STYPE_EXPLICIT = 0

@@ -312,9 +312,20 @@ def update_text_index(
         spark_keys = k if spark_keys is None else spark_keys.unionByName(k).dropDuplicates()
     if spark_keys is None:
         return ti
-    spark_keys = spark_keys.localCheckpoint(eager=True)
-    kept = ti.df.join(spark_keys, _LIT_KEY, "left_anti")
-    touched = new_statements.join(spark_keys, _LIT_KEY, "left_semi")
+    spark_keys = spark_keys.select(
+        *[F.col(c).alias(f"__k_{c}") for c in _LIT_KEY]
+    ).localCheckpoint(eager=True)
+
+    def key_cond(left: DataFrame):
+        # o_dt/o_lang are nullable: equi-joins would drop NULL keys
+        cond = None
+        for c in _LIT_KEY:
+            e = left[c].eqNullSafe(spark_keys[f"__k_{c}"])
+            cond = e if cond is None else cond & e
+        return cond
+
+    kept = ti.df.join(spark_keys, key_cond(ti.df), "left_anti")
+    touched = new_statements.join(spark_keys, key_cond(new_statements), "left_semi")
     rebuilt = _tokenized_literals(touched)
     df = kept.unionByName(rebuilt).persist()
     stats = df.agg(

@@ -42,6 +42,10 @@ class TripleStore:
         #: no WITH {…} AS %name named subquery is in scope.  Values are
         #: DataFrames with term-struct columns (one per variable).
         self.solution_sets: dict[str, DataFrame] = {}
+        #: SIDs provenance mode (provenance.to_sids): reverse map
+        #: (sid → reified s/p/o) consulted by the compiler for
+        #: rdf:subject/rdf:predicate/rdf:object patterns
+        self.sid_map: DataFrame | None = None
 
     @property
     def has_named_graphs(self) -> bool:
@@ -64,6 +68,15 @@ class TripleStore:
             has_named_graphs=has_named_graphs,
         )
         st.solution_sets = dict(self.solution_sets)
+        st.sid_map = self.sid_map
+        return st
+
+    def to_sids(self) -> "TripleStore":
+        """Enable the provenance mode: unify reification bundles into
+        statement identifiers (provenance.to_sids)."""
+        from bigdata_old_spark.provenance import to_sids
+
+        st, _ = to_sids(self)
         return st
 
     def put_solution_set(self, name: str, df: DataFrame) -> None:

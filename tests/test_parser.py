@@ -118,8 +118,13 @@ def test_construct(small_store):
 
 
 def test_describe(small_store):
+    # default mode = SymmetricOneStep (reference QueryHints default):
+    # type, label, knows + the reverse link Bryan-knows-Mike
     df = small_store.query(PREFIXES + "DESCRIBE :Mike")
-    assert df.count() == 3  # type, label, knows
+    assert df.count() == 4
+    # CBD mode: forward only
+    df2 = small_store.query(PREFIXES + "DESCRIBE :Mike", describe_mode="CBD")
+    assert df2.count() == 3
 
 
 def test_blank_node_pattern(small_store):

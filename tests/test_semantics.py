@@ -107,11 +107,13 @@ def test_optional_filter_references_outer_var(agg_store):
 
 
 def test_order_by_type_groups(agg_store):
-    # IVComparator: numerics sort before dateTimes before plain strings
+    # Sesame ValueComparator (IVComparator delegate): plain/lang-tagged
+    # strings sort FIRST, then numerics by value, then dateTimes
     df = agg_store.query(P + "SELECT ?o WHERE { ?s :p ?o } ORDER BY ?o")
     kinds = [r["o"]["dt"].rsplit("#", 1)[-1] for r in df.collect()]
-    assert kinds.index("dateTime") > max(i for i, k in enumerate(kinds) if k in ("int", "integer", "decimal", "double"))
-    assert kinds.index("string") > kinds.index("dateTime")
+    num_idx = [i for i, k in enumerate(kinds) if k in ("int", "integer", "decimal", "double")]
+    assert kinds.index("string") < min(num_idx)
+    assert kinds.index("dateTime") > max(num_idx)
 
 
 def test_coalesce_and_if_error_recovery(agg_store):

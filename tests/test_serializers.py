@@ -113,7 +113,9 @@ def test_describe_forward_one_step(bst):
 
 
 def test_describe_cbd_bnode_closure(bst):
-    df = bst.query("DESCRIBE <http://example.org/x>")  # default CBD
+    # explicit CBD (engine default is now SymmetricOneStep, matching
+    # the reference's QueryHints.DEFAULT_DESCRIBE_MODE)
+    df = bst.query("DESCRIBE <http://example.org/x>", describe_mode="CBD")
     got = _lexes(df)
     assert (EX + "x", "addr") in got
     assert ("_b", "city") in got and ("_b", "geo") in got
