@@ -49,6 +49,18 @@ def _store(spark: SparkSession, sf_dir: str):
     if key not in _STORES:
         import hashlib
 
+        # the driver hands us a vanilla session: turn off PySpark's
+        # per-op call-site capture (a JVM round-trip per Column op —
+        # measured ~65% of plan-build time); also reset the module-level
+        # cache in case it was already primed to True
+        try:
+            spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+            import pyspark.errors.utils as _peu
+
+            _peu._enable_debugging_cache = False
+        except Exception:
+            pass
+
         from bigdata_old_spark import mapping as _mapping_mod
 
         # version the store by the triplifier source so stale stores

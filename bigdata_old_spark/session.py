@@ -32,5 +32,12 @@ def get_spark(app_name: str = "bigdata-old-spark", shuffle_partitions: int | Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # PySpark 4 captures a Python call site per DataFrame/Column op
+        # for enriched errors — one JVM round-trip + stack walk EACH.
+        # Measured ~1.4 s of a 2.1 s q03 plan build (cProfile: 499
+        # _with_origin wrappers, 7302 py4j send_commands).  An engine
+        # building thousands of Column expressions per query wants this
+        # off; errors still carry the JVM-side context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
