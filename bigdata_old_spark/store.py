@@ -46,6 +46,14 @@ class TripleStore:
         #: (sid → reified s/p/o) consulted by the compiler for
         #: rdf:subject/rdf:predicate/rdf:object patterns
         self.sid_map: DataFrame | None = None
+        #: compiled-plan cache: query text → DataFrame (the reference
+        #: caches parsed/optimized ASTs per query string the same way —
+        #: QueryCache/ASTContainer reuse).  DataFrames are immutable
+        #: plan handles, and every mutation returns a NEW store with an
+        #: empty cache, so entries can never serve stale data.  Volatile
+        #: expressions (NOW/RAND/UUID) compile to Spark functions that
+        #: re-evaluate per execution, so reuse is safe for them too.
+        self._plan_cache: dict = {}
 
     @property
     def has_named_graphs(self) -> bool:
@@ -189,10 +197,18 @@ class TripleStore:
         from bigdata_old_spark.compiler import QueryCompiler
         from bigdata_old_spark.parser import parse_query
 
+        key = (sparql, describe_mode)
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            return cached
         q = parse_query(sparql)
         if describe_mode is not None and isinstance(q, A.DescribeQuery):
             q.mode = describe_mode
-        return QueryCompiler(self).compile_query(q)
+        df = QueryCompiler(self).compile_query(q)
+        if len(self._plan_cache) >= 256:  # bounded; oldest-first evict
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = df
+        return df
 
     def serialize(self, sparql: str, format: str = "json") -> str:
         """Run a query and serialize the result for the SPARQL protocol

@@ -223,3 +223,18 @@ def test_exists_one_pass_plan(spark, small_store):
         "http://example.org/Bryan", "http://example.org/Bryan",
         "http://example.org/Mike",
     ]
+
+
+def test_plan_cache_reuse_and_invalidation(spark, small_store):
+    # same query text → the cached DataFrame handle (no recompile);
+    # mutation returns a NEW store with an empty cache
+    P2 = "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n"
+    q = P2 + "SELECT ?s WHERE { ?s foaf:knows ?o }"
+    d1 = small_store.query(q)
+    d2 = small_store.query(q)
+    assert d1 is d2
+    st2 = small_store.update(
+        P2 + "INSERT DATA { <urn:x:a> foaf:knows <urn:x:b> }")
+    d3 = st2.query(q)
+    assert d3 is not d1
+    assert d3.count() == d1.count() + 1
