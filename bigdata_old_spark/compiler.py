@@ -452,9 +452,11 @@ class QueryCompiler:
             if self.store.union_default_graph and self.store.has_named_graphs:
                 # Reference quads-mode default (AbstractTripleStore /
                 # BigdataSail: no dataset → the RDF merge of ALL graphs,
-                # incl. the unnamed one).  Dedup only when named graphs
-                # actually exist — a triples-only store scans untouched.
-                return df.dropDuplicates(["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"])
+                # incl. the unnamed one).  The merge dedup is computed
+                # once per store and persisted (merged_default_graph) —
+                # NOT a dropDuplicates shuffle per triple pattern.
+                # Triples-only stores scan untouched.
+                return self.store.merged_default_graph()
             return df.where(F.col("g").isNull())
         if isinstance(graph, A.Var):
             out = df.where(F.col("g").isNotNull())

@@ -55,6 +55,22 @@ class TripleStore:
         #: re-evaluate per execution, so reuse is safe for them too.
         self._plan_cache: dict = {}
 
+    _merged_cache: DataFrame | None = None
+
+    def merged_default_graph(self) -> DataFrame:
+        """RDF merge of ALL graphs (union-default-graph scans): the
+        (s,p,o)-dedup is computed ONCE per store and persisted, so a
+        query with N triple patterns reuses one materialization instead
+        of paying a dedup shuffle per pattern — the maintained-index
+        analog of the reference's quads-mode access paths.  At 100 TB
+        this is one bounded job amortized across every query on the
+        store."""
+        if self._merged_cache is None:
+            self._merged_cache = self.statements.dropDuplicates(
+                ["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+            ).persist()
+        return self._merged_cache
+
     @property
     def has_named_graphs(self) -> bool:
         """Lazily probed once per store; drives the union-default-graph
