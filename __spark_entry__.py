@@ -502,6 +502,38 @@ def _p_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round(F.col("sim"), 5).alias("sim"))
 
 
+def _p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample of the documents corpus —
+    md5-keyed so the DuckDB oracle replays the exact selection."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang"], cap=20, id_col="doc_id")
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic train/test split: report per-side
+    counts and checksum of ids (split membership is id-hash keyed)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    train, test = hash_split(docs, id_col="doc_id", test_sixteenths=2)
+    return (
+        train.select(F.lit("train").alias("side"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("side"), "doc_id"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
 def _p_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -937,6 +969,23 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
                   round(list_cosine_similarity(a.v, b.v), 5) AS sim
            FROM aug a JOIN aug b ON a.id < b.id
            WHERE list_cosine_similarity(a.v, b.v) >= 0.98""",
+    ),
+    "p11_stratified_sample": (
+        _p_stratified_sample,
+        """SELECT doc_id, lang, n_chars FROM (
+             SELECT doc_id, lang, n_chars,
+                    row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ) AS rn
+             FROM documents) WHERE rn <= 20""",
+    ),
+    "p12_hash_split": (
+        _p_hash_split,
+        """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1') THEN 'test' ELSE 'train' END AS side,
+                  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM documents GROUP BY side""",
     ),
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),

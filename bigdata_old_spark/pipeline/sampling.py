@@ -1,0 +1,71 @@
+"""Deterministic sampling / splitting for training-data curation.
+
+Beyond-reference pipeline operators (driver north star): corpus
+sampling at 100 TB must be (a) deterministic — re-running the pipeline
+yields the same corpus, (b) leakage-safe — one document always lands on
+the same side of a split, and (c) shuffle-light.  Random() fails (a)
+and (b); these operators key every decision on a cryptographic hash of
+the document id (md5 — identical builtin in Spark and DuckDB, so the
+driver's oracle can replay the exact selection).
+
+Scale shapes:
+* ``hash_sample`` / ``hash_split`` are pure row-local filters — no
+  shuffle at all, any scale;
+* ``stratified_sample`` shuffles once on the strata key and takes a
+  deterministic per-stratum top-``cap`` (window row_number) — bounded
+  output, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _bucket16(id_col) -> F.Column:
+    """Deterministic 16-way bucket: first hex digit of md5(id)."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+
+
+def hash_sample(df: DataFrame, id_col: str = "doc_id", sixteenths: int = 2) -> DataFrame:
+    """Keep a deterministic ~sixteenths/16 fraction of rows, keyed on
+    the id hash (row-local filter — no shuffle, no RNG state)."""
+    if not 0 < sixteenths <= 16:
+        raise ValueError("sixteenths must be in 1..16")
+    keep = list(HEX[:sixteenths])
+    return df.where(_bucket16(id_col).isin(keep))
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id", test_sixteenths: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, leakage-safe train/test split: a given id always
+    lands on the same side, across runs and machines."""
+    if not 0 < test_sixteenths < 16:
+        raise ValueError("test_sixteenths must be in 1..15")
+    test_digits = list(HEX[:test_sixteenths])
+    in_test = _bucket16(id_col).isin(test_digits)
+    return df.where(~in_test), df.where(in_test)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum cap: for each combination of
+    ``strata_cols``, keep the ``cap`` rows with the smallest
+    (md5(id), id) — a stable pseudo-random choice that every rerun (and
+    the DuckDB oracle) reproduces exactly.  One shuffle on the strata
+    key; per-stratum windows, never a global sort."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

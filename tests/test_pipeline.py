@@ -201,3 +201,26 @@ def test_ivf_recall(spark):
     # list is always the nearest probe
     for q in range(5):
         assert (q, q) in got
+
+
+def test_hash_sample_deterministic_and_disjoint_split(spark):
+    from bigdata_old_spark.mapping import read_table
+    from bigdata_old_spark.pipeline.sampling import hash_sample, hash_split, stratified_sample
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    s1 = {r["doc_id"] for r in hash_sample(docs, sixteenths=4).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, sixteenths=4).select("doc_id").collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+
+    train, test = hash_split(docs, test_sixteenths=4)
+    tr = {r["doc_id"] for r in train.select("doc_id").collect()}
+    te = {r["doc_id"] for r in test.select("doc_id").collect()}
+    assert tr.isdisjoint(te)
+    assert len(tr) + len(te) == docs.count()
+    # the smaller hash-sample is nested in the larger (prefix property)
+    s_small = {r["doc_id"] for r in hash_sample(docs, sixteenths=2).select("doc_id").collect()}
+    assert s_small <= s1
+
+    strat = stratified_sample(docs, ["lang"], cap=5)
+    per = {r["lang"]: r["n"] for r in strat.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert all(n <= 5 for n in per.values())
