@@ -40,7 +40,9 @@ SKIP: dict[str, str] = {
     # projected ?cnt the query does not select
     "TestTCK__sparql11-order-02": "reference known-bad (runKnownBadTests guard, TestTCK.java:756)",
     "TestTCK__sparql11-order-03": "reference known-bad (runKnownBadTests guard, TestTCK.java:803)",
-    "TestSubQuery__test_ticket_801b_complex_optionals": "reference known-bad (runKnownBadTests guard, TestSubQuery.java:392)",
+    # NOTE: test_ticket_801b_complex_optionals is also guarded known-bad
+    # in the reference (TestSubQuery.java:392) but PASSES on this
+    # engine, so it stays in the run.
 }
 
 # fixtures whose SELECT results must match in order (ORDER BY in query)
