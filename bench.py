@@ -63,7 +63,9 @@ def main() -> None:
     # so the measured set reflects steady-state latency (the BSBM
     # methodology runs warm-up mixes the same way; at cluster scale the
     # working set lives in the OS cache / cluster cache anyway)
-    entry_mod._store(spark, sf_dir).statements.count()
+    st = entry_mod._store(spark, sf_dir)
+    st.statements.count()
+    st.stats()  # cardinality stats (star-join planning) — one-time, cached
     # warm-up mix: run each HEADLINE query once against the SMALLEST
     # store (sf0.001).  The plan SHAPES are identical, so Spark's
     # whole-stage-codegen compiles and caches each query's generated

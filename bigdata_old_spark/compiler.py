@@ -822,10 +822,14 @@ class QueryCompiler:
 
         by_subj: dict = defaultdict(list)
         rest: list = []
+        reif_active = self.store.sid_map is not None
         for t in triples:
             if (
                 isinstance(t.s, A.Var)
                 and isinstance(t.p, Term)
+                # virtual-reification patterns must route through
+                # _compile_reif_triple (SID map), never a star scan
+                and not (reif_active and t.p.lex in self._REIF_PREDS)
                 and (isinstance(t.o, Term) or (isinstance(t.o, A.Var) and t.o.name != t.s.name))
             ):
                 by_subj[t.s.name].append(t)
@@ -833,12 +837,12 @@ class QueryCompiler:
                 rest.append(t)
         import os
 
-        # Measured on local[32] @ sf0.1: the chained-hash-join path beats
-        # the star groupBy (in-RAM shuffle is cheap; collect_list of term
-        # structs is not).  On a real cluster the economics flip — the
-        # star trades N−1 network shuffles for 1 — so deployments should
-        # lower this (the reference enables SPOStarJoin by default).
-        threshold = int(os.environ.get("BDOS_STAR_THRESHOLD", "6"))
+        # Round 3: with the functional-predicate fast path (first(when)
+        # scalars instead of collect_list+explode — compile_star) the
+        # star WINS on local[32] too: q03 warm 2.7 s → 0.7-1.3 s at
+        # sf0.1.  Default ON from 3 patterns; the reference enables
+        # SPOStarJoin by default as well.
+        threshold = int(os.environ.get("BDOS_STAR_THRESHOLD", "3"))
         stars = []
         for s_name, ts in by_subj.items():
             o_vars = [t.o.name for t in ts if isinstance(t.o, A.Var)]
@@ -852,15 +856,32 @@ class QueryCompiler:
         """One subject, many constant predicates: scan p∈{…}, groupBy
         subject, collect each predicate's values, explode back (keeps
         RDF multi-value cross-product semantics).  Constant objects
-        become post-aggregation flags (no explode needed)."""
+        become post-aggregation flags (no explode needed).
+
+        FUNCTIONAL predicates (count == ndv(subject) in the cached
+        store stats — every direct-mapped relational column) skip the
+        collect_list+explode: a single first(when(...)) scalar keeps
+        the aggregate a plain HashAggregate with no array buffers, the
+        SPOStarJoin economics the reference gets from its one-pass SPO
+        scan."""
         preds = sorted({t.p.lex for t in patterns})
         df = self._scan(graph).where(F.col("p").isin(preds))
         keys = [F.col("s")]
         if isinstance(graph, A.Var):
             keys.append(F.col("g"))
+        by_p = self.store.stats()["by_p"] if graph is None else {}
+
+        def functional(p_iri: str) -> bool:
+            st = by_p.get(p_iri)
+            # EXACT test (stats maxn): max statements per (p,s) == 1.
+            # Never guessed from approx ndv — a wrong "functional" would
+            # silently drop multi-value solutions.
+            return st is not None and len(st) > 3 and st[3] == 1
+
         aggs = []
         const_flags = []
         var_lists = []
+        var_scalars = []
         for i, t in enumerate(patterns):
             cond = F.col("p") == t.p.lex
             if isinstance(t.o, Term):
@@ -874,17 +895,28 @@ class QueryCompiler:
                     m = cond & (F.col("o_kind") == o.kind) & (F.col("o_lex") == o.lex)
                 aggs.append(F.max(F.when(m, 1).otherwise(0)).alias(f"__c{i}"))
                 const_flags.append(f"__c{i}")
+            elif functional(t.p.lex):
+                aggs.append(
+                    F.first(F.when(cond, obj_cols_to_term()), ignorenulls=True).alias(f"__v{i}")
+                )
+                var_scalars.append((f"__v{i}", t.o.name))
             else:
                 aggs.append(F.collect_list(F.when(cond, obj_cols_to_term())).alias(f"__l{i}"))
                 var_lists.append((f"__l{i}", t.o.name))
         g = df.groupBy(*keys).agg(*aggs)
         for flag in const_flags:
             g = g.where(F.col(flag) == 1)
+        for col, _ in var_scalars:
+            # pattern must match: a subject missing the predicate drops
+            g = g.where(F.col(col).isNotNull())
         for list_col, var in var_lists:
             g = g.select("*", F.explode(list_col).alias(f"__e_{var}")).drop(list_col)
         proj = [F.col("s").alias(s_name)]
         names = [s_name]
         flat_vars = {s_name}
+        for col, var in var_scalars:
+            proj.append(F.col(col).alias(var))
+            names.append(var)
         for _, var in var_lists:
             proj.append(F.col(f"__e_{var}").alias(var))
             names.append(var)
@@ -938,7 +970,7 @@ class QueryCompiler:
             base = 1e6
             ndv_s = ndv_o = 1e3
         elif p_iri is not None:
-            n, ns, no = st["by_p"].get(p_iri, (0, 1, 1))
+            n, ns, no = st["by_p"].get(p_iri, (0, 1, 1))[:3]
             base, ndv_s, ndv_o = float(max(n, 1)) if n else 0.5, float(ns), float(no)
         else:
             base = float(max(st["total"], 1))

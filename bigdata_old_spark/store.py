@@ -182,7 +182,22 @@ class TripleStore:
                 )
                 .collect()
             )
-            by_p = {r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1)) for r in rows}
+            # exact functionality test per predicate (star-join planning
+            # must NOT guess: first(when) on a multi-valued predicate
+            # would drop solutions).  max statements per (p,s) == 1 ⇔
+            # strictly functional; two-phase agg, one pass, cached.
+            fn_rows = (
+                self.statements.groupBy("p", "s")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("p")
+                .agg(F.max("c").alias("maxn"))
+                .collect()
+            )
+            maxn = {r["p"]: r["maxn"] for r in fn_rows}
+            by_p = {
+                r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1), maxn.get(r["p"], 1))
+                for r in rows
+            }
             self._stats = {"total": sum(v[0] for v in by_p.values()), "by_p": by_p}
         return self._stats
 

@@ -238,3 +238,22 @@ def test_plan_cache_reuse_and_invalidation(spark, small_store):
     d3 = st2.query(q)
     assert d3 is not d1
     assert d3.count() == d1.count() + 1
+
+
+def test_star_join_multivalued_predicate_cross_product(spark):
+    # the functional-predicate star fast path must NOT engage for
+    # multi-valued predicates: cross-product semantics preserved
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_turtle(spark, """
+    @prefix : <http://e/> .
+    :x :a 1 ; :b 2 ; :c 3 , 4 .
+    :y :a 5 ; :b 6 ; :c 7 .
+    """)
+    df = st.query("PREFIX : <http://e/> SELECT ?s ?va ?vc WHERE { ?s :a ?va ; :b ?vb ; :c ?vc }")
+    rows = sorted((r["s"]["lex"], r["va"]["lex"], r["vc"]["lex"]) for r in df.collect())
+    assert rows == [
+        ("http://e/x", "1", "3"),
+        ("http://e/x", "1", "4"),
+        ("http://e/y", "5", "7"),
+    ]
