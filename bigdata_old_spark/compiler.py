@@ -134,6 +134,19 @@ def _path_ends_resource(p) -> tuple[bool, bool]:
     return (False, False)
 
 
+def _path_zeroable(p) -> bool:
+    """True when the path expression can match a zero-length path."""
+    if isinstance(p, A.PathStar):
+        return p.min_len == 0 or _path_zeroable(p.path)
+    if isinstance(p, A.PathInv):
+        return _path_zeroable(p.path)
+    if isinstance(p, A.PathAlt):
+        return any(_path_zeroable(a) for a in p.alts)
+    if isinstance(p, A.PathSeq):
+        return all(_path_zeroable(s) for s in p.steps)
+    return False
+
+
 def _fresh(prefix: str = "v") -> str:
     return f"__{prefix}{next(_ids)}"
 
@@ -360,16 +373,38 @@ class QueryCompiler:
                 # GRAPH ?g {} binds ?g to every nonempty named graph;
                 # GRAPH <g> {} is a nonempty-graph test (reference
                 # trac709/trac429, TestGraphEmptyPattern709_429)
+                # dataset rules mirror _scan exactly: FROM without
+                # FROM NAMED → empty named-graph set; FROM NAMED VIRTUAL
+                # GRAPH → membership semi-join
                 base = self.store.statements.where(F.col("g").isNotNull())
                 ds = self.dataset
                 g = node.graph
                 if isinstance(g, A.Var):
-                    if ds is not None and ds.named_graphs is not None:
-                        base = base.where(F.col("g").isin(ds.named_graphs))
+                    if ds is not None:
+                        if ds.named_graphs is None and not ds.virtual_named:
+                            base = base.limit(0)
+                        elif ds.virtual_named:
+                            m = self._vg_members(ds.virtual_named)
+                            if ds.named_graphs is not None:
+                                lit = self.store.spark.createDataFrame(
+                                    [(x,) for x in ds.named_graphs], "__vg string")
+                                m = m.unionByName(lit).dropDuplicates()
+                            base = base.join(m, base["g"] == m["__vg"], "left_semi")
+                        else:
+                            base = base.where(F.col("g").isin(ds.named_graphs))
                     df = base.select(F.col("g").alias(g.name)).dropDuplicates()
                     return Compiled(df, frozenset([g.name]), frozenset([g.name]))
-                if ds is not None and ds.named_graphs is not None and g.lex not in ds.named_graphs:
-                    df = base.limit(0).select(F.lit(1).alias("__unit"))
+                if ds is not None and g.lex not in (ds.named_graphs or ()):
+                    if not ds.virtual_named:
+                        df = base.limit(0).select(F.lit(1).alias("__unit"))
+                        return Compiled(df, frozenset())
+                    m = self._vg_members(ds.virtual_named).where(F.col("__vg") == g.lex)
+                    df = (
+                        base.where(F.col("g") == g.lex)
+                        .join(m, base["g"] == m["__vg"], "left_semi")
+                        .limit(1)
+                        .select(F.lit(1).alias("__unit"))
+                    )
                 else:
                     df = base.where(F.col("g") == g.lex).limit(1).select(F.lit(1).alias("__unit"))
                 return Compiled(df, frozenset())
@@ -1163,19 +1198,17 @@ class QueryCompiler:
         # outside); peel them off, compile the rest, and fold correlated
         # filters into the join condition
         pattern = ex.pattern
-        corr_exprs = []
+        peeled = []
         while isinstance(pattern, A.FilterPat):
-            fvs = A.expr_vars(pattern.expr)
-            if fvs & set(c.vars):
-                corr_exprs.append(pattern.expr)
-                pattern = pattern.child
-            else:
-                break
+            peeled.append(pattern.expr)
+            pattern = pattern.child
         sub = self.compile_pattern(pattern, graph)
-        # non-correlated peeled filters (referencing only sub vars) go
-        # back onto the subpattern
+        # partition the WHOLE peeled chain (not first-correlated-prefix —
+        # a correlated filter can nest beneath a non-correlated one):
+        # sub-local filters go back onto the subpattern, the rest fold
+        # into the join condition as correlated predicates
         corr = []
-        for e in corr_exprs:
+        for e in peeled:
             if A.expr_vars(e) <= set(sub.vars):
                 sub = self.filter(sub, e, graph)
             else:
@@ -1292,7 +1325,9 @@ class QueryCompiler:
                 for p_ in parts[1:]:
                     extra_zero = extra_zero.unionByName(p_)
                 extra_zero = extra_zero.dropDuplicates()
-        pairs = self._path_pairs(t.p, graph, t, extra_zero)
+        src_b = t.s if not isinstance(t.s, A.Var) else None
+        dst_b = t.o if not isinstance(t.o, A.Var) else None
+        pairs = self._path_pairs(t.p, graph, src_b, dst_b, extra_zero)
         df = pairs.toDF("__src", "__dst") if pairs.columns != ["__src", "__dst"] else pairs
         # endpoints are flat keys: constant filters and the same-var
         # constraint compare strings, never structs
@@ -1327,35 +1362,73 @@ class QueryCompiler:
         out = df.select(*proj)
         return Compiled(out, frozenset(names), frozenset(flat))
 
-    def _path_pairs(self, p, graph, t, extra_zero: DataFrame | None = None) -> DataFrame:
+    def _path_pairs(
+        self,
+        p,
+        graph,
+        src_bound: Term | None = None,
+        dst_bound: Term | None = None,
+        extra_zero: DataFrame | None = None,
+    ) -> DataFrame:
         """Compile a path expression to a (src key, dst key) pair DF —
         both columns flat strings (see _PK_LIT), so every seq join,
         closure frontier join, dedup and anti-join in the path machinery
-        hashes compact strings, never 8-field term structs."""
+        hashes compact strings, never 8-field term structs.
+
+        ``src_bound``/``dst_bound`` are the constant terms adjacent to
+        THIS subexpression's endpoints, threaded positionally through
+        seq/alt/inverse — NOT the triple's endpoints (a closure nested
+        mid-sequence must not seed from the triple object; reference
+        ticket 734's workaround forms are exactly that shape)."""
         if isinstance(p, Term):
             p = A.PathLink(p.lex)
         if isinstance(p, A.PathLink):
             df = self._scan(graph).where(F.col("p") == p.iri)
+            if src_bound is not None:
+                df = df.where(F.col("s") == _key_from_term(term_lit(src_bound)))
             return df.select(F.col("s").alias("__src"), _key_from_obj().alias("__dst"))
         if isinstance(p, A.PathInv):
-            inner = self._path_pairs(p.path, graph, t)
+            inner = self._path_pairs(p.path, graph, dst_bound, src_bound)
             return inner.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
         if isinstance(p, A.PathAlt):
-            parts = [self._path_pairs(a, graph, t) for a in p.alts]
+            parts = [self._path_pairs(a, graph, src_bound, dst_bound) for a in p.alts]
             out = parts[0]
             for d in parts[1:]:
                 out = out.unionByName(d)
             return out
         if isinstance(p, A.PathSeq):
-            out = self._path_pairs(p.steps[0], graph, t)
-            for step in p.steps[1:]:
-                nxt = self._path_pairs(step, graph, t).select(
-                    F.col("__src").alias("__m"), F.col("__dst").alias("__nd")
-                )
-                out = (
+            n = len(p.steps)
+            out = self._path_pairs(
+                p.steps[0], graph, src_bound, dst_bound if n == 1 else None
+            )
+            zacc = _path_zeroable(p.steps[0])
+            for i, step in enumerate(p.steps[1:], start=2):
+                raw = self._path_pairs(step, graph, None, dst_bound if i == n else None)
+                nxt = raw.select(F.col("__src").alias("__m"), F.col("__dst").alias("__nd"))
+                joined = (
                     out.join(nxt, out["__dst"] == nxt["__m"])
                     .select(out["__src"].alias("__src"), nxt["__nd"].alias("__dst"))
                 )
+                parts = [joined]
+                # a zero-length-capable step is skippable: pass the
+                # accumulated pairs through unchanged.  The closure's own
+                # vertex-domain zero pairs miss nodes outside ITS edge
+                # set (e.g. `noSuchProp?` mid-seq — ticket-734
+                # workaround4), so handle skippability algebraically.
+                if _path_zeroable(step):
+                    parts.append(out)
+                # dually, a fully-zeroable accumulated prefix admits the
+                # step's own pairs as the whole result so far
+                if zacc:
+                    parts.append(raw)
+                if len(parts) > 1:
+                    u = parts[0]
+                    for d in parts[1:]:
+                        u = u.unionByName(d)
+                    out = u.dropDuplicates()
+                else:
+                    out = joined
+                zacc = zacc and _path_zeroable(step)
             return out
         if isinstance(p, A.PathNeg):
             scans = []
@@ -1374,19 +1447,28 @@ class QueryCompiler:
                 out = out.unionByName(d)
             return out
         if isinstance(p, A.PathStar):
-            return self._path_closure(p, graph, t, extra_zero)
+            return self._path_closure(p, graph, src_bound, dst_bound, extra_zero)
         raise NotImplementedError(f"path {type(p)}")
 
-    def _path_closure(self, p: A.PathStar, graph, t, extra_zero: DataFrame | None = None) -> DataFrame:
-        edges = self._path_pairs(p.path, graph, t).dropDuplicates().localCheckpoint(eager=True)
+    def _path_closure(
+        self,
+        p: A.PathStar,
+        graph,
+        src_bound: Term | None = None,
+        dst_bound: Term | None = None,
+        extra_zero: DataFrame | None = None,
+    ) -> DataFrame:
+        # the closure's edge relation is the FULL inner-path pair set —
+        # endpoint bounds seed the fixpoint below, they never filter edges
+        edges = self._path_pairs(p.path, graph).dropDuplicates().localCheckpoint(eager=True)
         min_len, max_len = p.min_len, p.max_len
 
         seed_term = None
         seed_side = None
-        if not isinstance(t.s, A.Var):
-            seed_term, seed_side = t.s, "src"
-        elif not isinstance(t.o, A.Var):
-            seed_term, seed_side = t.o, "dst"
+        if src_bound is not None:
+            seed_term, seed_side = src_bound, "src"
+        elif dst_bound is not None:
+            seed_term, seed_side = dst_bound, "dst"
 
         if seed_term is not None:
             # frontier expansion from the constant endpoint — the common,

@@ -332,4 +332,8 @@ def update_text_index(
         F.count_distinct("s", "p", "o_lex").alias("nd"),
         F.count_distinct("s").alias("ns"),
     ).collect()[0]
+    # the stats collect() above materialized the new generation; the
+    # superseded one would otherwise pin executor storage for every
+    # mutation in a long UPDATE sequence
+    ti.df.unpersist()
     return TextIndex(df, stats["nd"] or 1, stats["ns"] or 1)

@@ -29,6 +29,11 @@ def get_spark(app_name: str = "bigdata-old-spark", shuffle_partitions: int | Non
         # Arrow for the (rare) pandas-UDF paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # xsd:dateTime lexical handling is UTC-normalized (parse strips
+        # a trailing Z, STR() renders with a 'Z' suffix) — that is only
+        # correct when the session timezone IS UTC, so pin it rather
+        # than inherit the driver's local zone.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -335,6 +335,13 @@ def _maintain_text_index(old_store, new_store, added=None, removed=None):
 
 
 def _execute_one(store, op):
+    """Execute one UPDATE op, deriving the new store via
+    ``store.with_statements`` so session state (named solution sets,
+    ``union_default_graph``, and the SID map) survives mutation.  The
+    SID map stays valid: it keys existing statements, deletes merely
+    remove rows, and newly inserted plain triples have no SIDs until
+    ``to_sids()`` is re-run (reference: SIDs are assigned at load,
+    AbstractTripleStore.java:787)."""
     from bigdata_old_spark.compiler import QueryCompiler
     from bigdata_old_spark.rio import load_ntriples
     from bigdata_old_spark.store import TripleStore
@@ -343,11 +350,11 @@ def _execute_one(store, op):
 
     if isinstance(op, InsertData):
         add = _ground_quads_df(spark, op.quads)
-        out = TripleStore(spark, df.unionByName(_anti_new_stmts(add, df)))
+        out = store.with_statements(df.unionByName(_anti_new_stmts(add, df)))
         return _maintain_text_index(store, out, added=add)
     if isinstance(op, DeleteData):
         victims = _ground_quads_df(spark, op.quads)
-        out = TripleStore(spark, _anti_remove(df, victims))
+        out = store.with_statements(_anti_remove(df, victims))
         return _maintain_text_index(store, out, removed=victims)
     if isinstance(op, DeleteInsert):
         comp = QueryCompiler(store)
@@ -366,7 +373,7 @@ def _execute_one(store, op):
         if op.insert_template:
             adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
             out = out.unionByName(_anti_new_stmts(adds, out))
-        new_store = TripleStore(spark, out)
+        new_store = store.with_statements(out)
         return _maintain_text_index(
             store,
             new_store,
@@ -376,12 +383,12 @@ def _execute_one(store, op):
     if isinstance(op, ClearOp) or isinstance(op, DropOp):
         t = op.target
         if t == "default":
-            return TripleStore(spark, df.where(F.col("g").isNotNull()))
+            return store.with_statements(df.where(F.col("g").isNotNull()))
         if t == "named":
-            return TripleStore(spark, df.where(F.col("g").isNull()))
+            return store.with_statements(df.where(F.col("g").isNull()))
         if t == "all":
-            return TripleStore(spark, spark.createDataFrame([], STATEMENTS_SCHEMA))
-        return TripleStore(spark, df.where(~F.col("g").eqNullSafe(F.lit(t))))
+            return store.with_statements(spark.createDataFrame([], STATEMENTS_SCHEMA))
+        return store.with_statements(df.where(~F.col("g").eqNullSafe(F.lit(t))))
     if isinstance(op, CreateOp):
         return store  # graphs are implicit (no catalog) — no-op
     if isinstance(op, CopyOp):
@@ -395,13 +402,13 @@ def _execute_one(store, op):
             rest = df.where(~dst_cond)
         if op.move:
             rest = rest.where(~src_cond)
-        return TripleStore(spark, rest.unionByName(_anti_new_stmts(moved, rest)))
+        return store.with_statements(rest.unionByName(_anti_new_stmts(moved, rest)))
     if isinstance(op, LoadOp):
         path = op.source
         if path.startswith("file://"):
             path = path[7:]
         add = load_ntriples(spark, path, graph=op.graph)
-        return TripleStore(spark, df.unionByName(_anti_new_stmts(add, df)))
+        return store.with_statements(df.unionByName(_anti_new_stmts(add, df)))
     raise NotImplementedError(type(op))
 
 

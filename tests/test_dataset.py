@@ -98,3 +98,43 @@ def test_bucketed_store_subject_join_no_exchange(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS bdos_test_bucketed")
+
+
+# -- GRAPH {} empty-BGP fast path honors dataset rules (advisor r3) ------
+
+def test_graph_var_empty_bgp_from_only(quad_store):
+    # FROM without FROM NAMED: the named-graph set is EMPTY, so
+    # GRAPH ?g {} binds nothing (mirrors _scan's rule)
+    df = quad_store.query(P + "SELECT ?g FROM :g1 WHERE { GRAPH ?g {} }")
+    assert df.count() == 0
+
+
+def test_graph_var_empty_bgp_from_named(quad_store):
+    df = quad_store.query(P + "SELECT ?g FROM NAMED :g1 FROM NAMED :g2 WHERE { GRAPH ?g {} }")
+    assert lex(df, "g") == [EX + "g1", EX + "g2"]
+
+
+def test_graph_const_empty_bgp_from_only(quad_store):
+    # nonempty-graph test for a graph outside the (empty) named set
+    df = quad_store.query(P + "SELECT * FROM :g1 WHERE { GRAPH :g2 {} }")
+    assert df.count() == 0
+
+
+@pytest.fixture(scope="module")
+def vg_store(quad_store):
+    # virtual graph :vg with members :g1 and :g3
+    return quad_store.update(P + """
+        PREFIX bd: <http://www.bigdata.com/rdf#>
+        INSERT DATA { :vg bd:virtualGraph :g1 . :vg bd:virtualGraph :g3 }""")
+
+
+def test_graph_var_empty_bgp_virtual_named(vg_store):
+    df = vg_store.query(P + "SELECT ?g FROM NAMED VIRTUAL GRAPH :vg WHERE { GRAPH ?g {} }")
+    assert lex(df, "g") == [EX + "g1", EX + "g3"]
+
+
+def test_graph_const_empty_bgp_virtual_named(vg_store):
+    hit = vg_store.query(P + "SELECT * FROM NAMED VIRTUAL GRAPH :vg WHERE { GRAPH :g1 {} }")
+    assert hit.count() == 1
+    miss = vg_store.query(P + "SELECT * FROM NAMED VIRTUAL GRAPH :vg WHERE { GRAPH :g2 {} }")
+    assert miss.count() == 0

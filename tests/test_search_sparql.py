@@ -194,3 +194,21 @@ def test_incremental_text_index_matches_rebuild(spark):
         SELECT ?o WHERE { ?o bds:search "beta" }
     """).collect()
     assert {r["o"]["lex"] for r in hits} == {"alpha beta gamma", "zeta beta"}
+
+
+def test_incremental_text_index_unpersists_old_generation(spark):
+    # advisor r3: superseded index generations must not pin executor
+    # storage across a long UPDATE sequence
+    from pyspark.storagelevel import StorageLevel
+    from bigdata_old_spark.store import TripleStore
+
+    P = "PREFIX : <http://example.org/>\n"
+    st = TripleStore.from_turtle(
+        spark, '@prefix : <http://example.org/> . :d1 :text "alpha beta" .'
+    )
+    st.text_index()
+    old_df = st._text_index.df
+    assert old_df.storageLevel != StorageLevel.NONE
+    st2 = st.update(P + 'INSERT DATA { :d2 :text "gamma" }')
+    assert st2._text_index.df.storageLevel != StorageLevel.NONE
+    assert old_df.storageLevel == StorageLevel.NONE

@@ -282,3 +282,37 @@ def test_sum_distinct_dedups_true_duplicates(distinct_store):
     )
     v = one(st.query(P + "SELECT (SUM(DISTINCT ?o) AS ?m) WHERE { ?s :p ?o }"), "m")
     assert float(v["num"]) == 12.0
+
+
+def test_exists_correlated_filter_under_noncorrelated(spark):
+    # advisor r3: a correlated filter nested BENEATH a non-correlated
+    # one must still fold into the join condition (peel the whole
+    # FilterPat chain, then partition) — sparql11-exists-06 variant
+    st = TripleStore.from_turtle(
+        spark,
+        """@prefix : <http://example.org/> .
+           :a :m 1 . :b :m 2 .
+           :x :n 1 . :x :k 5 . :y :n 9 . :y :k 5 .""",
+    )
+    df = st.query(P + """
+        SELECT ?s WHERE {
+          ?s :m ?m
+          FILTER EXISTS { ?t :n ?n ; :k ?k FILTER(?k > 1) FILTER(?n = ?m) }
+        }""")
+    assert sorted(r["s"]["lex"] for r in df.collect()) == ["http://example.org/a"]
+
+
+def test_datetime_offset_literal_utc_normalized(spark):
+    # advisor r3: session TZ pinned to UTC → an offset literal is the
+    # right instant and STR/comparison are timezone-independent
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    st = TripleStore.from_turtle(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+           :e :at "2020-01-01T05:00:00+05:00"^^xsd:dateTime .
+           :f :at "2020-01-01T00:00:00Z"^^xsd:dateTime .""",
+    )
+    # both literals denote the same instant → equality holds
+    df = st.query(P + "SELECT ?a ?b WHERE { :e :at ?a . :f :at ?b FILTER(?a = ?b) }")
+    assert df.count() == 1

@@ -72,3 +72,22 @@ def test_copy_move_add(spark):
     st3 = st.update(P + "MOVE :g1 TO :g3")
     assert st3.statements.where(F.col("g") == EX + "g1").count() == 0
     assert st3.statements.where(F.col("g") == EX + "g3").count() == 1
+
+
+def test_update_preserves_session_state(spark):
+    # advisor r3: UPDATE ops must not drop named solution sets /
+    # union_default_graph / the SID map (store.with_statements carry)
+    st = fresh(spark)
+    st.put_solution_set("pre", st.query(P + "SELECT ?s WHERE { ?s :linked :b }"))
+    st.union_default_graph = False
+    st2 = st.update(P + 'INSERT DATA { :c rdfs:label "C" } ; DELETE DATA { :b rdfs:label "B" }')
+    assert st2.union_default_graph is False
+    df = st2.query(P + "SELECT ?s WHERE { INCLUDE %pre }")
+    assert [r["s"]["lex"] for r in df.collect()] == ["http://example.org/a"]
+
+
+def test_update_preserves_sid_map(spark):
+    st = fresh(spark).to_sids()
+    assert st.sid_map is not None
+    st2 = st.update(P + 'INSERT DATA { :c rdfs:label "C" }')
+    assert st2.sid_map is not None

@@ -131,6 +131,61 @@ def extract_file(path: str) -> tuple[list[dict], int]:
     return entries, skipped
 
 
+#: TestHelper calls the literal-string scanner cannot see.
+#:
+#: - TestTwoPropertyPaths734.java:87-101 builds file names by string
+#:   concatenation inside two private helpers
+#:   (property_path_test / property_path_using_workaround_test); the
+#:   call sites pass "none"/"first"/"second"/"both"/"workaroundN".
+#: - named-graphs-8-3-{2,3}: the W3C spec-§8.3.2/8.3.3 fixture files
+#:   ship complete (rq/trig/srx) but TestNamedGraphs.java:367,458
+#:   re-runs the 8-3-1 file tuple under those method names (a
+#:   copy/paste slip in the reference) — run the files as authored.
+SUPPLEMENT: list[dict] = (
+    [
+        {
+            "suite": "TestTwoPropertyPaths734",
+            "method": f"test_{n}_property_path",
+            "uri": f"property-path-734-{n}",
+            "query": f"property-path-734-{n}.rq",
+            "data": ["property-path-734.ttl"],
+            "result": "property-path-734.srx",
+            "check_order": False,
+        }
+        for n in ("none", "first", "second", "both")
+    ]
+    + [
+        {
+            "suite": "TestTwoPropertyPaths734",
+            "method": f"test_{n}_using_workaround_property_path",
+            "uri": f"property-path-734-B-{n}",
+            "query": f"property-path-734-B-{n}.rq",
+            "data": ["property-path-734-B.ttl"],
+            "result": "property-path-734-B.srx",
+            "check_order": False,
+        }
+        for n in ("none", "first", "second", "both", "workaround2", "workaround3", "workaround4")
+    ]
+    + [
+        {
+            "suite": "TestNamedGraphs",
+            "method": f"test_8_3_{i}",
+            "uri": f"named-graphs-8-3-{i}",
+            "query": f"named-graphs-8-3-{i}.rq",
+            "data": [f"named-graphs-8-3-{i}.trig"],
+            "result": f"named-graphs-8-3-{i}.srx",
+            "check_order": False,
+        }
+        for i in (2, 3)
+    ]
+)
+
+#: suites outside the eval dir whose fixture files resolve INTO it
+#: (TestHelper resolves resources against the
+#: AbstractDataDrivenSPARQLTestCase package, i.e. the eval dir)
+EXTRA_SUITES = ["service/TestSearch.java"]
+
+
 def main() -> None:
     ref_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_DIR
     out = (
@@ -140,12 +195,15 @@ def main() -> None:
     )
     all_entries: list[dict] = []
     total_skipped = 0
-    for fn in sorted(os.listdir(ref_dir)):
-        if not (fn.startswith("Test") and fn.endswith(".java")):
-            continue
+    scan = [
+        fn
+        for fn in sorted(os.listdir(ref_dir))
+        if fn.startswith("Test") and fn.endswith(".java")
+    ] + [p for p in EXTRA_SUITES if os.path.exists(os.path.join(ref_dir, p))]
+    for fn in scan:
         entries, skipped = extract_file(os.path.join(ref_dir, fn))
         total_skipped += skipped
-        for e in entries:
+        for e in entries + [s for s in SUPPLEMENT if f"{s['suite']}.java" == fn]:
             # only keep entries whose files all exist on disk
             need = [e["query"]] + e["data"] + ([e["result"]] if e["result"] else [])
             if all(os.path.exists(os.path.join(ref_dir, p)) for p in need):
