@@ -78,6 +78,9 @@ class _Parser:
         if pos != len(text):
             raise ParseError(f"cannot tokenize at …{text[pos:pos+30]!r}")
         self.i = 0
+        #: pending RDR desugarings: (sid_var, s, p, o) recorded while
+        #: parsing ``<<…>>`` terms, drained into the enclosing group
+        self._sid_pending: list[tuple] = []
         self.prefixes: dict[str, str] = {}
         self.base = ""
 
@@ -476,6 +479,19 @@ class _Parser:
                 acc = A.MinusPat(left, inner)
             elif self.take_word("BIND"):
                 self.expect_op("(")
+                if self.at_rdr_open():
+                    # BIND(<<s p o>> AS ?sid) — RDR in expression position
+                    s_, p_, o_ = self.parse_rdr_triple(bgp)
+                    self.expect_word("AS")
+                    var = self.parse_var()
+                    self.expect_op(")")
+                    add(A.Extend(
+                        A.BGP([A.TriplePattern(s_, p_, o_)]),
+                        var.name,
+                        self._sid_expr(self.SID_OF, s_, p_, o_),
+                    ))
+                    self.take_op(".")
+                    continue
                 e = self.parse_expr()
                 self.expect_word("AS")
                 var = self.parse_var()
@@ -519,6 +535,13 @@ class _Parser:
                 add(node)
             else:
                 self.parse_triples_same_subject(bgp)
+                while self._sid_pending:
+                    name, s_, p_, o_ = self._sid_pending.pop(0)
+                    add(A.Extend(
+                        A.BGP([A.TriplePattern(s_, p_, o_)]),
+                        name,
+                        self._sid_expr(self.SID_OF, s_, p_, o_),
+                    ))
                 self.take_op(".")
                 continue
             self.take_op(".")
@@ -586,8 +609,41 @@ class _Parser:
             s = self.parse_var_or_term(bgp)
             self.parse_property_list(s, bgp)
 
+    # RDR / reification-done-right: ``<<s p o>>`` in a triple or BIND
+    # position (reference TestReificationDoneRightEval; SIDs mode,
+    # AbstractTripleStore.java:787).  Desugars to (a) the statement
+    # pattern itself — the triple must be asserted — joined with (b) a
+    # BIND of the deterministic SID (provenance.sid_col encoding) to the
+    # variable standing in for the embedded triple.
+    SID_OF = "urn:x-bdos:sidOf"
+
+    def at_rdr_open(self) -> bool:
+        return self.at_op("<") and self.peek(1) == ("OP", "<")
+
+    def parse_rdr_triple(self, bgp: A.BGP):
+        """Consume ``<<s p o>>`` and return its (s, p, o)."""
+        self.next()
+        self.next()
+        s = self.parse_var_or_term(bgp)
+        p = self.parse_verb()
+        o = self.parse_var_or_term(bgp)
+        self.expect_op(">")
+        self.expect_op(">")
+        return s, p, o
+
+    @staticmethod
+    def _sid_expr(name: str, s, p, o) -> A.FuncCall:
+        """sidOf(s, p, o) with pattern terms lifted to expression nodes."""
+        args = tuple(a if isinstance(a, A.Var) else A.Const(a) for a in (s, p, o))
+        return A.FuncCall(name, args)
+
     def parse_var_or_term(self, bgp: A.BGP):
         k, v = self.peek()
+        if self.at_rdr_open():
+            s, p, o = self.parse_rdr_triple(bgp)
+            var = A.Var(f"_sid_anon{next(_bnode_ids)}")
+            self._sid_pending.append((var.name, s, p, o))
+            return var
         if k == "OP" and v in ("}", ".", ";", ",", ")"):
             raise ParseError(
                 f"incomplete triple pattern: expected a term before {v!r} "

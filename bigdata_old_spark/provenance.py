@@ -125,23 +125,13 @@ def to_sids(store):
         .drop("__ob", "__sid_o")
     )
 
-    # 4. assert the reified statements themselves (the reference asserts
-    #    the triple when its reification is interchanged)
-    asserted = sid_map.select(
-        F.lit(None).cast("string").alias("g"),
-        F.col("ts").alias("s"),
-        F.col("tp").alias("p"),
-        F.col("to_kind").alias("o_kind"),
-        F.col("to_lex").alias("o_lex"),
-        F.col("to_dt").alias("o_dt"),
-        F.col("to_lang").alias("o_lang"),
-        F.col("to_num").alias("o_num"),
-        F.col("to_dbl").alias("o_dbl"),
-        F.col("to_dtm").alias("o_dtm"),
-        F.col("to_bool").alias("o_bool"),
-        F.lit(0).cast("byte").alias("stype"),
-    )
-    out = keep.unionByName(asserted).dropDuplicates(
+    # 4. NOTE: interchanged reification does NOT assert the reified
+    #    statement itself — a bundle whose triple is never explicitly
+    #    asserted mints a SID (metadata stays queryable) but the triple
+    #    does not match statement patterns.  Reference semantics proven
+    #    by reif/rdr-03a.{ttl,srx}: <<:a3 :b :c>> has a bundle but no
+    #    assertion, and the expected result excludes a3.
+    out = keep.dropDuplicates(
         ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
     )
 

@@ -114,3 +114,39 @@ def _builtin_extension_aggregates() -> dict[str, Callable]:
 
 
 _AGGREGATES.update(_builtin_extension_aggregates())
+
+
+# ---------------------------------------------------------------------------
+# Built-in internal functions
+# ---------------------------------------------------------------------------
+
+#: RDR ``<<s p o>>`` support: the parser desugars an embedded triple to
+#: the statement pattern plus BIND(sidOf(s,p,o) AS ?sid).  The encoding
+#: MUST match provenance.sid_col (xxhash64 over the flat s/p/o keys) so
+#: the computed SID joins against SIDs minted by TripleStore.to_sids.
+SID_OF_IRI = "urn:x-bdos:sidOf"
+
+
+def _sid_of(args):
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark import functions as SF
+    from bigdata_old_spark.compiler import _key_from_term
+    from bigdata_old_spark.model import term_to_resource_key
+
+    s, p, o = args
+    return SF.iri_term(
+        F.concat(
+            F.lit("sid:"),
+            F.conv(
+                F.xxhash64(
+                    term_to_resource_key(s), term_to_resource_key(p), _key_from_term(o)
+                ).cast("string"),
+                10,
+                16,
+            ),
+        )
+    )
+
+
+_FUNCTIONS[SID_OF_IRI] = _sid_of

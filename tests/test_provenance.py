@@ -44,8 +44,12 @@ def test_bundles_rewritten(sid_store):
     assert len(rows) == 1
     sid = rows[0]["s"]["lex"]
     assert sid.startswith("sid:")
-    # reified triple asserted even when only interchanged as reification
-    assert sid_store.query(P + "SELECT * WHERE { :bob :worksFor :acme }").count() == 1
+    # interchanged reification does NOT assert the reified triple —
+    # reference semantics proven by reif/rdr-03a.{ttl,srx} (<<:a3 :b :c>>
+    # has a bundle but no assertion; expected results exclude a3).  The
+    # bundle's metadata stays queryable via the SID map.
+    assert sid_store.query(P + "SELECT * WHERE { :bob :worksFor :acme }").count() == 0
+    assert sid_store.query(P + "SELECT * WHERE { :alice :worksFor :acme }").count() == 1
 
 
 def test_provenance_query_via_virtual_reification(sid_store):

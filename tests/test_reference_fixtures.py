@@ -285,6 +285,10 @@ def test_reference_fixture(entry, spark, request):
     )
 
     store = _load_store(spark, entry["data"])
+    if entry.get("sids"):
+        # TestReificationDoneRightEval runs in triples+SIDs mode
+        # (AbstractTripleStore.Options.STATEMENT_IDENTIFIERS)
+        store = store.to_sids()
     for name, sdf in _include_sets(spark, entry["uri"]).items():
         store.put_solution_set(name, sdf)
     df = store.query(query_text)
