@@ -87,6 +87,32 @@ class LoadOp:
     silent: bool = False
 
 
+@dataclass
+class SolutionSetOp:
+    """CREATE/DROP/CLEAR [SILENT] SOLUTIONS %name — the reference's
+    named-solution-set management extension (BigdataSPARQLUpdateTest2,
+    ISolutionSetManager; solution sets are session state, not
+    statements)."""
+
+    action: str  # 'create' | 'drop' | 'clear'
+    name: str
+    silent: bool = False
+
+
+@dataclass
+class SolutionsModify:
+    """[DELETE FROM %s1 SELECT proj] [INSERT INTO %s2 SELECT proj]
+    WHERE {…} — append query solutions to / remove matching solutions
+    from named solution sets (reference INSERT INTO %set SELECT,
+    BigdataSPARQLUpdateTest2.java:454,540,789)."""
+
+    delete_set: str | None
+    delete_proj: list | None  # var names, or None for SELECT *
+    insert_set: str | None
+    insert_proj: list | None
+    pattern: object
+
+
 # ---------------------------------------------------------------------------
 # Parser (extends the query parser's token machinery)
 # ---------------------------------------------------------------------------
@@ -110,10 +136,17 @@ class _UpdateParser(_Parser):
         if self.take_word("INSERT"):
             if self.take_word("DATA"):
                 return InsertData(self.parse_quad_data(ground=True))
+            if self.at_word("INTO") and self.peek(1)[0] == "SOLSET":
+                return self.parse_solutions_modify(delete_set=None, delete_proj=None)
             return self.parse_modify(delete_first=False)
         if self.take_word("DELETE"):
             if self.take_word("DATA"):
                 return DeleteData(self.parse_quad_data(ground=True))
+            if self.at_word("FROM") and self.peek(1)[0] == "SOLSET":
+                self.next()
+                name = self.parse_solset()
+                proj = self.parse_solutions_proj()
+                return self.parse_solutions_modify(delete_set=name, delete_proj=proj)
             if self.take_word("WHERE"):
                 tmpl = self.parse_quad_patterns()
                 pattern = _quads_to_pattern(tmpl)
@@ -127,12 +160,18 @@ class _UpdateParser(_Parser):
             return self.parse_modify(delete_first=False, with_graph=g)
         if self.take_word("CLEAR"):
             silent = self.take_word("SILENT")
+            if self.take_word("SOLUTIONS"):
+                return SolutionSetOp("clear", self.parse_solset(), silent)
             return ClearOp(self.parse_graph_target(), silent)
         if self.take_word("DROP"):
             silent = self.take_word("SILENT")
+            if self.take_word("SOLUTIONS"):
+                return SolutionSetOp("drop", self.parse_solset(), silent)
             return DropOp(self.parse_graph_target(), silent)
         if self.take_word("CREATE"):
             silent = self.take_word("SILENT")
+            if self.take_word("SOLUTIONS"):
+                return SolutionSetOp("create", self.parse_solset(), silent)
             self.expect_word("GRAPH")
             return CreateOp(self.parse_iri().lex, silent)
         if self.take_word("COPY") or self.at_word("MOVE", "ADD"):
@@ -186,6 +225,33 @@ class _UpdateParser(_Parser):
         self.expect_word("WHERE")
         pattern = self.parse_group()
         return DeleteInsert(del_tmpl, ins_tmpl, pattern, with_graph)
+
+    def parse_solutions_proj(self) -> list | None:
+        """SELECT * | SELECT ?v1 ?v2 … (the projection of a solution-set
+        INSERT/DELETE clause)."""
+        self.expect_word("SELECT")
+        if self.take_op("*"):
+            return None
+        vars_ = []
+        while self.peek()[0] == "VAR":
+            vars_.append(self.parse_var().name)
+        if not vars_:
+            raise ParseError(f"expected projection variables at {self.peek()}")
+        return vars_
+
+    def parse_solutions_modify(self, delete_set, delete_proj):
+        insert_set = insert_proj = None
+        if self.take_word("INSERT"):
+            self.expect_word("INTO")
+            insert_set = self.parse_solset()
+            insert_proj = self.parse_solutions_proj()
+        elif self.at_word("INTO"):  # plain INSERT INTO (INSERT consumed)
+            self.next()
+            insert_set = self.parse_solset()
+            insert_proj = self.parse_solutions_proj()
+        self.expect_word("WHERE")
+        pattern = self.parse_group()
+        return SolutionsModify(delete_set, delete_proj, insert_set, insert_proj, pattern)
 
     def parse_quad_patterns(self) -> list:
         """{ triples (GRAPH g { triples })* } → [(g|None, TriplePattern)]"""
@@ -409,6 +475,71 @@ def _execute_one(store, op):
             path = path[7:]
         add = load_ntriples(spark, path, graph=op.graph)
         return store.with_statements(df.unionByName(_anti_new_stmts(add, df)))
+    if isinstance(op, SolutionSetOp):
+        from pyspark.sql import types as T
+
+        new = store.with_statements(df)
+        sets, name = new.solution_sets, op.name
+        if op.action == "create":
+            if name in sets:
+                if not op.silent:
+                    raise ValueError(f"solution set %{name} already exists")
+            else:
+                sets[name] = spark.createDataFrame([], T.StructType([]))
+        elif op.action == "drop":
+            if name not in sets:
+                if not op.silent:
+                    raise ValueError(f"no such solution set %{name}")
+            else:
+                del sets[name]
+        else:  # clear
+            if name not in sets:
+                if not op.silent:
+                    raise ValueError(f"no such solution set %{name}")
+            else:
+                sets[name] = sets[name].limit(0)
+        return new
+    if isinstance(op, SolutionsModify):
+        comp = QueryCompiler(store)
+        c = comp.compile_pattern(op.pattern)
+        resolve = c.resolve()
+        new = store.with_statements(df)
+        sets = new.solution_sets
+
+        def project(proj):
+            names = proj if proj is not None else sorted(c.vars)
+            return c.df.select(*[resolve[v].alias(v) for v in names])
+
+        if op.delete_set is not None:
+            ex = sets.get(op.delete_set)
+            if ex is not None and ex.columns:
+                victims = project(op.delete_proj)
+                keys = [k for k in ex.columns if k in victims.columns]
+                if not keys:
+                    # a victim row sharing no variables is compatible
+                    # with every stored solution — any match empties it
+                    if victims.take(1):
+                        sets[op.delete_set] = ex.limit(0)
+                    return new
+                # join on the flat term-identity encoding (null-safe,
+                # robust to nested-NULL struct comparison)
+                from bigdata_old_spark.compiler import _key_from_term
+
+                v = victims.select(
+                    *[_key_from_term(F.col(k)).alias(f"__v_{k}") for k in keys]
+                ).dropDuplicates()
+                cond = None
+                for k in keys:
+                    cc = _key_from_term(ex[k]).eqNullSafe(v[f"__v_{k}"])
+                    cond = cc if cond is None else (cond & cc)
+                sets[op.delete_set] = ex.join(v, cond, "left_anti").localCheckpoint(eager=True)
+        if op.insert_set is not None:
+            adds = project(op.insert_proj)
+            ex = sets.get(op.insert_set)
+            if ex is not None and ex.columns:
+                adds = ex.unionByName(adds, allowMissingColumns=True)
+            sets[op.insert_set] = adds.localCheckpoint(eager=True)
+        return new
     raise NotImplementedError(type(op))
 
 
