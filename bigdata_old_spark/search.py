@@ -51,23 +51,24 @@ class TextIndex:
     n_subjects: int = 1
 
 
+def lucene_norm(w: Column) -> Column:
+    """Lucene's 8-bit norm round-trip (Similarity.encodeNorm/decodeNorm,
+    SmallFloat byte315: 3-bit mantissa floor, 5-bit exponent) — the
+    reference stores each normalized term weight through this encoding
+    (FullTextIndexTupleSerializer.java:134), so relevance parity
+    requires quantizing the same way: w = m·2^e (1 ≤ m < 2) →
+    floor(4m)/4 · 2^e (the byte315 encoding keeps the top TWO explicit
+    mantissa bits: float bits >> 21 drops 21 of 23).  Proven by the
+    child-proofing worked example (search/TestSearch.java:167:
+    1/√2 → 0.625, 1/√3 → 0.5)."""
+    e = F.floor(F.log2(w))
+    p2 = F.pow(F.lit(2.0), e)
+    return F.when(w <= 0, F.lit(0.0)).otherwise(F.floor(w / p2 * 4) / 4 * p2)
+
+
 def build_text_index(statements: DataFrame, persist: bool = False) -> TextIndex:
     """Inverted index over string-literal objects."""
-    lits = statements.where(
-        (F.col("o_kind") == KIND_LITERAL)
-        & (F.col("o_dt").isin(
-            "http://www.w3.org/2001/XMLSchema#string",
-            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
-        ) | F.col("o_dt").isNull())
-    ).select("s", "p", "o_lex", "o_dt", "o_lang")
-    tok = lits.select(
-        "s", "p", "o_lex", "o_dt", "o_lang",
-        F.explode(tokenize(F.col("o_lex"))).alias("token"),
-    )
-    # term frequency per (literal occurrence, token)
-    df = tok.groupBy("token", "s", "p", "o_lex", "o_dt", "o_lang").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    df = _tokenized_literals(statements)
     if persist:
         df = df.persist()
     stats = df.agg(
@@ -125,18 +126,35 @@ def _match_hits(ti, query: str, prefix_match: bool):
         hits = ti.df.where(cond)
     else:
         hits = ti.df.where(F.col("token").isin(q_tokens))
-    return hits, q_tokens
+    return hits, q_tokens, prefix_match
 
 
-def _normalized(doc: DataFrame) -> DataFrame:
-    """relevance = score / max(score) in (0,1] like the reference's
-    cosine, via a broadcast one-row aggregate (no driver round-trip)."""
-    mx = doc.agg(F.max("score").alias("__mx"))
-    doc = doc.crossJoin(F.broadcast(mx))
-    return doc.withColumn(
-        "relevance",
-        F.col("score") / F.when(F.col("__mx") != 0, F.col("__mx")).otherwise(F.lit(1.0)),
-    ).drop("__mx")
+def _query_weights(spark, q_tokens: list[str]) -> DataFrame:
+    """Query term-frequency vector, L2-normalized — the reference
+    normalizes the query exactly like a document
+    (FullTextIndex.tokenize → qdata.normalize()).  → (qterm, qw)."""
+    from collections import Counter
+    import math
+
+    cnt = Counter(q_tokens)
+    qmag = math.sqrt(sum(v * v for v in cnt.values()))
+    return spark.createDataFrame(
+        [(t, v / qmag) for t, v in cnt.items()], "qterm string, qw double"
+    )
+
+
+def _scored_hits(hits: DataFrame, q_tokens: list[str], prefix_match: bool) -> DataFrame:
+    """Join hits with the query vector: each matched (query term, index
+    entry) pair contributes qw·w to the document's cosine
+    (Hit.add(termNdx, queryTermWeight * termWeight) —
+    ReadIndexTask.java:188)."""
+    qdf = _query_weights(hits.sparkSession, q_tokens)
+    cond = (
+        hits["token"].startswith(qdf["qterm"])
+        if prefix_match
+        else hits["token"] == qdf["qterm"]
+    )
+    return hits.join(F.broadcast(qdf), cond)
 
 
 def search(
@@ -166,20 +184,21 @@ def search(
     filters hits at materialization.  minRank/maxRank page through the
     ranked results."""
     ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
-    hits, q_tokens = _match_hits(ti, query, prefix_match)
+    hits, q_tokens, prefix_match = _match_hits(ti, query, prefix_match)
 
-    # idf per token over the matched corpus
-    docfreq = hits.groupBy("token").agg(F.count_distinct("s", "p", "o_lex").alias("df"))
-    hits = hits.join(F.broadcast(docfreq), "token")
-    hits = hits.withColumn("w", F.col("tf") * F.log2(F.lit(ti.n_docs) / F.col("df")))
-
-    doc = hits.groupBy("s", "p", "o_lex", "o_dt", "o_lang").agg(
-        F.sum("w").alias("score"),
-        F.count_distinct("token").alias("nmatched"),
+    # cosine = Σ_matched qw·w over the two unit-normalized tf vectors
+    # (no idf — the reference's relevance is the plain local-weight
+    # cosine, FullTextIndex.java:892 "The basic algorithm computes
+    # cosine between the term-frequency vector of the query and the
+    # indexed documents")
+    scored = _scored_hits(hits, q_tokens, prefix_match)
+    doc_keys = [c for c in ("g", "s", "p", "o_lex", "o_dt", "o_lang") if c in ti.df.columns]
+    doc = scored.groupBy(*doc_keys).agg(
+        F.sum(F.col("qw") * F.col("w")).alias("relevance"),
+        F.count_distinct("qterm").alias("nmatched"),
     )
-    if match_all_terms and not prefix_match:
+    if match_all_terms:
         doc = doc.where(F.col("nmatched") >= len(set(q_tokens)))
-    doc = _normalized(doc)
     if match_exact:
         doc = doc.where(F.col("o_lex").contains(query))
     if match_regex is not None:
@@ -198,7 +217,7 @@ def search(
         doc = ranked(doc, order, max_rank=max_rank)
         if min_rank is not None:
             doc = doc.where(F.col("rank") >= min_rank)
-    cols = ["s", "p", "o_lex", "o_dt", "o_lang", "relevance"]
+    cols = doc_keys + ["relevance"]
     if want_rank:
         cols.append("rank")
     return doc.select(*cols)
@@ -220,19 +239,33 @@ def subject_search(
     the SUBJECT, all its literals' token frequencies pooled, so hits
     bind resources directly.  Returns: s | relevance [| rank]."""
     ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
-    hits, q_tokens = _match_hits(ti, query, prefix_match)
+    hits, q_tokens, prefix_match = _match_hits(ti, query, prefix_match)
 
-    subj = hits.groupBy("s", "token").agg(F.sum("tf").alias("tf"))
-    docfreq = subj.groupBy("token").agg(F.count_distinct("s").alias("df"))
-    subj = subj.join(F.broadcast(docfreq), "token")
-    subj = subj.withColumn("w", F.col("tf") * F.log2(F.lit(ti.n_subjects) / F.col("df")))
-    doc = subj.groupBy("s").agg(
-        F.sum("w").alias("score"),
-        F.count_distinct("token").alias("nmatched"),
+    # subject-centric document = the subject with all its literals'
+    # token frequencies pooled; its weight vector is normalized over the
+    # subject's FULL token space (computed only for matched subjects —
+    # a left-semi join confines the aggregation)
+    hit_subjects = hits.select("s").dropDuplicates()
+    base = ti.df
+    if "g" in base.columns:
+        # graph duplicates must not double-count token frequencies
+        base = base.drop("g").dropDuplicates()
+    subj = (
+        base.join(hit_subjects, "s", "left_semi")
+        .groupBy("s", "token")
+        .agg(F.sum("tf").alias("tf"))
     )
-    if match_all_terms and not prefix_match:
+    smag = Window.partitionBy("s")
+    subj = subj.withColumn(
+        "w", lucene_norm(F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(smag)))
+    )
+    scored = _scored_hits(subj, q_tokens, prefix_match)
+    doc = scored.groupBy("s").agg(
+        F.sum(F.col("qw") * F.col("w")).alias("relevance"),
+        F.count_distinct("qterm").alias("nmatched"),
+    )
+    if match_all_terms:
         doc = doc.where(F.col("nmatched") >= len(set(q_tokens)))
-    doc = _normalized(doc)
     if min_relevance is not None:
         doc = doc.where(F.col("relevance") >= min_relevance)
     if max_relevance is not None:
@@ -251,7 +284,7 @@ def matching_subjects(index: TextIndex | DataFrame, query: str, prefix_match: bo
     SearchInSearchServiceFactory.java:89: restrict ?s bindings to
     subjects that link to a matched literal).  Returns: s (distinct)."""
     ti = index if isinstance(index, TextIndex) else build_text_index_from_df(index)
-    hits, _ = _match_hits(ti, query, prefix_match)
+    hits, _, _ = _match_hits(ti, query, prefix_match)
     return hits.select("s").dropDuplicates()
 
 
@@ -275,17 +308,27 @@ def _tokenized_literals(statements: DataFrame) -> DataFrame:
             "http://www.w3.org/2001/XMLSchema#string",
             "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
         ) | F.col("o_dt").isNull())
-    ).select("s", "p", "o_lex", "o_dt", "o_lang")
+    ).select("g", "s", "p", "o_lex", "o_dt", "o_lang")
     tok = lits.select(
-        "s", "p", "o_lex", "o_dt", "o_lang",
+        "g", "s", "p", "o_lex", "o_dt", "o_lang",
         F.explode(tokenize(F.col("o_lex"))).alias("token"),
     )
-    return tok.groupBy("token", "s", "p", "o_lex", "o_dt", "o_lang").agg(
+    tf = tok.groupBy("token", "g", "s", "p", "o_lex", "o_dt", "o_lang").agg(
         F.count(F.lit(1)).alias("tf")
+    )
+    # index-time local term weight: the literal's token-frequency vector
+    # L2-normalized (TermFrequencyData.normalize — tf/√Σtf²), stored
+    # through the Lucene 8-bit norm quantization exactly like the
+    # reference's index tuples.  g rides along so dataset/GRAPH scoping
+    # can filter and bind the containing graph (quads-mode search —
+    # TestSearch named-graphs fixtures); it never affects the weight.
+    mag = Window.partitionBy("g", "s", "p", "o_lex", "o_dt", "o_lang")
+    return tf.withColumn(
+        "w", lucene_norm(F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(mag)))
     )
 
 
-_LIT_KEY = ["s", "p", "o_lex", "o_dt", "o_lang"]
+_LIT_KEY = ["g", "s", "p", "o_lex", "o_dt", "o_lang"]
 
 
 def update_text_index(

@@ -42,12 +42,19 @@ def canon_term(kind: int, lex: str, dt: str | None, lang: str | None):
     dtv = dt or XSD + "string"
     local = dtv[len(XSD):] if dtv.startswith(XSD) else None
     if local in _NUM_LOCALS:
+        # one canonical key per VALUE across numeric datatypes AND
+        # representations: 0.35^^xsd:double and 0.35^^xsd:decimal must
+        # collide, so floats canonicalize through repr() → Decimal
+        # (shortest decimal that roundtrips), exact non-float-safe
+        # decimals stay exact
         try:
             if local in ("double", "float"):
-                return ("num", float(lex))
+                return ("num", Decimal(repr(float(lex))).normalize())
             v = Decimal(lex)
-            return ("num", float(v)) if v == Decimal(float(v)) else ("num", v)
-        except (InvalidOperation, ValueError):
+            if v == Decimal(float(v)):
+                return ("num", Decimal(repr(float(v))).normalize())
+            return ("num", v.normalize())
+        except (InvalidOperation, ValueError, OverflowError):
             pass  # ill-typed numeric: fall through to exact
     if local == "boolean":
         return ("bool", lex.strip() in ("true", "1"))

@@ -102,9 +102,12 @@ def test_fulltext_search(spark):
     hits = search(idx, "quick dog").collect()
     by_s = {r["s"]: r for r in hits}
     assert set(by_s) == {EX + "d1", EX + "d2", EX + "d3"}
-    # d3 matches both tokens (one twice) → top rank
+    # d3 matches both tokens (one twice) → top rank.  Reference-parity
+    # cosine (local-weight, Lucene-8-bit-quantized): d3 = (quick 2/√5,
+    # dog 1/√5) → quantized (0.875, 0.4375); query (1/√2, 1/√2) →
+    # (0.875+0.4375)/√2 = 0.92807765
     assert min(hits, key=lambda r: r["rank"])["s"] == EX + "d3"
-    assert by_s[EX + "d3"]["relevance"] == 1.0
+    assert abs(by_s[EX + "d3"]["relevance"] - 0.9280776503073411) < 1e-9
     # match-all-terms keeps only d3
     all_hits = search(idx, "quick dog", match_all_terms=True).collect()
     assert {r["s"] for r in all_hits} == {EX + "d3"}

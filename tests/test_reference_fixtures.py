@@ -64,8 +64,24 @@ def _mk_id(e):
 IDS = [_mk_id(e) for e in ENTRIES]
 
 
+#: repo root of the reference checkout — RTO fixtures reference data
+#: files by repo-relative path (TestRTO_LUBM.java:89
+#: "bigdata-rdf/src/resources/data/lehigh/LUBM-U1.rdf.gz")
+REF_ROOT = "/root/reference"
+
+
 def _read(name: str) -> str:
-    with open(os.path.join(REF_DIR, name), encoding="utf-8") as f:
+    path = (
+        os.path.join(REF_ROOT, name)
+        if name.startswith("bigdata-rdf/")
+        else os.path.join(REF_DIR, name)
+    )
+    if name.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            return f.read()
+    with open(path, encoding="utf-8") as f:
         return f.read()
 
 
@@ -99,6 +115,7 @@ def _load_store(spark, data_files: list[str]):
         # land in a named graph, and TriG default-block statements do
         # too; only explicit TriG graph blocks keep their own context.
         file_ctx = "file:" + os.path.join(REF_DIR, df)
+        df = df[:-3] if df.endswith(".gz") else df
         if df.endswith(".trig"):
             quads = parse_trig(text)
             for g, s, p, o in quads:
@@ -141,6 +158,35 @@ def _bind_spark(spark):
         return Compiled(df, frozenset(["x"]))
 
     register_service("http://www.bigdata.com/mockService", mock_service)
+
+    # TestOpenrdfNativeServiceEvaluation test_service_001/002 register a
+    # mock service per test (OpenrdfNativeMockServiceFactory) returning
+    # fixed solutions; 002 includes an EMPTY binding set (joins with
+    # everything — "we wind up with duplicate solutions").
+    from pyspark.sql import types as T
+
+    from bigdata_old_spark.model import TERM_TYPE, Term
+
+    def _book_service(books_with_empty):
+        def handler(store, pattern, compiler):
+            schema = T.StructType([T.StructField("book", TERM_TYPE)])
+            rows = [
+                ((Term.iri("http://example.org/book/" + b).as_row(),) if b else (None,))
+                for b in books_with_empty
+            ]
+            df = store.spark.createDataFrame(rows, schema)
+            return Compiled(df, frozenset())
+
+        return handler
+
+    register_service(
+        "http://www.bigdata.com/mockService/test_service_001",
+        _book_service(["book1"]),
+    )
+    register_service(
+        "http://www.bigdata.com/mockService/test_service_002",
+        _book_service(["book1", "book2", None]),
+    )
 
     # TestCustomFunction registers myFunction (label → label-label) and
     # myFunction2 (label == "Mike") before running its fixtures

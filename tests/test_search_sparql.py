@@ -35,7 +35,8 @@ def test_bds_search_join(doc_store):
         }""")
     rows = {r["s"]["lex"]: r["score"]["dbl"] for r in df.collect()}
     assert set(rows) == {EX + "d1", EX + "d2", EX + "d3"}
-    assert rows[EX + "d3"] == 1.0
+    # reference-parity cosine (see test_inference_search_gas): 0.92807765
+    assert abs(rows[EX + "d3"] - 0.9280776503073411) < 1e-9
 
 
 def test_bds_match_all_and_rank(doc_store):
@@ -113,7 +114,8 @@ def test_bds_subject_search(doc_store):
         }""")
     rows = {r["s"]["lex"]: (r["score"]["dbl"], int(r["r"]["lex"])) for r in df.collect()}
     assert set(rows) == {EX + "d1", EX + "d2", EX + "d3"}
-    assert rows[EX + "d3"][0] == 1.0 and rows[EX + "d3"][1] == 1
+    # reference-parity cosine (see test_inference_search_gas): 0.92807765
+    assert abs(rows[EX + "d3"][0] - 0.9280776503073411) < 1e-9 and rows[EX + "d3"][1] == 1
 
 
 def test_bds_search_in_search(doc_store):
