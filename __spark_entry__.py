@@ -520,6 +520,16 @@ def _p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def _p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing over the documents table
+    (pipeline.packing.concat_chunk_packing): bucket-sharded token
+    stream sliced into 512-token training sequences."""
+    from bigdata_old_spark.pipeline.packing import concat_chunk_packing
+
+    docs = _read(spark, sf_dir, "documents")
+    return concat_chunk_packing(docs, budget=512, n_buckets=8)
+
+
 def _p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe deterministic train/test split: report per-side
     counts and checksum of ids (split membership is id-hash keyed)."""
@@ -996,6 +1006,26 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
                        IN ('0','1') THEN 'test' ELSE 'train' END AS side,
                   count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
            FROM documents GROUP BY side""",
+    ),
+    "p13_pack_sequences": (
+        _p_pack_sequences,
+        """WITH t AS (
+             SELECT doc_id, doc_id % 8 AS bucket,
+                    len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS n_tokens
+             FROM documents
+           ), c AS (
+             SELECT *, coalesce(sum(n_tokens) OVER (
+                         PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+             FROM t
+           )
+           SELECT doc_id, bucket, n_tokens,
+                  cb // 512 AS seq_id,
+                  cb % 512 AS seq_offset,
+                  greatest(cb // 512, (cb + n_tokens - 1) // 512) AS end_seq_id
+           FROM c""",
     ),
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),

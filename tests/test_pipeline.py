@@ -224,3 +224,38 @@ def test_hash_sample_deterministic_and_disjoint_split(spark):
     strat = stratified_sample(docs, ["lang"], cap=5)
     per = {r["lang"]: r["n"] for r in strat.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     assert all(n <= 5 for n in per.values())
+
+
+def test_concat_chunk_packing(spark):
+    """Sequence packing: chunked-concatenation layout per bucket —
+    offsets are cumulative, a long doc spans sequences, buckets are
+    independent."""
+    from bigdata_old_spark.pipeline.packing import concat_chunk_packing, pack_budget_stats
+
+    rows = [
+        # bucket 0 (ids 0,2,4): 3 + 5 + 9 tokens
+        (0, "a b c"),
+        (2, "a b c d e"),
+        (4, "one two three four five six seven eight nine"),
+        # bucket 1 (ids 1,3): 8 + 2 tokens
+        (1, "t1 t2 t3 t4 t5 t6 t7 t8"),
+        (3, "x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in concat_chunk_packing(docs, budget=8, n_buckets=2).collect()
+    }
+    # bucket 0: doc0 starts seq0@0; doc2 seq0@3; doc4 starts seq1@0
+    # (cum_before=8) and spans through token 16 → end_seq 2
+    assert (out[0]["seq_id"], out[0]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 3)
+    assert (out[4]["seq_id"], out[4]["seq_offset"], out[4]["end_seq_id"]) == (1, 0, 2)
+    # bucket 1 independent: doc1 seq0@0 (exactly fills), doc3 seq1@0
+    assert (out[1]["seq_id"], out[1]["end_seq_id"]) == (0, 0)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 0)
+
+    stats = {r["bucket"]: r for r in pack_budget_stats(
+        concat_chunk_packing(docs, budget=8, n_buckets=2), budget=8).collect()}
+    assert stats[0]["total_tokens"] == 17 and stats[0]["n_sequences"] == 3
+    assert stats[1]["total_tokens"] == 10 and stats[1]["n_sequences"] == 2
