@@ -1,0 +1,90 @@
+"""Plan-regression tests: the physical-plan properties EXPLAINS.md
+documents must HOLD, not just be prose — scans prune/push down, small
+sides broadcast, subject joins use the bucketed layout without a
+shuffle, aggregations exchange once on flat keys, and nothing ever
+degrades to a cartesian product.  A regression here is a 100×-scale
+incident even when sf0.001 results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def gate(spark):
+    import __spark_entry__ as m
+
+    store = m._store(spark, SF_DIR)
+    return m, store
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def shuffle_exchanges(plan: str) -> int:
+    # formatted-mode node headers: "(11) Exchange" — BroadcastExchange
+    # is a separate node name and deliberately NOT counted
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_q01_zero_shuffle_bucketed_join(gate, spark):
+    m, _ = gate
+    p = plan_text(m.queries()["q01_filter_project"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert shuffle_exchanges(p) == 0, p
+    # the filter reaches the Parquet scan
+    assert "PushedFilters: [" in p
+
+
+def test_q03_star_single_agg_exchange(gate, spark):
+    m, _ = gate
+    p = plan_text(m.queries()["q03_tpch_q1"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the star fast path aggregates once; one shuffle for the final
+    # group-by (plus none for the bucketed subject grouping)
+    assert shuffle_exchanges(p) <= 2, p
+    assert "HashAggregate" in p
+
+
+def test_q12_chain_broadcasts(gate, spark):
+    m, _ = gate
+    p = plan_text(m.queries()["q12_property_path_fk_chain"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # supplier/nation sides broadcast
+    assert shuffle_exchanges(p) <= 1, p  # only the final aggregation
+
+
+def test_headline_no_cartesian_no_rowpython(gate, spark):
+    m, _ = gate
+    qs = m.queries()
+    import bench
+
+    for name in bench.HEADLINE:
+        p = plan_text(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        # row-at-a-time Python UDFs never appear in the relational path
+        assert "BatchEvalPython" not in p, name
+
+
+def test_search_no_global_window(gate, spark):
+    """bds:search with a rank must compile to distributed top-k
+    (TakeOrderedAndProject), not a single-partition global Window."""
+    m, store = gate
+    df = store.query("""
+        SELECT ?lit ?r WHERE {
+          ?lit <http://www.bigdata.com/rdf/search#search> "spark query" .
+          ?lit <http://www.bigdata.com/rdf/search#rank> ?r .
+          ?lit <http://www.bigdata.com/rdf/search#maxRank> "10" .
+        }""")
+    p = plan_text(df)
+    assert "TakeOrderedAndProject" in p, p
