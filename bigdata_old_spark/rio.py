@@ -28,6 +28,7 @@ from bigdata_old_spark.model import (
 _TOKEN_RE = re.compile(
     r"""
     (?P<COMMENT>\#[^\n]*)
+  | (?P<RDR><<|>>)
   | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
   | (?P<STRING_LONG>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
@@ -133,12 +134,32 @@ class _TurtleParser:
 
     def parse_subject(self) -> Term:
         kind, v = self.peek()
+        if kind == "RDR" and v == "<<":
+            return self.parse_rdr()
         if v == "[":
             return self.parse_bnode_props()
         if v == "(":
             return self.parse_collection()
         t = self.parse_term()
         return t
+
+    def parse_rdr(self) -> Term:
+        """Terse RDR / RDF-star quoted triple ``<<s p o>>`` in data —
+        desugars to the reification bundle the reference's RDR
+        interchange unifies into a SID (StatementBuffer SIDs
+        processing; the quoted triple is NOT asserted, per
+        reif/rdr-03a semantics)."""
+        self.expect("<<")
+        s = self.parse_subject()
+        p = self.parse_verb()
+        o = self.parse_object()
+        self.expect(">>")
+        node = self.fresh_bnode()
+        self._emit(node, Term.iri(RDF + "subject"), s)
+        self._emit(node, Term.iri(RDF + "predicate"), p)
+        self._emit(node, Term.iri(RDF + "object"), o)
+        self._emit(node, Term.iri(RDF + "type"), Term.iri(RDF + "Statement"))
+        return node
 
     def parse_predicate_object_list(self, subj: Term):
         while True:
@@ -167,6 +188,8 @@ class _TurtleParser:
 
     def parse_object(self) -> Term:
         kind, v = self.peek()
+        if kind == "RDR" and v == "<<":
+            return self.parse_rdr()
         if v == "[":
             return self.parse_bnode_props()
         if v == "(":

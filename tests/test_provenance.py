@@ -83,3 +83,27 @@ def test_sid_survives_metadata_join(sid_store):
         ("http://example.org/alice", "http://example.org/hrDatabase"),
         ("http://example.org/bob", "http://example.org/rumor"),
     }
+
+
+TERSE = """
+@prefix : <http://example.org/> .
+@prefix dc: <http://purl.org/dc/elements/1.1/> .
+
+:alice :worksFor :acme .
+<<:alice :worksFor :acme>> dc:source :hrDatabase .
+<<:carol :worksFor :acme>> dc:source :rumor .
+"""
+
+
+def test_terse_rdr_turtle(spark):
+    """Terse RDR in Turtle data: <<s p o>> desugars to a reification
+    bundle (unasserted, per reif/rdr-03a), then to_sids + the SPARQL
+    <<>> surface round-trip it."""
+    st = TripleStore.from_turtle(spark, TERSE).to_sids()
+    df = st.query(P + """
+        SELECT ?who ?src WHERE { <<?who :worksFor :acme>> dc:source ?src }""")
+    got = {(r["who"]["lex"], r["src"]["lex"]) for r in df.collect()}
+    # only the ASSERTED statement matches the quoted pattern
+    assert got == {("http://example.org/alice", "http://example.org/hrDatabase")}
+    # carol's metadata exists on its SID, but the triple is unasserted
+    assert st.query(P + "SELECT * WHERE { :carol :worksFor :acme }").count() == 0
