@@ -530,6 +530,15 @@ def _p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_packing(docs, budget=512, n_buckets=8)
 
 
+def _p_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over documents
+    (pipeline.text.repetition_signals)."""
+    from bigdata_old_spark.pipeline.text import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
 def _p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe deterministic train/test split: report per-side
     counts and checksum of ids (split membership is id-hash keyed)."""
@@ -1026,6 +1035,39 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
                   cb % 512 AS seq_offset,
                   greatest(cb // 512, (cb + n_tokens - 1) // 512) AS end_seq_id
            FROM c""",
+    ),
+    "p14_repetition_signals": (
+        _p_repetition,
+        """WITH base AS (
+             SELECT doc_id,
+                    list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                               x -> trim(x)), x -> x <> '') AS lines,
+                    list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '') AS words
+             FROM documents
+           ), l AS (
+             SELECT doc_id, len(lines) AS n_lines,
+                    CASE WHEN len(lines) > 0
+                         THEN round(1.0 - len(list_distinct(lines)) / (1.0 * len(lines)), 9)
+                         ELSE 0.0 END AS dup_line_frac,
+                    words
+             FROM base
+           ), g AS (
+             SELECT doc_id,
+                    unnest(CASE WHEN len(words) >= 2
+                           THEN list_transform(range(1, len(words)),
+                                               i -> words[i] || ' ' || words[i+1])
+                           ELSE [] END) AS gram
+             FROM l
+           ), cnt AS (
+             SELECT doc_id, gram, count(*) AS c FROM g GROUP BY ALL
+           ), top AS (
+             SELECT doc_id, round(max(c) / (1.0 * sum(c)), 9) AS top_bigram_frac
+             FROM cnt GROUP BY doc_id
+           )
+           SELECT l.doc_id, n_lines, dup_line_frac,
+                  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+           FROM l LEFT JOIN top ON l.doc_id = top.doc_id""",
     ),
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),

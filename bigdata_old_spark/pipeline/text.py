@@ -136,3 +136,68 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred": lang_id(c),
         "fingerprint": fingerprint(c),
     })
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText repetition quality signals per document:
+
+      * n_lines / dup_line_frac — fraction of non-empty lines that are
+        duplicates of an earlier line (boilerplate/navigation detector)
+      * top_bigram_frac — fraction of all word 2-grams taken by the
+        most frequent one (looping/spam detector)
+
+    Filtering on these is the standard pre-training cleanup (Gopher
+    §A1.1-style repetition thresholds).  Shapes for 100 TB: the line
+    signals are pure per-row array expressions (codegen, zero
+    shuffle); the bigram mode is explode → count per (doc, gram) →
+    per-doc max, all partitioned by the document id — no global state.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round(1.0 - F.size(F.array_distinct(lines)) / n_lines, 9),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        tokens(c).alias("__words"),
+    )
+    grams = base.select(
+        id_col,
+        F.explode_outer(
+            F.when(
+                F.size("__words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__words") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__words"), i),
+                        F.element_at(F.col("__words"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("gram").isNotNull(), F.col("count"))).alias("__mx"),
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("count"))).alias("__tot"),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("__tot") > 0, F.round(F.col("__mx") / F.col("__tot"), 9)
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+    return base.drop("__words").join(top, id_col)

@@ -259,3 +259,21 @@ def test_concat_chunk_packing(spark):
         concat_chunk_packing(docs, budget=8, n_buckets=2), budget=8).collect()}
     assert stats[0]["total_tokens"] == 17 and stats[0]["n_sequences"] == 3
     assert stats[1]["total_tokens"] == 10 and stats[1]["n_sequences"] == 2
+
+
+def test_repetition_signals(spark):
+    from bigdata_old_spark.pipeline.text import repetition_signals
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nlimited offer"),       # 3/4 dup lines
+        (2, "spam spam spam spam spam"),                       # one bigram loops
+        (3, "a perfectly normal sentence with varied words"),
+        (4, ""),                                               # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["n_lines"] == 4 and abs(out[1]["dup_line_frac"] - 0.5) < 1e-9
+    # "spam spam" is all 4 bigrams
+    assert out[2]["top_bigram_frac"] == 1.0
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] < 0.5
+    assert out[4]["n_lines"] == 0 and out[4]["top_bigram_frac"] == 0.0
