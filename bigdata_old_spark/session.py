@@ -12,6 +12,16 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "bigdata-old-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers (mapInPandas/pandas-UDF paths, e.g. the streaming
+    # N-Triples parser) must be able to import this package no matter
+    # what the DRIVER's cwd is: export the package root on PYTHONPATH
+    # before the JVM forks workers (a driver running from /tmp with a
+    # sys.path hack would otherwise fail only at worker-deserialize
+    # time).  On a real cluster the same role is played by --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", cpus))

@@ -267,3 +267,53 @@ def windowed_event_counts(
             key_col, "n", "value_sum",
         )
     )
+
+
+def continuous_query(spark: SparkSession, source_dir: str, sparql: str) -> DataFrame:
+    """Continuous SPARQL over a live N-Triples stream: every arriving
+    statement flows through the compiled pattern and matching bindings
+    stream out (readStream → the same QueryCompiler → writeStream-able
+    DataFrame of term-struct columns).
+
+    Stateless subset: ONE triple pattern plus FILTER / BIND /
+    projection.  Multi-pattern BGPs would be stream-stream self-joins,
+    which Spark only supports with event-time watermarks RDF statements
+    don't carry — batch the store for those (or window-aggregate the
+    stream with :func:`windowed_event_counts`).  The restriction is
+    enforced here so the error is immediate, not a mid-stream analysis
+    exception.
+    """
+    from bigdata_old_spark import algebra as A
+    from bigdata_old_spark.parser import parse_query
+    from bigdata_old_spark.store import TripleStore
+
+    q = parse_query(sparql)
+    if not isinstance(q, A.SelectQuery):
+        raise ValueError("continuous_query supports SELECT queries")
+    if q.group_by or q.order_by or q.having or q.distinct or q.reduced or q.limit is not None:
+        raise ValueError(
+            "continuous_query is stateless: no GROUP BY/ORDER BY/"
+            "DISTINCT/LIMIT (use windowed_event_counts for windowed "
+            "streaming aggregation)"
+        )
+
+    def triple_count(node) -> int:
+        if isinstance(node, A.BGP):
+            return len(node.triples)
+        if isinstance(node, (A.FilterPat,)):
+            return triple_count(node.child)
+        if isinstance(node, A.Extend):
+            return triple_count(node.child)
+        if isinstance(node, A.Join):
+            return triple_count(node.left) + triple_count(node.right)
+        raise ValueError(f"continuous_query: unsupported pattern {type(node).__name__}")
+
+    if triple_count(q.pattern) != 1:
+        raise ValueError(
+            "continuous_query matches exactly one triple pattern "
+            "(multi-pattern BGPs need stream-stream joins)"
+        )
+
+    stream = stream_ntriples(spark, source_dir)
+    st = TripleStore(spark, stream, union_default_graph=False, has_named_graphs=False)
+    return st.query(sparql)

@@ -114,3 +114,38 @@ def test_sessionize_stateful_stream(spark, tmp_path):
         assert got == expect
     finally:
         q.stop()
+
+
+def test_continuous_sparql_query(spark, tmp_path):
+    """continuous_query: SPARQL pattern+filter over a live N-Triples
+    stream; matches stream out as term-struct bindings."""
+    import pytest as _pytest
+
+    from bigdata_old_spark.streaming import continuous_query
+
+    src = tmp_path / "cq"
+    os.makedirs(src)
+    (src / "b1.nt").write_text(
+        '<http://ex/a> <http://ex/score> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://ex/b> <http://ex/score> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://ex/c> <http://ex/other> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    out = continuous_query(
+        spark, str(src),
+        """SELECT ?s ?v WHERE { ?s <http://ex/score> ?v . FILTER(?v > 5) }""",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("cq_hits")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from cq_hits").collect()
+    assert [(r["s"]["lex"], r["v"]["lex"]) for r in rows] == [("http://ex/a", "7")]
+
+    # the stateless contract is enforced eagerly
+    with _pytest.raises(ValueError):
+        continuous_query(spark, str(src), "SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s")
+    with _pytest.raises(ValueError):
+        continuous_query(spark, str(src),
+                         "SELECT * WHERE { ?s <http://ex/p> ?x . ?x <http://ex/q> ?y }")
