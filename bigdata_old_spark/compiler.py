@@ -785,8 +785,15 @@ class QueryCompiler:
         df, ds = ti.df, self.dataset
         g_name = None
         if graph is None:
-            if ds is not None and ds.default_graphs is not None:
-                df = df.where(F.col("g").isin(ds.default_graphs))
+            if ds is not None and (ds.default_graphs is not None or ds.virtual_default):
+                cond = F.lit(False)
+                if ds.default_graphs is not None:
+                    cond = cond | F.col("g").isin(ds.default_graphs)
+                df = df.where(cond)
+                if ds.virtual_default:
+                    m = self._vg_members(ds.virtual_default)
+                    vg_hits = ti.df.join(m, ti.df["g"] == m["__vg"], "left_semi")
+                    df = df.unionByName(vg_hits)
             elif ds is not None:
                 df = df.limit(0)  # FROM NAMED only: empty default graph
             elif self.store.union_default_graph and self.store.has_named_graphs:
@@ -795,7 +802,12 @@ class QueryCompiler:
                 df = df.where(F.col("g").isNull())
         elif isinstance(graph, Term):
             if ds is not None and graph.lex not in (ds.named_graphs or ()):
-                df = df.limit(0)
+                if ds.virtual_named:
+                    m = self._vg_members(ds.virtual_named).where(F.col("__vg") == graph.lex)
+                    df = df.where(F.col("g") == graph.lex).join(
+                        m, df["g"] == m["__vg"], "left_semi")
+                else:
+                    df = df.limit(0)
             else:
                 df = df.where(F.col("g") == graph.lex)
         else:  # GRAPH ?g — bind the containing graph
@@ -803,8 +815,18 @@ class QueryCompiler:
             if ds is not None:
                 if ds.named_graphs is None and not ds.virtual_named:
                     df = df.limit(0)
-                elif ds.named_graphs is not None:
-                    df = df.where(F.col("g").isin(ds.named_graphs))
+                else:
+                    cond = F.lit(False)
+                    if ds.named_graphs is not None:
+                        cond = cond | F.col("g").isin(ds.named_graphs)
+                    df = df.where(cond) if not ds.virtual_named else df
+                    if ds.virtual_named:
+                        m = self._vg_members(ds.virtual_named)
+                        if ds.named_graphs is not None:
+                            lit = self.store.spark.createDataFrame(
+                                [(g,) for g in ds.named_graphs], "__vg string")
+                            m = m.unionByName(lit).dropDuplicates()
+                        df = df.join(m, df["g"] == m["__vg"], "left_semi")
             g_name = graph.name
         if g_name is None:
             df = df.drop("g").dropDuplicates()

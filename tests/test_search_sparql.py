@@ -214,3 +214,24 @@ def test_incremental_text_index_unpersists_old_generation(spark):
     st2 = st.update(P + 'INSERT DATA { :d2 :text "gamma" }')
     assert st2._text_index.df.storageLevel != StorageLevel.NONE
     assert old_df.storageLevel == StorageLevel.NONE
+
+
+def test_search_respects_virtual_graph_dataset(spark):
+    """FROM VIRTUAL GRAPH scoping reaches the text index: literals in
+    non-member graphs are invisible to bds:search."""
+    from bigdata_old_spark.store import TripleStore
+
+    from bigdata_old_spark.model import Term
+
+    BD = "http://www.bigdata.com/rdf#"
+    rows = [
+        (None, EX + "vg", BD + "virtualGraph", Term.iri(EX + "gA")),
+        (EX + "gA", EX + "d1", "http://www.w3.org/2000/01/rdf-schema#label", "quick fox"),
+        (EX + "gB", EX + "d2", "http://www.w3.org/2000/01/rdf-schema#label", "quick dog"),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    df = st.query(P + f"""
+        SELECT ?lit FROM VIRTUAL GRAPH <{EX}vg> WHERE {{
+          ?lit bds:search "quick" .
+        }}""")
+    assert [r["lit"]["lex"] for r in df.collect()] == ["quick fox"]
