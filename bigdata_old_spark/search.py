@@ -290,7 +290,10 @@ def matching_subjects(index: TextIndex | DataFrame, query: str, prefix_match: bo
 
 def build_text_index_from_df(df: DataFrame) -> TextIndex:
     """Wrap a bare inverted-index DataFrame (counts the corpus — prefer
-    passing the TextIndex built by build_text_index)."""
+    passing the TextIndex built by build_text_index).  A pre-weights
+    index (no ``w`` column) gets its quantized weights computed here."""
+    if "w" not in df.columns:
+        df = _with_weights(df)
     stats = df.agg(
         F.count_distinct("s", "p", "o_lex").alias("nd"),
         F.count_distinct("s").alias("ns"),
@@ -316,13 +319,18 @@ def _tokenized_literals(statements: DataFrame) -> DataFrame:
     tf = tok.groupBy("token", "g", "s", "p", "o_lex", "o_dt", "o_lang").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # index-time local term weight: the literal's token-frequency vector
-    # L2-normalized (TermFrequencyData.normalize — tf/√Σtf²), stored
-    # through the Lucene 8-bit norm quantization exactly like the
-    # reference's index tuples.  g rides along so dataset/GRAPH scoping
-    # can filter and bind the containing graph (quads-mode search —
-    # TestSearch named-graphs fixtures); it never affects the weight.
-    mag = Window.partitionBy("g", "s", "p", "o_lex", "o_dt", "o_lang")
+    return _with_weights(tf)
+
+
+def _with_weights(tf: DataFrame) -> DataFrame:
+    """Index-time local term weight: the literal's token-frequency
+    vector L2-normalized (TermFrequencyData.normalize — tf/√Σtf²),
+    stored through the Lucene 8-bit norm quantization exactly like the
+    reference's index tuples.  g rides along so dataset/GRAPH scoping
+    can filter and bind the containing graph (quads-mode search —
+    TestSearch named-graphs fixtures); it never affects the weight."""
+    keys = [c for c in ("g", "s", "p", "o_lex", "o_dt", "o_lang") if c in tf.columns]
+    mag = Window.partitionBy(*keys)
     return tf.withColumn(
         "w", lucene_norm(F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(mag)))
     )
