@@ -1024,10 +1024,10 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
                                     x -> x <> '')) AS n_tokens
              FROM documents
            ), c AS (
-             SELECT *, coalesce(sum(n_tokens) OVER (
+             SELECT *, CAST(coalesce(sum(n_tokens) OVER (
                          PARTITION BY bucket ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS cb
+                       ), 0) AS BIGINT) AS cb
              FROM t
            )
            SELECT doc_id, bucket, n_tokens,

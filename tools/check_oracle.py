@@ -20,12 +20,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
-    # Replicate the driver's gate as observed in round 1: floats are
-    # rounded (p03's float32-vs-float64 repr noise hash-MATCHED), but a
-    # Decimal is NOT coerced to float (q03's DECIMAL(18,2) vs float64
-    # hash-FAILED).  So: round floats, keep Decimals type-distinct.
+    # Replicate the driver's gate as observed over rounds 1-4: floats
+    # are rounded (p03's float32-vs-float64 repr noise hash-MATCHED),
+    # but a Decimal is NOT coerced to float (q03's DECIMAL(18,2) vs
+    # float64 hash-FAILED), and a float is NOT coerced to int (r4 p13:
+    # DuckDB HUGEINT -> pandas float64 hashed 0.0 vs engine 0 and
+    # FAILED).  So: round floats but keep them type-tagged, keep
+    # Decimals type-distinct.
     if isinstance(v, float):
-        return round(v, 6)
+        return ("f", round(v, 6))
     if hasattr(v, "quantize"):  # Decimal — driver serializes it as-is
         return "dec:" + str(v)
     return v
