@@ -544,6 +544,42 @@ def _p_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+def _p_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the REAL mapInPandas path
+    (pipeline.multimodal.extract_image_features — Arrow-batched binary
+    content in, sha256 + deterministic fake vision features out).
+
+    Content is built Catalyst-side as ASCII bytes (repeat(md5(id), 4)
+    encoded UTF-8) so the DuckDB oracle can replay the exact
+    bytes→sha256→feature chain with its VARCHAR-only hash functions;
+    the engine still sees an opaque ``binary`` column, exactly the
+    schema a real image corpus has.  Features are emitted per-dimension
+    as exact byte ints (feature · 255 == digest byte) so the gate
+    compares integers, not float32-vs-float64 rounding residue."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.multimodal import extract_image_features
+
+    media = spark.range(64).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.repeat(F.md5(F.col("id").cast("string")), 4), "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id", "sha256", "n_bytes",
+        F.posexplode("feature").alias("pos", "f"),
+    ).select(
+        "media_id", "sha256", "n_bytes",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("f") * 255).cast("long").alias("fbyte"),
+    )
+
+
 def _p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe deterministic train/test split: report per-side
     counts and checksum of ids (split membership is id-hash keyed)."""
@@ -1073,6 +1109,26 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            SELECT l.doc_id, n_lines, dup_line_frac,
                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
            FROM l LEFT JOIN top ON l.doc_id = top.doc_id""",
+    ),
+    "p15_multimodal_features": (
+        _p_multimodal,
+        """WITH m AS (SELECT unnest(range(64)) AS media_id),
+           c AS (
+             SELECT media_id,
+                    repeat(md5(CAST(media_id AS VARCHAR)), 4) AS content
+             FROM m
+           ), s AS (
+             SELECT media_id, sha256(content) AS sha256,
+                    CAST(length(content) AS BIGINT) AS n_bytes
+             FROM c
+           ), j AS (SELECT unnest(range(16)) AS pos)
+           SELECT media_id, sha256, n_bytes, CAST(pos AS BIGINT) AS pos,
+                  CAST(16 * (strpos('0123456789abcdef',
+                                    substr(sha256, 1 + 2 * pos, 1)) - 1)
+                          + (strpos('0123456789abcdef',
+                                    substr(sha256, 2 + 2 * pos, 1)) - 1)
+                       AS BIGINT) AS fbyte
+           FROM s, j""",
     ),
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),
