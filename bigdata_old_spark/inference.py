@@ -41,6 +41,9 @@ OWL_EQ_CLASS = OWL + "equivalentClass"
 OWL_EQ_PROP = OWL + "equivalentProperty"
 OWL_FUNCTIONAL = OWL + "FunctionalProperty"
 OWL_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
+OWL_RESTRICTION = OWL + "Restriction"
+OWL_ONPROP = OWL + "onProperty"
+OWL_HASVALUE = OWL + "hasValue"
 
 _RDF_NS = RDF_TYPE[: -len("type")]
 RDF_PROPERTY = _RDF_NS + "Property"
@@ -375,6 +378,36 @@ def rdfs_closure(
             )
             fresh.append(_mk_triples_flat_obj(
                 ipairs.select(F.col("s"), F.col("o")), s="s", p=OWL_SAMEAS, o="o"))
+
+            # owl:hasValue (RuleOwlHasValue.java:36): (x type a),
+            # (a type owl:Restriction), (a owl:onProperty p),
+            # (a owl:hasValue v) → (x p v).  The restriction node a is
+            # typically a bnode; v may be any value (incl. literals),
+            # so the hasValue object struct is carried through whole.
+            restr = _typed_props(OWL_RESTRICTION).withColumnRenamed("s", "a")
+            onp = _iri_obj_triples(cur, OWL_ONPROP).select(
+                F.col("s").alias("a"), F.col("o").alias("__hv_p")
+            )
+            hv = (
+                cur.where(F.col("p") == OWL_HASVALUE)
+                .select(F.col("s").alias("a"), *[F.col(c) for c in cur.columns if c.startswith("o_")])
+                .dropDuplicates(["a", "o_kind", "o_lex", "o_dt", "o_lang"])
+            )
+            hv_schema = restr.join(onp, "a").join(hv, "a")
+            hv_inst = (
+                cur.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") != 2))
+                .select(F.col("s").alias("__hv_x"), _obj_flat().alias("a"))
+            )
+            ghv, sthv = _g_stype_cols()
+            jhv = hv_inst.join(F.broadcast(hv_schema), "a")
+            fresh.append(
+                jhv.select(
+                    ghv, F.col("__hv_x").alias("s"),
+                    F.col("__hv_p").cast("string").alias("p"),
+                    *[F.col(c) for c in cur.columns if c.startswith("o_")],
+                    sthv,
+                ).select(*cur.columns)
+            )
 
             # owl:sameAs (RuleOwlSameAs1/1b/2/3).  The reference
             # backchains sameAs (inf/BackchainAccessPath.java); its

@@ -225,6 +225,40 @@ def test_owl_functional_property(spark):
     assert (E + "m2", _OWL + "sameAs", E + "m1") in got
 
 
+def test_owl_has_value(spark):
+    """RuleOwlHasValue.java:36 — (x type a), (a type owl:Restriction),
+    (a owl:onProperty p), (a owl:hasValue v) → (x p v); the restriction
+    node is a bnode and v may be a literal."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        :Adult a owl:Restriction ;
+               owl:onProperty :status ;
+               owl:hasValue "adult" .
+        :alice a :Adult .
+        :HasPet a owl:Restriction ;
+                owl:onProperty :keeps ;
+                owl:hasValue :cat .
+        :bob a :HasPet .
+        :carol a :Unrelated .
+    """)
+    closed = rdfs_closure(st.statements)
+    got = {(r["s"], r["p"], r["o_lex"]) for r in closed.collect()}
+    E = "http://example.org/"
+    assert (E + "alice", E + "status", "adult") in got   # literal value
+    assert (E + "bob", E + "keeps", E + "cat") in got    # IRI value
+    assert not any(s == E + "carol" and p == E + "status" for s, p, _ in got)
+    # bnode restriction node: the usual OWL serialization shape
+    st2 = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        :x a [ a owl:Restriction ; owl:onProperty :p ; owl:hasValue 42 ] .
+    """)
+    c2 = rdfs_closure(st2.statements)
+    row = c2.where((F.col("s") == E + "x") & (F.col("p") == E + "p")).collect()
+    assert len(row) == 1 and row[0]["o_lex"] == "42"  # numeric struct carried
+
+
 def test_owl_inverse_functional_property(spark):
     got = _closure_triples(spark, """
         @prefix : <http://example.org/> .
