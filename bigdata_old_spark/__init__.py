@@ -17,8 +17,9 @@ Design (see SURVEY.md):
     analytics) are driver-side fixpoint loops over DataFrames.
 """
 
+from bigdata_old_spark.changesets import ChangeLog, ChangeSet, InMemChangeLog
 from bigdata_old_spark.session import get_spark
 from bigdata_old_spark.store import TripleStore
 
-__all__ = ["get_spark", "TripleStore"]
+__all__ = ["get_spark", "TripleStore", "ChangeLog", "ChangeSet", "InMemChangeLog"]
 __version__ = "0.1.0"

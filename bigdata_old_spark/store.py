@@ -54,6 +54,11 @@ class TripleStore:
         #: expressions (NOW/RAND/UUID) compile to Spark functions that
         #: re-evaluate per execution, so reuse is safe for them too.
         self._plan_cache: dict = {}
+        #: load-time closure mode (reference DataLoader.ClosureEnum,
+        #: store/DataLoader.java:76): "none" leaves closure manual;
+        #: "batch" runs rdfs_closure after every SPARQL LOAD op (the
+        #: single-op analog of Batch; inferred rows are stype-tagged)
+        self.load_closure: str = "none"
 
     _merged_cache: DataFrame | None = None
 
@@ -93,6 +98,7 @@ class TripleStore:
         )
         st.solution_sets = dict(self.solution_sets)
         st.sid_map = self.sid_map
+        st.load_closure = self.load_closure
         return st
 
     def to_sids(self) -> "TripleStore":
@@ -123,12 +129,18 @@ class TripleStore:
         return TripleStore(spark, df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]))
 
     @staticmethod
-    def from_rows(spark: SparkSession, rows: list[tuple]) -> "TripleStore":
-        """rows: (g, s, p, o[, stype]) with o a Term or plain Python value."""
+    def from_rows(
+        spark: SparkSession, rows: list[tuple], closure: str = "none"
+    ) -> "TripleStore":
+        """rows: (g, s, p, o[, stype]) with o a Term or plain Python value.
+        ``closure="batch"`` runs the RDFS(+OWL) forward closure right
+        after load — the DataLoader ClosureEnum analog
+        (store/DataLoader.java:76); inferred rows are stype-tagged."""
         has_ng = any(r[0] is not None for r in rows)
-        return TripleStore(
+        st = TripleStore(
             spark, statements_df_from_terms(rows, spark), has_named_graphs=has_ng
         )
+        return _apply_load_closure(st, closure)
 
     @staticmethod
     def from_tpch_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None, cache: bool = True) -> "TripleStore":
@@ -142,24 +154,29 @@ class TripleStore:
         return TripleStore(spark, df, has_named_graphs=False)
 
     @staticmethod
-    def from_turtle(spark: SparkSession, text: str, graph: str | None = None) -> "TripleStore":
+    def from_turtle(
+        spark: SparkSession, text: str, graph: str | None = None, closure: str = "none"
+    ) -> "TripleStore":
         from bigdata_old_spark.rio import parse_turtle
 
         rows = [(graph, s, p, o) for s, p, o in parse_turtle(text)]
-        return TripleStore.from_rows(spark, rows)
+        return TripleStore.from_rows(spark, rows, closure=closure)
 
     @staticmethod
-    def from_trig(spark: SparkSession, text: str) -> "TripleStore":
+    def from_trig(spark: SparkSession, text: str, closure: str = "none") -> "TripleStore":
         from bigdata_old_spark.rio import parse_trig
 
-        return TripleStore.from_rows(spark, parse_trig(text))
+        return TripleStore.from_rows(spark, parse_trig(text), closure=closure)
 
     @staticmethod
-    def from_rdfxml(spark: SparkSession, text: str, graph: str | None = None, base: str = "") -> "TripleStore":
+    def from_rdfxml(
+        spark: SparkSession, text: str, graph: str | None = None, base: str = "",
+        closure: str = "none",
+    ) -> "TripleStore":
         from bigdata_old_spark.rio import parse_rdfxml
 
         rows = [(graph, s, p, o) for s, p, o in parse_rdfxml(text, base)]
-        return TripleStore.from_rows(spark, rows)
+        return TripleStore.from_rows(spark, rows, closure=closure)
 
     # -- statistics (lazy, cached) ----------------------------------------------
     _stats = None
@@ -262,11 +279,13 @@ class TripleStore:
         )
 
     # -- mutation (SPARQL UPDATE analog — batch Parquet rewrite) --------------
-    def update(self, sparql_update: str) -> "TripleStore":
-        """Execute a SPARQL UPDATE request; returns the new store."""
+    def update(self, sparql_update: str, change_log=None) -> "TripleStore":
+        """Execute a SPARQL UPDATE request; returns the new store.
+        ``change_log`` (changesets.ChangeLog) receives the per-op
+        added/removed statement deltas — the IChangeLog analog."""
         from bigdata_old_spark.update import execute_update
 
-        return execute_update(self, sparql_update)
+        return execute_update(self, sparql_update, change_log=change_log)
 
     def closure(self) -> "TripleStore":
         """RDFS forward closure (inference.rdfs_closure)."""
@@ -378,3 +397,14 @@ class TripleStore:
             df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]),
             has_named_graphs=has_named_graphs,
         )
+
+
+def _apply_load_closure(st: "TripleStore", closure: str) -> "TripleStore":
+    """DataLoader ClosureEnum analog (store/DataLoader.java:76): 'none'
+    loads only; 'batch' runs the forward closure over the loaded data
+    in the same call (inferred rows stype-tagged by rdfs_closure)."""
+    if closure == "none":
+        return st
+    if closure == "batch":
+        return st.closure()
+    raise ValueError(f"closure must be 'none' or 'batch', got {closure!r}")

@@ -331,6 +331,17 @@ def _anti_remove(base: DataFrame, victims: DataFrame) -> DataFrame:
     return base.join(v, cond, "left_anti")
 
 
+def _semi_match(base: DataFrame, victims: DataFrame) -> DataFrame:
+    """Rows of base that match a victim — the ACTUAL removal delta
+    (requested-but-absent victims drop out)."""
+    v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
+    cond = None
+    for k in _KEYS:
+        c = base[k].eqNullSafe(v[f"__v_{k}"])
+        cond = c if cond is None else (cond & c)
+    return base.join(v, cond, "left_semi")
+
+
 def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_graph: str | None) -> DataFrame:
     """Instantiate quad templates against WHERE solutions → statements DF
     (the ASTConstructIterator analog for update templates)."""
@@ -375,15 +386,29 @@ def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_
     return out
 
 
-def execute_update(store, text: str):
-    """Run a SPARQL UPDATE request; returns the NEW TripleStore."""
-    from bigdata_old_spark.compiler import QueryCompiler
-    from bigdata_old_spark.store import TripleStore
+def execute_update(store, text: str, change_log=None):
+    """Run a SPARQL UPDATE request; returns the NEW TripleStore.
 
+    ``change_log`` (changesets.ChangeLog — the IChangeLog analog) gets
+    transaction_begin / one change_event(ChangeSet) per statement-
+    mutating op with the ACTUAL added/removed deltas (anti-join
+    results, not the requested sets) / transaction_committed, or
+    transaction_aborted if an op raises.  The same deltas drive the
+    incremental text-index maintenance, so a registered log costs no
+    extra jobs beyond one checkpoint per op."""
     union_flag = store.union_default_graph
-    for op in parse_update(text):
-        store = _execute_one(store, op)
-        store.union_default_graph = union_flag
+    if change_log is not None:
+        change_log.transaction_begin()
+    try:
+        for op in parse_update(text):
+            store = _execute_one(store, op, change_log)
+            store.union_default_graph = union_flag
+    except Exception:
+        if change_log is not None:
+            change_log.transaction_aborted()
+        raise
+    if change_log is not None:
+        change_log.transaction_committed()
     return store
 
 
@@ -400,28 +425,49 @@ def _maintain_text_index(old_store, new_store, added=None, removed=None):
     return new_store
 
 
-def _execute_one(store, op):
+def _execute_one(store, op, change_log=None):
     """Execute one UPDATE op, deriving the new store via
     ``store.with_statements`` so session state (named solution sets,
     ``union_default_graph``, and the SID map) survives mutation.  The
     SID map stays valid: it keys existing statements, deletes merely
     remove rows, and newly inserted plain triples have no SIDs until
     ``to_sids()`` is re-run (reference: SIDs are assigned at load,
-    AbstractTripleStore.java:787)."""
+    AbstractTripleStore.java:787).
+
+    Statement-mutating ops compute their ACTUAL added/removed deltas
+    (anti-join / semi-join results); the same slim DataFrames feed the
+    incremental text-index maintenance AND the ``change_log`` callback
+    (changesets.py — IChangeLog analog).  Deltas are checkpointed only
+    when a consumer beyond the store union exists."""
     from bigdata_old_spark.compiler import QueryCompiler
     from bigdata_old_spark.rio import load_ntriples
-    from bigdata_old_spark.store import TripleStore
 
     spark, df = store.spark, store.statements
 
+    def snap(delta):
+        """Checkpoint a delta consumed by more than the store union."""
+        if change_log is not None or store._text_index is not None:
+            return delta.localCheckpoint(eager=True)
+        return delta
+
+    def emit(opname, added=None, removed=None):
+        if change_log is not None:
+            from bigdata_old_spark.changesets import ChangeSet
+
+            change_log.change_event(ChangeSet(opname, added=added, removed=removed))
+
     if isinstance(op, InsertData):
         add = _ground_quads_df(spark, op.quads)
-        out = store.with_statements(df.unionByName(_anti_new_stmts(add, df)))
-        return _maintain_text_index(store, out, added=add)
+        delta = snap(_anti_new_stmts(add, df))
+        out = store.with_statements(df.unionByName(delta))
+        emit("InsertData", added=delta)
+        return _maintain_text_index(store, out, added=delta)
     if isinstance(op, DeleteData):
         victims = _ground_quads_df(spark, op.quads)
+        gone = snap(_semi_match(df, victims))
         out = store.with_statements(_anti_remove(df, victims))
-        return _maintain_text_index(store, out, removed=victims)
+        emit("DeleteData", removed=gone)
+        return _maintain_text_index(store, out, removed=gone)
     if isinstance(op, DeleteInsert):
         comp = QueryCompiler(store)
         pattern = op.pattern
@@ -433,48 +479,75 @@ def _execute_one(store, op):
 
         resolve = {v: (iri_col_to_term(sol[v]) if v in c.flat else sol[v]) for v in c.vars}
         out = df
+        gone = adds_delta = None
         if op.delete_template:
             victims = _template_to_statements(sol, op.delete_template, resolve, op.with_graph)
+            gone = snap(_semi_match(out, victims))
             out = _anti_remove(out, victims)
         if op.insert_template:
             adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
-            out = out.unionByName(_anti_new_stmts(adds, out))
+            adds_delta = snap(_anti_new_stmts(adds, out))
+            out = out.unionByName(adds_delta)
         new_store = store.with_statements(out)
-        return _maintain_text_index(
-            store,
-            new_store,
-            added=adds if op.insert_template else None,
-            removed=victims if op.delete_template else None,
-        )
+        emit("DeleteInsert", added=adds_delta, removed=gone)
+        return _maintain_text_index(store, new_store, added=adds_delta, removed=gone)
     if isinstance(op, ClearOp) or isinstance(op, DropOp):
         t = op.target
+        opname = "Clear" if isinstance(op, ClearOp) else "Drop"
         if t == "default":
-            return store.with_statements(df.where(F.col("g").isNotNull()))
-        if t == "named":
-            return store.with_statements(df.where(F.col("g").isNull()))
+            keep_cond = F.col("g").isNotNull()
+        elif t == "named":
+            keep_cond = F.col("g").isNull()
+        elif t == "all":
+            keep_cond = F.lit(False)
+        else:
+            keep_cond = ~F.col("g").eqNullSafe(F.lit(t))
+        if change_log is not None:
+            emit(opname, removed=df.where(~keep_cond).localCheckpoint(eager=True))
         if t == "all":
             return store.with_statements(spark.createDataFrame([], STATEMENTS_SCHEMA))
-        return store.with_statements(df.where(~F.col("g").eqNullSafe(F.lit(t))))
+        return store.with_statements(df.where(keep_cond))
     if isinstance(op, CreateOp):
         return store  # graphs are implicit (no catalog) — no-op
     if isinstance(op, CopyOp):
         src_cond = F.col("g").isNull() if op.src == "default" else F.col("g") == op.src
         dst_val = F.lit(None).cast("string") if op.dst == "default" else F.lit(op.dst)
         moved = df.where(src_cond).withColumn("g", dst_val)
+        removed_cond = F.lit(False)
         if op.add:
             rest = df
         else:  # COPY/MOVE replace the destination graph
             dst_cond = F.col("g").isNull() if op.dst == "default" else F.col("g") == op.dst
             rest = df.where(~dst_cond)
+            removed_cond = removed_cond | dst_cond
         if op.move:
             rest = rest.where(~src_cond)
-        return store.with_statements(rest.unionByName(_anti_new_stmts(moved, rest)))
+            removed_cond = removed_cond | src_cond
+        delta = snap(_anti_new_stmts(moved, rest))
+        if change_log is not None:
+            emit("Add" if op.add else ("Move" if op.move else "Copy"),
+                 added=delta,
+                 removed=df.where(removed_cond).localCheckpoint(eager=True))
+        return store.with_statements(rest.unionByName(delta))
     if isinstance(op, LoadOp):
         path = op.source
         if path.startswith("file://"):
             path = path[7:]
         add = load_ntriples(spark, path, graph=op.graph)
-        return store.with_statements(df.unionByName(_anti_new_stmts(add, df)))
+        if store.load_closure == "batch":
+            # DataLoader ClosureEnum analog: LOAD + closure in one op.
+            # The reported delta covers loaded AND inferred rows — the
+            # reference's IChangeLog contract includes inferences added
+            # by truth maintenance (changesets/IChangeLog.java:28).
+            from bigdata_old_spark.inference import rdfs_closure
+
+            closed = rdfs_closure(df.unionByName(_anti_new_stmts(add, df)))
+            delta = snap(_anti_new_stmts(closed, df))
+        else:
+            delta = snap(_anti_new_stmts(add, df))
+        out = store.with_statements(df.unionByName(delta))
+        emit("Load", added=delta)
+        return _maintain_text_index(store, out, added=delta)
     if isinstance(op, SolutionSetOp):
         from pyspark.sql import types as T
 

@@ -91,3 +91,144 @@ def test_update_preserves_sid_map(spark):
     assert st.sid_map is not None
     st2 = st.update(P + 'INSERT DATA { :c rdfs:label "C" }')
     assert st2.sid_map is not None
+
+
+# ---------------------------------------------------------------------------
+# Changesets — the IChangeLog analog (changesets/IChangeLog.java:39)
+# ---------------------------------------------------------------------------
+
+def _stmt_keys(df):
+    return {
+        (r["g"], r["s"], r["p"], r["o_kind"], r["o_lex"], r["o_dt"], r["o_lang"])
+        for r in df.collect()
+    }
+
+
+def _assert_delta_matches_store_diff(before, after, changes):
+    """Union of per-op added minus removed must equal the store diff."""
+    b, a = _stmt_keys(before.statements), _stmt_keys(after.statements)
+    added = set()
+    removed = set()
+    for ch in changes:
+        if ch.added is not None:
+            added |= _stmt_keys(ch.added)
+        if ch.removed is not None:
+            removed |= _stmt_keys(ch.removed)
+    assert a - b == added - removed  # net inserts
+    assert b - a == removed - added  # net deletes
+
+
+def test_changelog_insert_delete_data(spark):
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = fresh(spark)
+    log = InMemChangeLog()
+    # the :a label insert is a no-op (already present) → empty delta;
+    # the :zz delete is absent → empty delta
+    st2 = st.update(
+        P + 'INSERT DATA { :c rdfs:label "C" . :a rdfs:label "A" } ; '
+            'DELETE DATA { :b rdfs:label "B" . :zz rdfs:label "ZZ" }',
+        change_log=log,
+    )
+    assert log.committed and not log.aborted
+    assert [c.op for c in log.changes] == ["InsertData", "DeleteData"]
+    ins, dele = log.changes
+    assert _stmt_keys(ins.added) == {
+        (None, EX + "c", "http://www.w3.org/2000/01/rdf-schema#label", 2, "C",
+         "http://www.w3.org/2001/XMLSchema#string", None)
+    }
+    assert {k[1] for k in _stmt_keys(dele.removed)} == {EX + "b"}
+    _assert_delta_matches_store_diff(st, st2, log.changes)
+
+
+def test_changelog_delete_insert_where(spark):
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = fresh(spark)
+    log = InMemChangeLog()
+    st2 = st.update(
+        P + 'DELETE { ?x rdfs:label ?l } INSERT { ?x rdfs:label "renamed" } '
+            'WHERE { ?x rdfs:label ?l }',
+        change_log=log,
+    )
+    assert [c.op for c in log.changes] == ["DeleteInsert"]
+    ch = log.changes[0]
+    assert {k[4] for k in _stmt_keys(ch.removed)} == {"A", "B"}
+    assert {k[4] for k in _stmt_keys(ch.added)} == {"renamed"}
+    _assert_delta_matches_store_diff(st, st2, log.changes)
+
+
+def test_changelog_clear_and_abort(spark):
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = fresh(spark).update(P + "INSERT DATA { GRAPH :g1 { :x :p :y } }")
+    log = InMemChangeLog()
+    st.update(P + "CLEAR GRAPH :g1", change_log=log)
+    assert [c.op for c in log.changes] == ["Clear"]
+    assert _stmt_keys(log.changes[0].removed) == {
+        (EX + "g1", EX + "x", EX + "p", 0, EX + "y", None, None)
+    }
+    # abort path: a bad op raises AFTER begin → aborted, not committed
+    log2 = InMemChangeLog()
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        st.update("LOAD <file:///nonexistent-file.nt>", change_log=log2)
+    assert log2.aborted and not log2.committed
+
+
+def test_changelog_feeds_text_index(spark):
+    """The incremental text-index maintenance consumes the SAME deltas
+    the changelog reports (no separate diff computation)."""
+    from bigdata_old_spark.changesets import InMemChangeLog
+    from bigdata_old_spark.search import build_text_index
+
+    st = fresh(spark)
+    st._text_index = build_text_index(st.statements)
+    log = InMemChangeLog()
+    st2 = st.update(P + 'INSERT DATA { :d rdfs:label "delta indexed words" }', change_log=log)
+    assert st2._text_index is not None
+    hits = st2.query(
+        P + 'PREFIX bds: <http://www.bigdata.com/rdf/search#> '
+            'SELECT ?s WHERE { ?o bds:search "delta" . ?s rdfs:label ?o }'
+    ).collect()
+    assert [r["s"]["lex"] for r in hits] == [EX + "d"]
+    _assert_delta_matches_store_diff(st, st2, log.changes)
+
+
+def test_load_closure_batch(spark, tmp_path):
+    """DataLoader ClosureEnum analog (store/DataLoader.java:76):
+    LOAD with load_closure='batch' ≡ plain LOAD + manual closure."""
+    nt = tmp_path / "data.nt"
+    nt.write_text(
+        '<http://example.org/sub> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://example.org/Sup> .\n'
+        '<http://example.org/i> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example.org/sub> .\n'
+    )
+    base = fresh(spark)
+
+    manual = base.update(f"LOAD <file://{nt}>").closure()
+
+    st = fresh(spark)
+    st.load_closure = "batch"
+    auto = st.update(f"LOAD <file://{nt}>")
+
+    assert _stmt_keys(auto.statements) == _stmt_keys(manual.statements)
+    # the inferred type triple is present and stype-tagged
+    inf = auto.statements.where(
+        (F.col("s") == EX + "i") & (F.col("o_lex") == EX + "Sup")
+    ).collect()
+    assert len(inf) == 1 and inf[0]["stype"] != 0
+
+
+def test_from_turtle_closure_option(spark):
+    ttl = """@prefix : <http://example.org/> .
+             @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+             :A rdfs:subClassOf :B .  :x a :A ."""
+    auto = TripleStore.from_turtle(spark, ttl, closure="batch")
+    manual = TripleStore.from_turtle(spark, ttl).closure()
+    assert _stmt_keys(auto.statements) == _stmt_keys(manual.statements)
+    assert auto.query(
+        P + "ASK { :x a :B }"
+    ).collect()[0]["ask"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TripleStore.from_turtle(spark, ttl, closure="bogus")
