@@ -62,10 +62,17 @@ def _store(spark: SparkSession, sf_dir: str):
             pass
 
         from bigdata_old_spark import mapping as _mapping_mod
+        from bigdata_old_spark import model as _model_mod
+        from bigdata_old_spark import store as _store_mod
 
-        # version the store by the triplifier source so stale stores
-        # from older code are never reused
-        ver = hashlib.md5(open(_mapping_mod.__file__, "rb").read()).hexdigest()[:8]
+        # version the store by every module that defines the serving
+        # encoding (triplifier + statement schema/flat encodings +
+        # store layout) so stale /tmp stores from older code are never
+        # reused across processes (VERDICT r4 item 8)
+        h = hashlib.md5()
+        for mod in (_mapping_mod, _model_mod, _store_mod):
+            h.update(open(mod.__file__, "rb").read())
+        ver = h.hexdigest()[:8]
         tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
         table = f"bdos_{tag}_{ver}_bk"
         path = f"{tempfile.gettempdir()}/{table}"
