@@ -587,6 +587,52 @@ def _p_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: 3-gram overlap of every training doc
+    against an eval set (here: the doc_id % 20 == 0 slice of the same
+    corpus, so planted 100%-contaminated docs exist alongside organic
+    partial boilerplate overlap).  Oracle replays the distinct-3-gram
+    left-join in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.decontam import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(docs, eval_df, n=3, min_frac=0.2)
+
+
+def _p_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic e-mail/IP/phone spans are planted
+    into a doc_id % 7 == 0 slice (both sides build the identical
+    string), then counted and redacted with patterns that behave the
+    same under Java regex and RE2 — counts AND the redacted text are
+    value-checked."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.redact import pii_signals, redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" Contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".1 or +1 555-000-"),
+                    (F.col("doc_id") % 10000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = pii_signals(docs)
+    red = redact_pii(docs).select("doc_id", F.col("text").alias("redacted"))
+    return sig.join(red, "doc_id")
+
+
 def _p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe deterministic train/test split: report per-side
     counts and checksum of ids (split membership is id-hash keyed)."""
@@ -1116,6 +1162,73 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            SELECT l.doc_id, n_lines, dup_line_frac,
                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
            FROM l LEFT JOIN top ON l.doc_id = top.doc_id""",
+    ),
+    "p16_ngram_contamination": (
+        _p_decontam,
+        """WITH tok AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '') AS w
+             FROM documents
+           ), tg AS (
+             SELECT doc_id,
+                    list_distinct(
+                      CASE WHEN len(w) >= 3
+                           THEN list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END) AS grams
+             FROM tok
+           ), t AS (
+             SELECT doc_id, unnest(grams) AS gram FROM tg
+           ), e AS (
+             SELECT DISTINCT unnest(grams) AS gram FROM tg WHERE doc_id % 20 = 0
+           ), agg AS (
+             SELECT t.doc_id, count(*) AS n_ngrams, count(e.gram) AS n_contaminated
+             FROM t LEFT JOIN e ON t.gram = e.gram
+             GROUP BY t.doc_id
+           )
+           SELECT d.doc_id,
+                  coalesce(n_ngrams, 0) AS n_ngrams,
+                  coalesce(n_contaminated, 0) AS n_contaminated,
+                  CASE WHEN coalesce(n_ngrams, 0) > 0
+                       THEN round(n_contaminated / (1.0 * n_ngrams), 9)
+                       ELSE 0.0 END AS contamination_frac,
+                  CASE WHEN coalesce(n_ngrams, 0) > 0
+                       THEN round(n_contaminated / (1.0 * n_ngrams), 9) >= 0.2
+                       ELSE FALSE END AS is_contaminated
+           FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+    ),
+    "p17_pii_redact": (
+        _p_pii_redact,
+        """WITH aug AS (
+             SELECT doc_id,
+                    text || CASE WHEN doc_id % 7 = 0
+                            THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or 10.0.'
+                                 || CAST(doc_id % 200 AS VARCHAR)
+                                 || '.1 or +1 555-000-'
+                                 || CAST(doc_id % 10000 AS VARCHAR)
+                            ELSE '' END AS text
+             FROM documents
+           )
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                  CAST(len(regexp_extract_all(text,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                  CAST(len(regexp_extract_all(text,
+                    '\\+\\d[\\d\\- ]{7,14}\\d')) AS BIGINT) AS n_phone,
+                  CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   + len(regexp_extract_all(text,
+                    '\\+\\d[\\d\\- ]{7,14}\\d')) AS BIGINT) AS n_pii,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                    '\\+\\d[\\d\\- ]{7,14}\\d', '<PHONE>', 'g') AS redacted
+           FROM aug""",
     ),
     "p15_multimodal_features": (
         _p_multimodal,
