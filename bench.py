@@ -120,6 +120,10 @@ def main() -> None:
         spread[name] = [round(vals[0], 3), round(med, 3), round(vals[-1], 3)]
         total += med
 
+    try:
+        la = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        la = None
     print(json.dumps({
         "metric": "headline_query_set_wall_sec",
         "value": round(total, 3),
@@ -129,6 +133,7 @@ def main() -> None:
         "first_run_wall_sec": round(first_total, 3),
         "runs": [round(sum(p.values()), 3) for p in passes],
         "spread": spread,
+        "loadavg_1_5_15": la,  # box-contention evidence for the record
     }))
 
 
