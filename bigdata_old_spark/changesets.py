@@ -29,11 +29,19 @@ class ChangeSet:
     same DELETE/INSERT op appears in both (the reference's UPDATE
     change action collapses that pair; callers can anti-join if they
     need net deltas).
+
+    ``updated`` is populated only under truth maintenance
+    (``store.truth_maintenance = True``): statements whose TYPE flipped
+    — an explicit add of an already-provable inference (inferred →
+    explicit) or a retraction of a still-provable explicit statement
+    (explicit → inferred) — carrying the NEW stype, the reference's
+    ChangeAction.UPDATED (TestChangeSets.java testTMUpdate).
     """
 
     op: str
     added: DataFrame | None = None
     removed: DataFrame | None = None
+    updated: DataFrame | None = None
 
 
 class ChangeLog:

@@ -221,6 +221,23 @@ def rdfs_closure(
     """
     out = statements
 
+    if with_owl:
+        # One cheap probe: if no OWL-namespace term occurs anywhere (as
+        # predicate or IRI object), the OWL rules can never fire — and
+        # the RDFS rules cannot introduce owl:* terms that are not
+        # already present — so the whole OWL branch set (~15 rule plans
+        # per round) is skipped.  The reference sizes its rule program
+        # the same way (BaseClosure assembles only the enabled rules).
+        with_owl = (
+            statements.where(
+                F.col("p").startswith(OWL)
+                | ((F.col("o_kind") == KIND_IRI) & F.col("o_lex").startswith(OWL))
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+
     for _ in range(max_rounds):
         cur = out
         fresh = []

@@ -59,6 +59,15 @@ class TripleStore:
         #: "batch" runs rdfs_closure after every SPARQL LOAD op (the
         #: single-op analog of Batch; inferred rows are stype-tagged)
         self.load_closure: str = "none"
+        #: truth maintenance (reference BigdataSail.Options.TRUTH_
+        #: MAINTENANCE, inf/TruthMaintenance.java:110): when True, the
+        #: data-mutating UPDATE ops act on the EXPLICIT statements and
+        #: the closure is re-derived per op (batch re-derivation — the
+        #: reference's incremental assertion/retraction closure is an
+        #: OLTP optimization of the same fixpoint); changesets then
+        #: report inferred additions/removals and stype flips.  Triples
+        #: mode only, like the reference (TM unsupported in quads mode).
+        self.truth_maintenance: bool = False
 
     _merged_cache: DataFrame | None = None
 
@@ -99,6 +108,7 @@ class TripleStore:
         st.solution_sets = dict(self.solution_sets)
         st.sid_map = self.sid_map
         st.load_closure = self.load_closure
+        st.truth_maintenance = self.truth_maintenance
         return st
 
     def to_sids(self) -> "TripleStore":

@@ -401,7 +401,12 @@ def execute_update(store, text: str, change_log=None):
         change_log.transaction_begin()
     try:
         for op in parse_update(text):
-            store = _execute_one(store, op, change_log)
+            if store.truth_maintenance and isinstance(
+                op, (InsertData, DeleteData, DeleteInsert, LoadOp)
+            ):
+                store = _execute_one_tm(store, op, change_log)
+            else:
+                store = _execute_one(store, op, change_log)
             store.union_default_graph = union_flag
     except Exception:
         if change_log is not None:
@@ -423,6 +428,63 @@ def _maintain_text_index(old_store, new_store, added=None, removed=None):
             old_store._text_index, new_store.statements, added, removed
         )
     return new_store
+
+
+def _execute_one_tm(store, op, change_log):
+    """Batch truth maintenance (reference BigdataSail TRUTH_MAINTENANCE
+    + inf/TruthMaintenance.java:110, semantics proven by
+    TestChangeSets.java testTMAdd/testTMRetract/testTMUpdate): the op
+    mutates the EXPLICIT statements only, the closure is re-derived,
+    and the changeset reports the full-store diff — inferred rows
+    appear/disappear together with their premises, and a statement
+    whose type flips (explicit add of an already-provable inference, or
+    retraction of a still-provable explicit statement) is reported in
+    ``updated`` with its new stype rather than added/removed.  Batch
+    re-derivation replaces the reference's incremental assertion/
+    retraction closure (SURVEY §2.12); axiom triples are not modeled
+    (the documented closure deviation), and like the reference TM is
+    triples-mode only."""
+    from bigdata_old_spark.inference import rdfs_closure
+    from bigdata_old_spark.model import STYPE_INFERRED
+
+    old_full = store.statements
+    explicit = old_full.where(F.col("stype") != STYPE_INFERRED)
+    tmp = _execute_one(store.with_statements(explicit), op, None)
+    new_full = rdfs_closure(tmp.statements).localCheckpoint(eager=True)
+    out = store.with_statements(new_full)
+    added = removed = None
+    if change_log is not None or store._text_index is not None:
+        added, removed, updated = _tm_diff(old_full, new_full)
+        if change_log is not None:
+            from bigdata_old_spark.changesets import ChangeSet
+
+            opname = {"LoadOp": "Load"}.get(type(op).__name__, type(op).__name__)
+            change_log.change_event(
+                ChangeSet(opname, added=added, removed=removed, updated=updated)
+            )
+    return _maintain_text_index(store, out, added=added, removed=removed)
+
+
+def _tm_diff(old: DataFrame, new: DataFrame):
+    """(added, removed, updated) between two closed stores: rows keyed
+    by statement identity; ``updated`` = same statement, different
+    stype (carrying the NEW stype)."""
+    cols = old.columns
+
+    def keyed(df, tag):
+        k = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in _KEYS]
+        )
+        return df.select(k.alias("__k"), *[F.col(c).alias(f"__{tag}_{c}") for c in cols])
+
+    j = keyed(old, "o").join(keyed(new, "n"), "__k", "full_outer").localCheckpoint(eager=True)
+    o_present, n_present = F.col("__o_stype").isNotNull(), F.col("__n_stype").isNotNull()
+    added = j.where(~o_present).select(*[F.col(f"__n_{c}").alias(c) for c in cols])
+    removed = j.where(~n_present).select(*[F.col(f"__o_{c}").alias(c) for c in cols])
+    updated = j.where(
+        o_present & n_present & (F.col("__o_stype") != F.col("__n_stype"))
+    ).select(*[F.col(f"__n_{c}").alias(c) for c in cols])
+    return added, removed, updated
 
 
 def _execute_one(store, op, change_log=None):

@@ -232,3 +232,97 @@ def test_from_turtle_closure_option(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         TripleStore.from_turtle(spark, ttl, closure="bogus")
+
+
+# ---------------------------------------------------------------------------
+# Truth maintenance — TestChangeSets.java testTMAdd/testTMRetract/
+# testTMUpdate semantics via batch re-derivation (axiom triples are not
+# modeled — the documented closure deviation — so the inferred sets are
+# membership-checked rather than compared verbatim)
+# ---------------------------------------------------------------------------
+
+_SUBC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def _tm_store(spark):
+    st = TripleStore.from_turtle(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :z :unrelated :w .""",
+    )
+    st.truth_maintenance = True
+    return st
+
+
+def _key(df_rows, s, o):
+    return [r for r in df_rows if r["s"] == s and r["o_lex"] == o and r["p"] == _SUBC]
+
+
+def test_tm_add_infers_and_readd_is_noop(spark):
+    """testTMAdd: adding premises records explicit AND inferred
+    insertions; re-adding the same data records nothing."""
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    ins = P + "INSERT DATA { :A rdfs:subClassOf :B . :B rdfs:subClassOf :C }"
+    log = InMemChangeLog()
+    st1 = _tm_store(spark).update(ins, change_log=log)
+    ch = log.changes[0]
+    rows = ch.added.collect()
+    assert _key(rows, EX + "A", EX + "B")[0]["stype"] == 0   # explicit premise
+    assert _key(rows, EX + "B", EX + "C")[0]["stype"] == 0
+    assert _key(rows, EX + "A", EX + "C")[0]["stype"] == 2   # inferred A⊑C
+    assert ch.removed.count() == 0 and ch.updated.count() == 0
+    # the store IS the closure
+    assert len(_key(st1.statements.collect(), EX + "A", EX + "C")) == 1
+    # re-add: no change records at all (reference: empty commit log)
+    log2 = InMemChangeLog()
+    st2 = st1.update(ins, change_log=log2)
+    ch2 = log2.changes[0]
+    assert ch2.added.count() == 0 and ch2.removed.count() == 0 and ch2.updated.count() == 0
+    assert st2.statements.count() == st1.statements.count()
+
+
+def test_tm_retract_removes_unprovable_inferences(spark):
+    """testTMRetract: retracting a premise also removes the inferences
+    that are no longer provable."""
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = _tm_store(spark).update(
+        P + "INSERT DATA { :A rdfs:subClassOf :B . :B rdfs:subClassOf :C }"
+    )
+    log = InMemChangeLog()
+    st2 = st.update(P + "DELETE DATA { :B rdfs:subClassOf :C }", change_log=log)
+    ch = log.changes[0]
+    removed = ch.removed.collect()
+    assert _key(removed, EX + "B", EX + "C")[0]["stype"] == 0  # the premise
+    assert _key(removed, EX + "A", EX + "C")[0]["stype"] == 2  # its inference
+    stmts = st2.statements.collect()
+    assert not _key(stmts, EX + "A", EX + "C")
+    assert _key(stmts, EX + "A", EX + "B")  # untouched premise survives
+
+
+def test_tm_upgrade_and_downgrade(spark):
+    """testTMUpdate: adding an already-provable inference explicitly is
+    an UPDATED (inferred→explicit) flip; removing it while still
+    provable is an UPDATED (explicit→inferred) flip, not a removal."""
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = _tm_store(spark).update(
+        P + "INSERT DATA { :A rdfs:subClassOf :B . :B rdfs:subClassOf :C }"
+    )
+    log = InMemChangeLog()
+    st2 = st.update(P + "INSERT DATA { :A rdfs:subClassOf :C }", change_log=log)
+    ch = log.changes[0]
+    assert ch.added.count() == 0 and ch.removed.count() == 0
+    up = ch.updated.collect()
+    assert len(up) == 1 and _key(up, EX + "A", EX + "C")[0]["stype"] == 0
+    assert _key(st2.statements.collect(), EX + "A", EX + "C")[0]["stype"] == 0
+
+    log2 = InMemChangeLog()
+    st3 = st2.update(P + "DELETE DATA { :A rdfs:subClassOf :C }", change_log=log2)
+    ch2 = log2.changes[0]
+    assert ch2.added.count() == 0 and ch2.removed.count() == 0
+    down = ch2.updated.collect()
+    assert len(down) == 1 and _key(down, EX + "A", EX + "C")[0]["stype"] == 2
+    assert _key(st3.statements.collect(), EX + "A", EX + "C")[0]["stype"] == 2
