@@ -244,24 +244,54 @@ class TripleStore:
         return self._text_index
 
     # -- query ---------------------------------------------------------------
-    def query(self, sparql: str, describe_mode: str | None = None) -> DataFrame:
+    def query(
+        self,
+        sparql: str,
+        describe_mode: str | None = None,
+        bindings: dict | None = None,
+    ) -> DataFrame:
         """SPARQL string → result DataFrame (term-struct columns for
         SELECT; s/p/o term structs for CONSTRUCT/DESCRIBE; one boolean
         row for ASK).  ``describe_mode`` picks the DESCRIBE algorithm
         (ForwardOneStep | CBD | SymmetricOneStep | SCBD — the
         reference's DescribeModeEnum; default SymmetricOneStep, matching
-        QueryHints.DEFAULT_DESCRIBE_MODE)."""
+        QueryHints.DEFAULT_DESCRIBE_MODE).
+
+        ``bindings`` pre-binds variables before evaluation — the Sesame
+        Query.setBinding surface the reference exposes (exercised by its
+        TestSetBinding/TestTicket275): {var_name: Term or plain Python
+        str/int/float/bool}.  Bindings seed the pipeline start exactly
+        like a VALUES block, so filters and patterns see them bound."""
         from bigdata_old_spark import algebra as A
         from bigdata_old_spark.compiler import QueryCompiler
         from bigdata_old_spark.parser import parse_query
 
-        key = (sparql, describe_mode)
+        key = (
+            sparql,
+            describe_mode,
+            None if not bindings else tuple(sorted((k, repr(v)) for k, v in bindings.items())),
+        )
         cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
         q = parse_query(sparql)
         if describe_mode is not None and isinstance(q, A.DescribeQuery):
             q.mode = describe_mode
+        if bindings:
+            from bigdata_old_spark.model import Term
+
+            names = [n.lstrip("?$") for n in bindings]
+            row = [
+                v if isinstance(v, Term) else Term.from_python(v)
+                for v in bindings.values()
+            ]
+            vp = A.ValuesPat(names, [row])
+            if q.values is None:
+                q.values = vp  # seeds the pipeline start (incoming bindings)
+            elif q.pattern is not None:
+                q.pattern = A.Join(vp, q.pattern)
+            else:  # DESCRIBE <term> with no WHERE — bindings vacuous
+                pass
         df = QueryCompiler(self).compile_query(q)
         if len(self._plan_cache) >= 256:  # bounded; oldest-first evict
             self._plan_cache.pop(next(iter(self._plan_cache)))

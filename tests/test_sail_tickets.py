@@ -1,0 +1,187 @@
+"""Ports of the reference's Sail-level ticket regression tests
+(bigdata-sails/src/test/com/bigdata/rdf/sail/TestTicket*.java and
+TestNoExceptions.java) — inline queries the data-driven fixture corpus
+does not cover.  Data files are read from the read-only reference tree
+at runtime, like tests/test_reference_fixtures.py does.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.model import Term
+from bigdata_old_spark.store import TripleStore
+
+SAIL = "/root/reference/bigdata-sails/src/test/com/bigdata/rdf/sail"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _lex(df, var="x"):
+    return sorted(r[var]["lex"] for r in df.collect())
+
+
+def test_ticket_275_prebound_filter_optional(spark):
+    """TestTicket275.java:132 — OPTIONAL + FILTER(STR(?majorType) =
+    ?argMajorType) + FILTER(!bound) with a pre-bound variable
+    (Query.setBinding)."""
+    st = TripleStore.from_turtle(spark, open(f"{SAIL}/TestTicket275.ttl").read())
+    q = (
+        "SELECT ?lookup WHERE { "
+        "?lookup <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <os:class/Lookup> . "
+        "?lookup <os:prop/lookup/majorType> ?majorType . "
+        "OPTIONAL{?lookup <os:prop/lookup/minorType> ?minorType}. "
+        "FILTER(STR(?majorType) = ?argMajorType). FILTER(!bound(?minorType))}"
+    )
+    # the reference binds "majoor": no lookup matches (and the one
+    # Lookup's minorType is bound anyway) — must run cleanly, 0 rows
+    out = st.query(q, bindings={"argMajorType": Term.literal("majoor")})
+    assert out.count() == 0
+    # positive control: majorType matches but minorType is bound → still 0
+    assert st.query(q, bindings={"argMajorType": Term.literal("major")}).count() == 0
+
+
+def test_ticket_276_prebound_predicate_vars(spark):
+    """TestTicket276.java:145 — variables in PREDICATE position
+    pre-bound via setBinding."""
+    st = TripleStore.from_turtle(spark, open(f"{SAIL}/TestTicket276.n3").read())
+    out = st.query(
+        "SELECT ?x { ?x ?a ?t . ?x ?lookup ?l }",
+        bindings={
+            "a": Term.iri(RDF_TYPE),
+            "t": Term.iri("os:class/Location"),
+            "lookup": Term.iri("os:prop/lookupName"),
+            "l": Term.literal("amsterdam"),
+        },
+    )
+    assert _lex(out) == ["os:elem/loc/Amsterdam", "os:elem/loc/Amsterdam_2"]
+
+
+def test_ticket_353_empty_group_union(spark):
+    """TestTicket353.java:135 — {} UNION { ?a ?b ?c }: the empty group
+    contributes one empty solution."""
+    st = TripleStore.from_rows(
+        spark, [(None, "os:subject", "os:prop", Term.literal("value"))]
+    )
+    rows = st.query("SELECT ?b { {} union { ?a ?b ?c } }").collect()
+    got = sorted("∅" if r["b"] is None else r["b"]["lex"] for r in rows)
+    assert got == ["os:prop", "∅"]
+
+
+def test_ticket_355_prebound_in_filter(spark):
+    """TestTicket355.java:135 — pre-bound variable used only inside a
+    FILTER expression."""
+    st = TripleStore.from_rows(
+        spark, [(None, "os:subject", "os:prop", Term.literal("value"))]
+    )
+    out = st.query(
+        "SELECT ?subj WHERE { ?subj <os:prop> ?val . FILTER(STR(?val) != ?arg)}",
+        bindings={"arg": Term.literal("notValue")},
+    )
+    assert _lex(out, "subj") == ["os:subject"]
+
+
+def test_ticket_581_search_service_in_construct(spark):
+    """TestTicket581.java:111 — CONSTRUCT whose WHERE drives a
+    SERVICE bds:search block joined to regular patterns."""
+    st = TripleStore.from_turtle(
+        spark, open(f"{SAIL}/fulltextsearchwithsubselect.ttl").read()
+    )
+    out = st.query(
+        "CONSTRUCT { ?object ?p ?o . } WHERE { "
+        "  service <http://www.bigdata.com/rdf/search#search> { "
+        "    ?so <http://www.bigdata.com/rdf/search#search> \"music\" . "
+        "  } "
+        "  ?object ?p ?so . ?object ?p ?o . }"
+    )
+    rows = out.collect()
+    # the three rdfs:label literals containing "music"
+    assert len(rows) == 3
+    assert {r["s"]["lex"] for r in rows} == {
+        "http://example/1", "http://example/2", "http://example/3"
+    }
+    assert all(r["p"]["lex"].endswith("label") for r in rows)
+
+
+def test_ticket_610_subproperty_of_transitive_not_inferred(spark):
+    """TestTicket610.java — (a type owl:TransitiveProperty),
+    (b subPropertyOf a) must NOT infer (b type owl:TransitiveProperty)."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        <u:a> a owl:TransitiveProperty .
+        <u:b> rdfs:subPropertyOf <u:a> .
+    """)
+    closed = st.closure()
+    bad = closed.statements.where(
+        (F.col("s") == "u:b") & (F.col("p") == RDF_TYPE)
+        & (F.col("o_lex") == "http://www.w3.org/2002/07/owl#TransitiveProperty")
+    )
+    assert bad.count() == 0
+
+
+def test_ticket_647_669_nested_subselect_limit(spark):
+    """TestTicket647/669 — SELECT wrapping sub-SELECT ... LIMIT 1 at
+    one, two, and three nesting levels each returns exactly one row."""
+    st = TripleStore.from_turtle(spark, """
+        <http://example.com/book1> a <http://example.com/Book> .
+        <http://example.com/book2> a <http://example.com/Book> .
+        <http://example.com/book3> a <http://example.com/Book> .
+    """)
+    nested = "SELECT ?s WHERE { SELECT ?s WHERE { ?s ?p ?o} LIMIT 1 }"
+    double = "SELECT ?s WHERE { SELECT ?s WHERE { SELECT ?s WHERE { ?s ?p ?o} LIMIT 1 } }"
+    triple = ("SELECT ?s WHERE { SELECT ?s WHERE { SELECT ?s WHERE { "
+              "SELECT ?s WHERE { ?s ?p ?o} LIMIT 1 } } }")
+    for q in (nested, double, triple):
+        rows = st.query(q).collect()
+        assert len(rows) == 1 and rows[0]["s"]["lex"].startswith("http://example.com/book")
+
+
+def test_ticket_693_property_path_modifiers(spark):
+    """TestTicket693.java:169-260 — subClassOf / * / ? / + against the
+    property_paths.owl chain E⊑D⊑C⊑B⊑A (RDF/XML load)."""
+    st = TripleStore.from_rdfxml(spark, open(f"{SAIL}/property_paths.owl").read())
+    E = "http://example.org/"
+    pfx = "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+
+    def subs(q):
+        return _lex(st.query(pfx + q), "sub")
+
+    assert subs("SELECT * WHERE { ?sub rdfs:subClassOf <http://example.org/A> . }") == [E + "B"]
+    assert subs("SELECT * WHERE { ?sub rdfs:subClassOf* <http://example.org/A> . }") == [
+        E + "A", E + "B", E + "C", E + "D", E + "E"]
+    assert subs("SELECT * WHERE { ?sub rdfs:subClassOf? <http://example.org/A> . }") == [
+        E + "A", E + "B"]
+    # ticket693.txt: the + variant
+    assert subs("SELECT * WHERE { ?sub rdfs:subClassOf+ <http://example.org/A> }") == [
+        E + "B", E + "C", E + "D", E + "E"]
+
+
+def test_ticket_831_union_of_filtered_scans(spark):
+    """TestTicket831.java + 831.rq — UNION of two all-triple scans each
+    narrowed by an equality FILTER on ?s."""
+    st = TripleStore.from_turtle(spark, open(f"{SAIL}/831.ttl").read())
+    out = st.query(open(f"{SAIL}/831.rq").read())
+    rows = out.collect()
+    assert len(rows) == 6  # person1: type+age+name, person2: type+age+name
+    assert {r["s"]["lex"] for r in rows} == {
+        "http://example.org/data/person1", "http://example.org/data/person2"
+    }
+
+
+def test_ticket_874_boolean_literal_union(spark):
+    """TestTicket874.java + 874.rq/874.ttl — boolean literal `true` in a
+    BGP, strStarts FILTER, UNION with a disjoint branch."""
+    st = TripleStore.from_turtle(spark, open(f"{SAIL}/874.ttl").read())
+    rows = st.query(open(f"{SAIL}/874.rq").read()).collect()
+    assert len(rows) == 1
+    assert rows[0]["s"]["lex"] == "http://arvados.org/schema/modified_at"
+
+
+# --- TestNoExceptions.java: queries that must optimize + run cleanly ----
+
+@pytest.mark.parametrize("rq", ["ticket746", "filterSubselect737", "nestedSubselectsWithUnion737"])
+def test_no_exceptions_rq(spark, rq):
+    """TestNoExceptions.java:167-234 — parse/compile/evaluate on an
+    empty store without raising."""
+    st = TripleStore.from_rows(spark, [(None, "u:x", "u:p", Term.literal("seed"))])
+    q = open(f"{SAIL}/{rq}.rq").read()
+    st.query(q).collect()  # must not raise
