@@ -185,3 +185,72 @@ def test_no_exceptions_rq(spark, rq):
     st = TripleStore.from_rows(spark, [(None, "u:x", "u:p", Term.literal("seed"))])
     q = open(f"{SAIL}/{rq}.rq").read()
     st.query(q).collect()  # must not raise
+
+
+def test_set_binding_pets(spark):
+    """TestSetBinding.java:155 — the same query without and with a
+    pre-bound ?name; the binding eliminates one solution."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix ns: <http://localhost/pets#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        <u:buffy> rdfs:label "Buffy" ; ns:weight "8" .
+        <u:snowball> rdfs:label "Snowball" ; ns:weight "10" .
+    """)
+    q = ("PREFIX ns:<http://localhost/pets#> "
+         "PREFIX rdfs:<http://www.w3.org/2000/01/rdf-schema#> "
+         "SELECT ?name ?weight WHERE { ?uri rdfs:label ?name. ?uri ns:weight ?weight. }")
+    free = {(r["name"]["lex"], r["weight"]["lex"]) for r in st.query(q).collect()}
+    assert free == {("Buffy", "8"), ("Snowball", "10")}
+    bound = {
+        (r["name"]["lex"], r["weight"]["lex"])
+        for r in st.query(q, bindings={"name": Term.literal("Snowball")}).collect()
+    }
+    assert bound == {("Snowball", "10")}
+
+
+def _strbop_store(spark):
+    # X rdfs:label over every literal form: xsd:string "foo", custom-dt
+    # "foo", "foo"@EN, true, 1000 (TestStrBOp.java:104-110; the plain
+    # "foo" add is commented out in the reference too)
+    return TripleStore.from_turtle(spark, """
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        <u:x> rdf:type rdfs:Resource ;
+              rdfs:label "foo"^^xsd:string ,
+                         "foo"^^<http://www.bigdata.com/myDatatype> ,
+                         "foo"@EN ,
+                         true ,
+                         "1000"^^xsd:long .
+    """)
+
+
+def test_strbop_str_filter_with_hint(spark):
+    """TestStrBOp.java:135 — filter(str(?o) = "foo") over mixed literal
+    forms, with the reference's hint:Query hint:optimizer "None" magic
+    triple present (must be stripped, not matched as data)."""
+    st = _strbop_store(spark)
+    q = ("prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+         "prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+         "select ?p ?o where { "
+         '  hint:Query hint:optimizer "None" . '
+         "  ?s rdf:type rdfs:Resource . ?s ?p ?o . "
+         '  filter(str(?o) = "foo") '
+         '  filter(str(?p) = "http://www.w3.org/2000/01/rdf-schema#label") }')
+    rows = st.query(q).collect()
+    # the three "foo" lexical forms (string, custom datatype, @EN)
+    assert len(rows) == 3
+    assert all(r["o"]["lex"] == "foo" for r in rows)
+
+
+def test_strbop_regex_ci(spark):
+    """TestStrBOp.java testRegex — filter(regex(str(?o), "FOO", "i"))."""
+    st = _strbop_store(spark)
+    q = ("prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+         "prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+         "select ?p ?o where { "
+         "  ?s rdf:type rdfs:Resource . ?s ?p ?o . "
+         '  filter(regex(str(?o), "FOO", "i")) '
+         '  filter(str(?p) = "http://www.w3.org/2000/01/rdf-schema#label") }')
+    rows = st.query(q).collect()
+    assert len(rows) == 3 and all(r["o"]["lex"] == "foo" for r in rows)
