@@ -254,3 +254,80 @@ def test_strbop_regex_ci(spark):
          '  filter(str(?p) = "http://www.w3.org/2000/01/rdf-schema#label") }')
     rows = st.query(q).collect()
     assert len(rows) == 3 and all(r["o"]["lex"] == "foo" for r in rows)
+
+
+def test_optionals_left_joins(spark):
+    """TestOptionals.java:115 — OPTIONAL price over three books, one
+    without a price."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix bd: <http://www.bigdata.com/rdf#> .
+        @prefix dc: <http://purl.org/dc/elements/1.1/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        bd:book1 dc:title "TITLE 1" ; bd:price "10"^^xsd:integer .
+        bd:book2 dc:title "TITLE 2" ; bd:price "20"^^xsd:integer .
+        bd:book3 dc:title "TITLE 3" .
+    """)
+    rows = st.query(
+        "SELECT ?title ?price WHERE { "
+        "?book <http://purl.org/dc/elements/1.1/title> ?title . "
+        "OPTIONAL { ?book <http://www.bigdata.com/rdf#price> ?price . } . }"
+    ).collect()
+    got = {(r["title"]["lex"], None if r["price"] is None else r["price"]["lex"]) for r in rows}
+    assert got == {("TITLE 1", "10"), ("TITLE 2", "20"), ("TITLE 3", None)}
+
+
+def test_optionals_with_prebound_subject(spark):
+    """TestOptionals.java:202 — REDUCED + OPTIONAL label with ?subj
+    pre-bound."""
+    st = TripleStore.from_turtle(spark, "<u:1> a <u:2> .")
+    rows = st.query(
+        "SELECT REDUCED ?subj ?subj_class ?subj_label WHERE { "
+        "  ?subj a ?subj_class . "
+        "  OPTIONAL { ?subj <http://www.w3.org/2000/01/rdf-schema#label> ?subj_label } }",
+        bindings={"subj": Term.iri("u:1")},
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["subj_class"]["lex"] == "u:2" and rows[0]["subj_label"] is None
+
+
+def _inline_values_store(spark):
+    # the reference spells these URIs "_:A" etc. (Sesame's createURI is
+    # lax); "_" is not a legal IRI scheme and our flat encoding reserves
+    # the "_:" prefix for bnodes, so the port uses well-formed IRIs —
+    # the test's substance (inline numeric value comparison) is the same
+    return TripleStore.from_turtle(spark, """
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        <u:A> rdf:type <u:X> .  <u:B> rdf:type <u:X> .
+        <u:A> <u:AGE> 25 .      <u:B> <u:AGE> 45 .
+    """)
+
+
+def test_inline_values_lt_gt_isliteral(spark):
+    """TestInlineValues.java — numeric range filters and isLiteral over
+    inline-value literals."""
+    st = _inline_values_store(spark)
+    base = ("select ?s ?age WHERE { "
+            "?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <u:X> . "
+            "?s <u:AGE> ?age . FILTER( %s ) . }")
+    lt = st.query(base % "?age < 35").collect()
+    assert [(r["s"]["lex"], r["age"]["lex"]) for r in lt] == [("u:A", "25")]
+    gt = st.query(base % "?age > 35").collect()
+    assert [(r["s"]["lex"], r["age"]["lex"]) for r in gt] == [("u:B", "45")]
+    lit = {r["s"]["lex"] for r in st.query(base % "isLiteral(?age)").collect()}
+    assert lit == {"u:A", "u:B"}
+
+
+def test_multi_graphs_distinct_across_graphs(spark):
+    """TestMultiGraphs.java:92 — the same triples asserted in TWO named
+    graphs; SELECT DISTINCT over the union default graph dedups."""
+    st = TripleStore.from_trig(spark, """
+        @prefix ns: <http://www.bigdata.com/rdf#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        ns:graph1 { ns:Mike a ns:Person ; ns:likes ns:RDF ; rdfs:label "Mike" . }
+        ns:graph2 { ns:Mike a ns:Person ; ns:likes ns:RDF ; rdfs:label "Mike" . }
+    """)
+    rows = st.query(
+        "PREFIX ns: <http://www.bigdata.com/rdf#> "
+        "select distinct ?p ?o WHERE { ns:Mike ?p ?o . }"
+    ).collect()
+    assert len(rows) == 3  # type, likes, label — each once despite 2 graphs
