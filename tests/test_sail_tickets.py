@@ -331,3 +331,35 @@ def test_multi_graphs_distinct_across_graphs(spark):
         "select distinct ?p ?o WHERE { ns:Mike ?p ?o . }"
     ).collect()
     assert len(rows) == 3  # type, likes, label — each once despite 2 graphs
+
+
+def test_prune_binding_sets_chain(spark):
+    """TestPruneBindingSets.java:82 — 4-hop chain with a constant
+    endpoint; intermediate bindings prune to the single valid path."""
+    st = TripleStore.from_turtle(spark, """
+        <u:a> <u:x> <u:b> .  <u:b> <u:x> <u:c> .
+        <u:c> <u:x> <u:d> .  <u:d> <u:x> <u:e> .
+    """)
+    rows = st.query(
+        "select ?a WHERE { ?a <u:x> ?b . ?b <u:x> ?c . ?c <u:x> ?d . ?d <u:x> <u:e> . }"
+    ).collect()
+    assert [r["a"]["lex"] for r in rows] == ["u:a"]
+
+
+def test_bops_or_equals_on_predicate(spark):
+    """TestBOps.java:365 testOrEquals — FILTER(?p = rdfs:label || ?p =
+    rdfs:comment) over an unbound-predicate scan."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix ns: <http://www.bigdata.com/rdf#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        ns:Mike a ns:Person ; rdfs:label "Mike" .
+        ns:Bryan a ns:Person ; rdfs:comment "Bryan" .
+    """)
+    rows = st.query(
+        "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+        "PREFIX ns: <http://www.bigdata.com/rdf#> "
+        "select * WHERE { ?s a ns:Person . ?s ?p ?label . "
+        "FILTER ( ?p = rdfs:label || ?p = rdfs:comment ) . }"
+    ).collect()
+    got = {(r["s"]["lex"].rsplit("#")[-1], r["p"]["lex"].rsplit("#")[-1], r["label"]["lex"]) for r in rows}
+    assert got == {("Mike", "label", "Mike"), ("Bryan", "comment", "Bryan")}
