@@ -551,6 +551,39 @@ def _p_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+def _p_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc ranked by
+    md5(seed || id); the DuckDB oracle replays the exact permutation
+    key and its 64-bit prefix."""
+    from bigdata_old_spark.pipeline.sampling import seeded_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, seed=42).select(
+        "doc_id", "shuffle_rank", "shuffle_rank_64"
+    )
+
+
+def _p_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware leakage-safe split keyed on the lang column: every
+    language lands wholly on one side."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import group_hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    train, test = group_hash_split(docs, "lang", test_sixteenths=4)
+    return (
+        train.select(F.lit("train").alias("side"), "doc_id", "lang")
+        .unionByName(test.select(F.lit("test").alias("side"), "doc_id", "lang"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.count_distinct("lang").alias("n_groups"),
+        )
+    )
+
+
 def _p_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction through the REAL mapInPandas path
     (pipeline.multimodal.extract_image_features — Arrow-batched binary
@@ -1162,6 +1195,23 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            SELECT l.doc_id, n_lines, dup_line_frac,
                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
            FROM l LEFT JOIN top ON l.doc_id = top.doc_id""",
+    ),
+    "p18_seeded_shuffle": (
+        _p_seeded_shuffle,
+        """SELECT doc_id,
+                  md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_rank,
+                  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS shuffle_rank_64
+           FROM documents""",
+    ),
+    "p19_group_split": (
+        _p_group_split,
+        """SELECT CASE WHEN substr(md5(lang), 1, 1) IN ('0','1','2','3')
+                       THEN 'test' ELSE 'train' END AS side,
+                  count(*) AS n,
+                  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                  count(DISTINCT lang) AS n_groups
+           FROM documents GROUP BY side""",
     ),
     "p16_ngram_contamination": (
         _p_decontam,

@@ -50,6 +50,42 @@ def hash_split(
     return df.where(~in_test), df.where(in_test)
 
 
+def group_hash_split(
+    df: DataFrame, group_col: str, test_sixteenths: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Group-aware leakage-safe split: the hash is keyed on
+    ``group_col`` (a near-dup cluster id, domain, author, …) instead of
+    the row id, so an ENTIRE group always lands on one side — the split
+    a pipeline needs after dedup clustering, where row-level splits
+    leak near-duplicates across train/test.  Still a pure row-local
+    filter: no shuffle, no RNG state."""
+    if not 0 < test_sixteenths < 16:
+        raise ValueError("test_sixteenths must be in 1..15")
+    test_digits = list(HEX[:test_sixteenths])
+    in_test = _bucket16(group_col).isin(test_digits)
+    return df.where(~in_test), df.where(in_test)
+
+
+def seeded_shuffle(
+    df: DataFrame, seed: int = 0, id_col: str = "doc_id", order_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Deterministic global shuffle order for training: rank every row
+    by md5(seed || id) — reproducible across runs, machines, and the
+    DuckDB oracle; changing ``seed`` gives an independent permutation.
+
+    Scale shape: the rank is a row-local expression; materializing the
+    DENSE global ordinal would need a global sort, so this returns the
+    sortable KEY (hex string) plus a 64-bit integer rank prefix —
+    downstream writers ``repartitionByRange(order_col)`` + sort within
+    partitions, the standard distributed total-order recipe (one range
+    shuffle, no single-node sort)."""
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    return df.withColumn(order_col, key).withColumn(
+        order_col + "_64",
+        F.conv(F.substring(F.col(order_col), 1, 15), 16, 10).cast("long"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -358,3 +358,34 @@ def test_repetition_signals(spark):
     assert out[2]["top_bigram_frac"] == 1.0
     assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] < 0.5
     assert out[4]["n_lines"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_group_hash_split_no_leakage(spark):
+    from bigdata_old_spark.pipeline.sampling import group_hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, test = group_hash_split(docs, "lang", test_sixteenths=4)
+    tr = {r["lang"] for r in train.select("lang").distinct().collect()}
+    te = {r["lang"] for r in test.select("lang").distinct().collect()}
+    assert tr and te and not (tr & te)  # a group never straddles the split
+    assert train.count() + test.count() == docs.count()
+    # deterministic across invocations
+    train2, _ = group_hash_split(docs, "lang", test_sixteenths=4)
+    assert train2.count() == train.count()
+
+
+def test_seeded_shuffle_deterministic_and_seed_sensitive(spark):
+    from bigdata_old_spark.pipeline.sampling import seeded_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = seeded_shuffle(docs, seed=1).select("doc_id", "shuffle_rank").collect()
+    b = seeded_shuffle(docs, seed=1).select("doc_id", "shuffle_rank").collect()
+    assert sorted(a) == sorted(b)  # reproducible
+    c = {r["doc_id"]: r["shuffle_rank"] for r in seeded_shuffle(docs, seed=2).collect()}
+    amap = {r["doc_id"]: r["shuffle_rank"] for r in a}
+    assert any(amap[k] != c[k] for k in amap)  # seed changes the permutation
+    # the 64-bit prefix preserves the hex-key order
+    rows = seeded_shuffle(docs, seed=1).collect()
+    by_hex = sorted(rows, key=lambda r: r["shuffle_rank"])
+    by_int = sorted(rows, key=lambda r: r["shuffle_rank_64"])
+    assert [r["doc_id"] for r in by_hex] == [r["doc_id"] for r in by_int]
