@@ -331,6 +331,35 @@ def _anti_remove(base: DataFrame, victims: DataFrame) -> DataFrame:
     return base.join(v, cond, "left_anti")
 
 
+def _sid_cascade(base: DataFrame, gone: DataFrame) -> DataFrame:
+    """SIDs-mode retraction cascade (semantics proven by the
+    reference's TestChangeSets.java:415 testSids — removing a
+    statement also removes the statements ABOUT its statement
+    identifier, recursively): grow the removal set with every
+    statement whose subject or object is the SID of an
+    already-removed statement, to fixpoint.  SIDs are deterministic
+    hashes of the statement key (provenance.sid_col), so each round is
+    one semi-join — no sid registry lookup."""
+    from bigdata_old_spark.compiler import _key_from_obj
+    from bigdata_old_spark.provenance import sid_col
+
+    total = gone.localCheckpoint(eager=True)
+    frontier = total
+    while True:
+        sids = frontier.select(
+            sid_col(F.col("s"), F.col("p"), _key_from_obj()).alias("__sid")
+        ).dropDuplicates()
+        cond = (base["s"] == sids["__sid"]) | (
+            (base["o_kind"] == 0) & (base["o_lex"] == sids["__sid"])
+        )
+        about = base.join(sids, cond, "left_semi")
+        new = _anti_remove(about, total).localCheckpoint(eager=True)
+        if new.isEmpty():
+            return total
+        total = total.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+
+
 def _semi_match(base: DataFrame, victims: DataFrame) -> DataFrame:
     """Rows of base that match a victim — the ACTUAL removal delta
     (requested-but-absent victims drop out)."""
@@ -526,8 +555,12 @@ def _execute_one(store, op, change_log=None):
         return _maintain_text_index(store, out, added=delta)
     if isinstance(op, DeleteData):
         victims = _ground_quads_df(spark, op.quads)
-        gone = snap(_semi_match(df, victims))
-        out = store.with_statements(_anti_remove(df, victims))
+        if store.sid_map is not None:
+            gone = _sid_cascade(df, _semi_match(df, victims))
+            out = store.with_statements(_anti_remove(df, gone))
+        else:
+            gone = snap(_semi_match(df, victims))
+            out = store.with_statements(_anti_remove(df, victims))
         emit("DeleteData", removed=gone)
         return _maintain_text_index(store, out, removed=gone)
     if isinstance(op, DeleteInsert):
@@ -544,8 +577,12 @@ def _execute_one(store, op, change_log=None):
         gone = adds_delta = None
         if op.delete_template:
             victims = _template_to_statements(sol, op.delete_template, resolve, op.with_graph)
-            gone = snap(_semi_match(out, victims))
-            out = _anti_remove(out, victims)
+            if store.sid_map is not None:
+                gone = _sid_cascade(out, _semi_match(out, victims))
+                out = _anti_remove(out, gone)
+            else:
+                gone = snap(_semi_match(out, victims))
+                out = _anti_remove(out, victims)
         if op.insert_template:
             adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
             adds_delta = snap(_anti_new_stmts(adds, out))

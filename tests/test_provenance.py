@@ -107,3 +107,44 @@ def test_terse_rdr_turtle(spark):
     assert got == {("http://example.org/alice", "http://example.org/hrDatabase")}
     # carol's metadata exists on its SID, but the triple is unasserted
     assert st.query(P + "SELECT * WHERE { :carol :worksFor :acme }").count() == 0
+
+
+def test_sids_retraction_cascade(spark):
+    """TestChangeSets.java:415 testSids — removing (A X B) in SIDs mode
+    also removes the statements ABOUT its sid ((sid1 Y C), (D Z sid1)),
+    and the changeset reports all three as removed."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = TripleStore.from_turtle(spark, """
+        @prefix ns: <http://www.bigdata.com/rdf#> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        ns:A ns:X ns:B .
+        _:s1 a rdf:Statement ;
+             rdf:subject ns:A ; rdf:predicate ns:X ; rdf:object ns:B ;
+             ns:Y ns:C .
+        ns:D ns:Z _:s1 .
+    """).to_sids()
+    NS = "http://www.bigdata.com/rdf#"
+    assert st.statements.count() == 3  # (A X B), (sid1 Y C), (D Z sid1)
+
+    log = InMemChangeLog()
+    st2 = st.update(
+        "PREFIX ns: <http://www.bigdata.com/rdf#> DELETE DATA { ns:A ns:X ns:B }",
+        change_log=log,
+    )
+    assert st2.statements.count() == 0  # the cascade took the sid statements
+    removed = log.changes[0].removed.collect()
+    assert len(removed) == 3
+    preds = sorted(r["p"] for r in removed)
+    assert preds == [NS + "X", NS + "Y", NS + "Z"]
+
+    # control: removing an unrelated statement does NOT cascade
+    log2 = InMemChangeLog()
+    st3 = st.update(
+        "PREFIX ns: <http://www.bigdata.com/rdf#> DELETE DATA { ns:D ns:Z ns:nonexistent }",
+        change_log=log2,
+    )
+    assert st3.statements.count() == 3
+    assert log2.changes[0].removed.count() == 0
