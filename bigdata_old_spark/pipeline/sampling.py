@@ -31,7 +31,9 @@ def _bucket16(id_col) -> F.Column:
 
 def hash_sample(df: DataFrame, id_col: str = "doc_id", sixteenths: int = 2) -> DataFrame:
     """Keep a deterministic ~sixteenths/16 fraction of rows, keyed on
-    the id hash (row-local filter — no shuffle, no RNG state)."""
+    the id hash (row-local filter — no shuffle, no RNG state).  NULL
+    ids are never selected (the same rows a SQL ``WHERE hash IN (…)``
+    oracle keeps)."""
     if not 0 < sixteenths <= 16:
         raise ValueError("sixteenths must be in 1..16")
     keep = list(HEX[:sixteenths])
@@ -42,11 +44,14 @@ def hash_split(
     df: DataFrame, id_col: str = "doc_id", test_sixteenths: int = 2
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic, leakage-safe train/test split: a given id always
-    lands on the same side, across runs and machines."""
+    lands on the same side, across runs and machines.  NULL ids hash to
+    NULL; they deterministically land on the TRAIN side (the same
+    routing a SQL ``CASE WHEN hash IN (…) THEN test ELSE train`` gives)
+    rather than silently vanishing from both."""
     if not 0 < test_sixteenths < 16:
         raise ValueError("test_sixteenths must be in 1..15")
     test_digits = list(HEX[:test_sixteenths])
-    in_test = _bucket16(id_col).isin(test_digits)
+    in_test = F.coalesce(_bucket16(id_col).isin(test_digits), F.lit(False))
     return df.where(~in_test), df.where(in_test)
 
 
@@ -58,11 +63,13 @@ def group_hash_split(
     the row id, so an ENTIRE group always lands on one side — the split
     a pipeline needs after dedup clustering, where row-level splits
     leak near-duplicates across train/test.  Still a pure row-local
-    filter: no shuffle, no RNG state."""
+    filter: no shuffle, no RNG state.  Rows with a NULL group all land
+    on the TRAIN side (one deterministic side, no data loss — and the
+    side a SQL ``CASE`` oracle picks for a NULL hash)."""
     if not 0 < test_sixteenths < 16:
         raise ValueError("test_sixteenths must be in 1..15")
     test_digits = list(HEX[:test_sixteenths])
-    in_test = _bucket16(group_col).isin(test_digits)
+    in_test = F.coalesce(_bucket16(group_col).isin(test_digits), F.lit(False))
     return df.where(~in_test), df.where(in_test)
 
 

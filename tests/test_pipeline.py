@@ -374,6 +374,25 @@ def test_group_hash_split_no_leakage(spark):
     assert train2.count() == train.count()
 
 
+def test_split_null_keys_land_in_train(spark):
+    """NULL ids / group keys must not vanish from both split sides —
+    they deterministically land on TRAIN (the side a SQL CASE oracle
+    routes a NULL hash to)."""
+    from bigdata_old_spark.pipeline.sampling import group_hash_split, hash_split
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "fr"), (None, "de")],
+        "doc_id long, lang string",
+    )
+    train, test = hash_split(docs, id_col="doc_id", test_sixteenths=4)
+    assert train.count() + test.count() == 4
+    assert train.where("doc_id IS NULL").count() == 1
+
+    gtrain, gtest = group_hash_split(docs, "lang", test_sixteenths=4)
+    assert gtrain.count() + gtest.count() == 4
+    assert gtrain.where("lang IS NULL").count() == 1
+
+
 def test_seeded_shuffle_deterministic_and_seed_sensitive(spark):
     from bigdata_old_spark.pipeline.sampling import seeded_shuffle
 
