@@ -219,6 +219,8 @@ def rdfs_closure(
     rdfs6/8/10/12/13 and the equivalence rules must feed the instance
     rules) and broadcast into the instance-level joins.
     """
+    global FULL_CLOSURE_RUNS
+    FULL_CLOSURE_RUNS += 1
     out = statements
 
     if with_owl:
@@ -486,6 +488,284 @@ def rdfs_closure(
 
 
 _STMT_KEYS = ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+
+# instrumentation: tests assert the TM add path is DELTA-driven (no
+# full re-closure) by watching these counters
+FULL_CLOSURE_RUNS = 0
+INCREMENTAL_RUNS = 0
+
+
+class NeedsFullClosure(Exception):
+    """Raised by incremental_closure when the delta cannot be closed
+    incrementally (it touches schema vocabulary, or fires a sameAs-
+    generating rule) — caller falls back to rdfs_closure."""
+
+
+# Predicates whose presence in a delta changes the RULE PROGRAM itself
+# (schema relations are precomputed from the closed base in the
+# incremental path, so a delta may not alter them).
+_SCHEMA_PREDS = (
+    RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE,
+    OWL_INVERSE, OWL_EQ_CLASS, OWL_EQ_PROP, OWL_ONPROP, OWL_HASVALUE,
+    OWL_SAMEAS,
+)
+# rdf:type objects that make a statement schema-level.  rdf:Property is
+# deliberately absent: (u a rdf:Property) only yields the reflexive
+# (u ⊑p u), which the incremental rules emit directly.
+_SCHEMA_CLASSES = (
+    OWL_TRANSITIVE, OWL_SYMMETRIC, OWL_FUNCTIONAL, OWL_INV_FUNCTIONAL,
+    OWL_RESTRICTION, RDFS_CLASS, RDFS_CMP, RDFS_DATATYPE,
+)
+
+
+def _delta_touches_schema(delta: DataFrame) -> bool:
+    return (
+        delta.where(
+            F.col("p").isin(*_SCHEMA_PREDS)
+            | (
+                (F.col("p") == RDF_TYPE)
+                & (F.col("o_kind") == KIND_IRI)
+                & F.col("o_lex").isin(*_SCHEMA_CLASSES)
+            )
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def incremental_closure(
+    closed: DataFrame, delta: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Close ``closed ∪ delta`` incrementally — work proportional to the
+    DELTA, not the store (the reference's assertion-path truth
+    maintenance: inf/TruthMaintenance.java:110 asserts the temp delta
+    store and closes IT against the database; additions are monotone,
+    so no full re-derivation is needed).
+
+    Preconditions: ``closed`` is already a fixpoint of rdfs_closure;
+    ``delta`` rows are explicit.  When the delta touches schema
+    vocabulary (see _SCHEMA_PREDS/_SCHEMA_CLASSES) or would fire a
+    sameAs-GENERATING rule (Functional/InverseFunctionalProperty over a
+    delta fact), raises NeedsFullClosure — those rare deltas genuinely
+    invalidate the precomputed schema joins and the caller re-closes in
+    full, exactly the retraction-path cost model.
+
+    Semi-naive shape: the tiny schema closures (sub-class/property
+    hierarchies, domains/ranges, inverse/symmetric maps, hasValue
+    templates, sameAs equivalence pairs, transitive-predicate set) are
+    computed ONCE from the closed base and broadcast; each round fires
+    the instance rules with the FRONTIER (last round's new facts) as
+    the instance side, so every join is |frontier| × |schema| — except
+    owl:TransitiveProperty, which joins the frontier against the
+    transitive-predicate slice of the accumulating closure in both
+    directions (the classic semi-naive delta rule)."""
+    global INCREMENTAL_RUNS
+    if _delta_touches_schema(delta):
+        raise NeedsFullClosure("delta touches schema vocabulary")
+    INCREMENTAL_RUNS += 1
+
+    # split the delta: brand-new facts seed the frontier; facts already
+    # closed as INFERRED flip to explicit (facts already explicit are
+    # no-ops)
+    delta = delta.dropDuplicates(_STMT_KEYS)
+    delta_new = _anti_new(delta, closed).localCheckpoint(eager=True)
+    dk = delta.select(*[F.col(k).alias(f"__d_{k}") for k in _STMT_KEYS]).dropDuplicates()
+    cond = None
+    for k in _STMT_KEYS:
+        c = F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+        cond = c if cond is None else (cond & c)
+    flips = closed.where(F.col("stype") == STYPE_INFERRED).join(dk, cond, "left_semi")
+    kept = _anti_new(closed, flips.select(*closed.columns))  # closed minus flipped rows
+    from bigdata_old_spark.model import STYPE_EXPLICIT
+
+    flipped = flips.withColumn("stype", F.lit(STYPE_EXPLICIT).cast("tinyint"))
+    out = kept.unionByName(flipped).unionByName(delta_new)
+
+    if delta_new.isEmpty():
+        return out
+
+    # ---- one-time schema snapshot from the closed base ----------------
+    with_owl = (
+        closed.unionByName(delta)
+        .where(
+            F.col("p").startswith(OWL)
+            | ((F.col("o_kind") == KIND_IRI) & F.col("o_lex").startswith(OWL))
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    subc = _iri_obj_triples(closed, RDFS_SUBCLASS)
+    subp = _iri_obj_triples(closed, RDFS_SUBPROP)
+    dom = _iri_obj_triples(closed, RDFS_DOMAIN)
+    rng = _iri_obj_triples(closed, RDFS_RANGE)
+    eqr = inv_all = hv_schema = None
+    trans_preds: list = []
+    fp_preds: list = []
+    if with_owl:
+        def _typed(cls):
+            return (
+                closed.where(
+                    (F.col("p") == RDF_TYPE)
+                    & (F.col("o_kind") == KIND_IRI)
+                    & (F.col("o_lex") == cls)
+                )
+                .select("s")
+                .dropDuplicates()
+            )
+
+        inv = _iri_obj_triples(closed, OWL_INVERSE)
+        sym = _typed(OWL_SYMMETRIC)
+        inv_all = (
+            inv.unionByName(_flip(inv))
+            .unionByName(sym.select(F.col("s"), F.col("s").alias("o")))
+            .dropDuplicates()
+        )
+        # schema-small driver-side lists (one-time, like store stats)
+        trans_preds = [r["s"] for r in _typed(OWL_TRANSITIVE).collect()]
+        fp_preds = [
+            r["s"]
+            for r in _typed(OWL_FUNCTIONAL)
+            .unionByName(_typed(OWL_INV_FUNCTIONAL))
+            .dropDuplicates()
+            .collect()
+        ]
+        sa = _resource_obj_triples(closed, OWL_SAMEAS)
+        if not sa.isEmpty():
+            # closed sameAs is already the full equivalence closure
+            eqr = F.broadcast(
+                sa.where(F.col("s") != F.col("o")).select(
+                    F.col("s").alias("__eq_s"), F.col("o").alias("__eq_o")
+                )
+            )
+        restr = _typed(OWL_RESTRICTION).withColumnRenamed("s", "a")
+        onp = _iri_obj_triples(closed, OWL_ONPROP).select(
+            F.col("s").alias("a"), F.col("o").alias("__hv_p")
+        )
+        hv = (
+            closed.where(F.col("p") == OWL_HASVALUE)
+            .select(F.col("s").alias("a"),
+                    *[F.col(c) for c in closed.columns if c.startswith("o_")])
+            .dropDuplicates(["a", "o_kind", "o_lex", "o_dt", "o_lang"])
+        )
+        hv_schema = restr.join(onp, "a").join(hv, "a")
+        if hv_schema.isEmpty():
+            hv_schema = None
+
+    cols = closed.columns
+    frontier = delta_new
+    for _ in range(max_rounds):
+        fr = frontier
+        if fp_preds:
+            # a delta fact over a (Inverse)FunctionalProperty can mint
+            # NEW sameAs pairs — that invalidates the static equivalence
+            # snapshot; punt to full closure (rare path)
+            if fr.where(F.col("p").isin(*fp_preds)).limit(1).count() > 0:
+                raise NeedsFullClosure("delta fires a sameAs-generating rule")
+        fresh = []
+        # rdf1 (+ rdfs6 chain): new predicates → (P a Property), (P ⊑p P)
+        props = fr.select(F.col("p").alias("s")).dropDuplicates()
+        fresh.append(_mk_triples(props, s="s", p=RDF_TYPE, o=F.lit(RDF_PROPERTY)))
+        fresh.append(_mk_triples(props, s="s", p=RDFS_SUBPROP, o=F.col("s")))
+        # rdfs6 on freshly-typed Properties
+        fr_props = (
+            fr.where(
+                (F.col("p") == RDF_TYPE)
+                & (F.col("o_kind") == KIND_IRI)
+                & (F.col("o_lex") == RDF_PROPERTY)
+            )
+            .select("s")
+            .dropDuplicates()
+        )
+        fresh.append(_mk_triples(fr_props, s="s", p=RDFS_SUBPROP, o=F.col("s")))
+        # rdfs7: (x P y) ∈ Δ, (P ⊑p Q) → (x Q y)
+        j = fr.join(F.broadcast(subp.withColumnRenamed("s", "p")), "p")
+        fresh.append(
+            j.select(
+                F.col("g"), F.col("s"), F.col("o").alias("p"),
+                *[F.col(c) for c in cols if c.startswith("o_")],
+                F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+            ).select(*cols)
+        )
+        # rdfs9: (x type C) ∈ Δ, (C ⊑ D) → (x type D)
+        types = fr.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI))
+        j = types.join(F.broadcast(subc.withColumnRenamed("s", "o_lex")), "o_lex")
+        fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
+        # rdfs2: (x P y) ∈ Δ, (P domain C) → (x type C)
+        j = fr.join(F.broadcast(dom.withColumnRenamed("s", "p")), "p")
+        fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
+        # rdfs3: (x P y) ∈ Δ, (P range C), y resource → (y type C)
+        j = (
+            fr.where(F.col("o_kind") != 2)
+            .join(F.broadcast(rng.withColumnRenamed("s", "p")), "p")
+            .select(_obj_flat().alias("y"), F.col("o").alias("cls"))
+        )
+        fresh.append(_mk_triples(j, s="y", p=RDF_TYPE, o="cls"))
+        if with_owl:
+            # inverseOf / SymmetricProperty on delta facts
+            j = (
+                fr.where(F.col("o_kind") != 2)
+                .join(F.broadcast(inv_all.withColumnRenamed("s", "p")), "p")
+                .select(
+                    _obj_flat().alias("ns"), F.col("o").alias("np"), F.col("s").alias("no")
+                )
+            )
+            fresh.append(_mk_triples(j, s="ns", p=F.col("np"), o="no"))
+            # TransitiveProperty: Δ ⋈ closure + closure ⋈ Δ
+            if trans_preds:
+                fr_t = fr.where(F.col("p").isin(*trans_preds) & (F.col("o_kind") != 2))
+                all_t = out.where(F.col("p").isin(*trans_preds) & (F.col("o_kind") != 2))
+                fl = fr_t.select(F.col("s").alias("x"), "p", _obj_flat().alias("y"))
+                al = all_t.select(F.col("s").alias("x"), "p", _obj_flat().alias("y"))
+                ar = all_t.select(F.col("s").alias("y"), F.col("p").alias("p2"), F.col("o_lex").alias("z"))
+                frr = fr_t.select(F.col("s").alias("y"), F.col("p").alias("p2"), F.col("o_lex").alias("z"))
+                step = fl.join(ar, (fl["y"] == ar["y"]) & (fl["p"] == ar["p2"])).select("x", "p", "z")
+                step2 = al.join(frr, (al["y"] == frr["y"]) & (al["p"] == frr["p2"])).select("x", "p", "z")
+                fresh.append(_mk_triples(step, s="x", p=F.col("p"), o="z"))
+                fresh.append(_mk_triples(step2, s="x", p=F.col("p"), o="z"))
+            # sameAs2/3: replicate delta facts across the (static)
+            # equivalence classes
+            if eqr is not None:
+                j2 = fr.join(eqr, fr["s"] == eqr["__eq_s"])
+                fresh.append(
+                    j2.select(
+                        F.col("g"), F.col("__eq_o").alias("s"), F.col("p"),
+                        *[F.col(c) for c in cols if c.startswith("o_")],
+                        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+                    ).select(*cols)
+                )
+                res = fr.where(F.col("o_kind") != 2).select(
+                    "s", "p", _obj_flat().alias("oy")
+                )
+                j3 = res.join(eqr, res["oy"] == eqr["__eq_s"]).select(
+                    F.col("s"), F.col("p"), F.col("__eq_o").alias("oz")
+                )
+                fresh.append(_mk_triples_flat_obj(j3, s="s", p=F.col("p"), o="oz"))
+            # hasValue: (x type a) ∈ Δ, restriction schema → (x p v)
+            if hv_schema is not None:
+                ghv, sthv = _g_stype_cols()
+                hv_inst = fr.where(
+                    (F.col("p") == RDF_TYPE) & (F.col("o_kind") != 2)
+                ).select(F.col("s").alias("__hv_x"), _obj_flat().alias("a"))
+                jhv = hv_inst.join(F.broadcast(hv_schema), "a")
+                fresh.append(
+                    jhv.select(
+                        ghv, F.col("__hv_x").alias("s"),
+                        F.col("__hv_p").cast("string").alias("p"),
+                        *[F.col(c) for c in cols if c.startswith("o_")],
+                        sthv,
+                    ).select(*cols)
+                )
+        cand = fresh[0]
+        for d in fresh[1:]:
+            cand = cand.unionByName(d)
+        new = _anti_new(cand, out).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        out = out.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return out
 
 
 def _anti_new(cand: DataFrame, base: DataFrame) -> DataFrame:

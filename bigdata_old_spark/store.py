@@ -68,6 +68,11 @@ class TripleStore:
         #: report inferred additions/removals and stype flips.  Triples
         #: mode only, like the reference (TM unsupported in quads mode).
         self.truth_maintenance: bool = False
+        #: True when ``statements`` is a known rdfs_closure fixpoint —
+        #: set by closure()/load-time closure and maintained by the TM
+        #: update path; gates the incremental (delta-driven) TM closure
+        #: (inference.incremental_closure requires a closed base).
+        self.closed: bool = False
 
     _merged_cache: DataFrame | None = None
 
@@ -331,7 +336,9 @@ class TripleStore:
         """RDFS forward closure (inference.rdfs_closure)."""
         from bigdata_old_spark.inference import rdfs_closure
 
-        return self.with_statements(rdfs_closure(self.statements))
+        st = self.with_statements(rdfs_closure(self.statements))
+        st.closed = True
+        return st
 
     def add(self, other: DataFrame) -> "TripleStore":
         return self.with_statements(self.statements.unionByName(other).dropDuplicates())

@@ -339,9 +339,27 @@ def _sid_cascade(base: DataFrame, gone: DataFrame) -> DataFrame:
     statement whose subject or object is the SID of an
     already-removed statement, to fixpoint.  SIDs are deterministic
     hashes of the statement key (provenance.sid_col), so each round is
-    one semi-join — no sid registry lookup."""
+    one semi-join — no sid registry lookup.
+
+    Fast path: a store with NO ``sid:``-subject/object rows has nothing
+    to cascade — one limit(1) probe (predicate pushes to the scan)
+    replaces the whole fixpoint, so plain deletes on a SID-mode store
+    that never made statements-about-statements pay one cheap job
+    instead of several blocking rounds."""
     from bigdata_old_spark.compiler import _key_from_obj
     from bigdata_old_spark.provenance import sid_col
+
+    has_sid_refs = (
+        base.where(
+            F.col("s").startswith("sid:")
+            | ((F.col("o_kind") == 0) & F.col("o_lex").startswith("sid:"))
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not has_sid_refs:
+        return gone
 
     total = gone.localCheckpoint(eager=True)
     frontier = total
@@ -431,7 +449,7 @@ def execute_update(store, text: str, change_log=None):
     try:
         for op in parse_update(text):
             if store.truth_maintenance and isinstance(
-                op, (InsertData, DeleteData, DeleteInsert, LoadOp)
+                op, (InsertData, DeleteData, DeleteInsert, LoadOp, ClearOp, DropOp, CopyOp)
             ):
                 store = _execute_one_tm(store, op, change_log)
             else:
@@ -459,8 +477,21 @@ def _maintain_text_index(old_store, new_store, added=None, removed=None):
     return new_store
 
 
+class _DeltaRecorder:
+    """Minimal IChangeLog duck-type capturing one op's ACTUAL added
+    delta (the anti-join result the op already computes) — feeds the
+    incremental TM closure without an extra pass."""
+
+    def __init__(self) -> None:
+        self.added = None
+        self.removed = None
+
+    def change_event(self, ch) -> None:
+        self.added, self.removed = ch.added, ch.removed
+
+
 def _execute_one_tm(store, op, change_log):
-    """Batch truth maintenance (reference BigdataSail TRUTH_MAINTENANCE
+    """Truth maintenance (reference BigdataSail TRUTH_MAINTENANCE
     + inf/TruthMaintenance.java:110, semantics proven by
     TestChangeSets.java testTMAdd/testTMRetract/testTMUpdate): the op
     mutates the EXPLICIT statements only, the closure is re-derived,
@@ -468,19 +499,48 @@ def _execute_one_tm(store, op, change_log):
     appear/disappear together with their premises, and a statement
     whose type flips (explicit add of an already-provable inference, or
     retraction of a still-provable explicit statement) is reported in
-    ``updated`` with its new stype rather than added/removed.  Batch
-    re-derivation replaces the reference's incremental assertion/
-    retraction closure (SURVEY §2.12); axiom triples are not modeled
-    (the documented closure deviation), and like the reference TM is
-    triples-mode only."""
-    from bigdata_old_spark.inference import rdfs_closure
+    ``updated`` with its new stype rather than added/removed.
+
+    PURE ADDITIONS on a known-closed store take the reference's
+    incremental assertion path (TruthMaintenance.java:110 closes the
+    temp DELTA store against the database): additions are monotone, so
+    inference.incremental_closure derives only the delta's consequences
+    — work proportional to the delta, not the store.  Retractions (and
+    deltas that touch schema vocabulary or fire sameAs-generating
+    rules) fall back to full re-closure, the SURVEY §2.12-sanctioned
+    batch re-derivation.  Axiom triples are not modeled (the documented
+    closure deviation), and like the reference TM is triples-mode
+    only."""
+    from bigdata_old_spark.inference import (
+        NeedsFullClosure,
+        incremental_closure,
+        rdfs_closure,
+    )
     from bigdata_old_spark.model import STYPE_INFERRED
 
     old_full = store.statements
     explicit = old_full.where(F.col("stype") != STYPE_INFERRED)
-    tmp = _execute_one(store.with_statements(explicit), op, None)
-    new_full = rdfs_closure(tmp.statements).localCheckpoint(eager=True)
+    pure_add = isinstance(op, InsertData) or (
+        isinstance(op, LoadOp) and store.load_closure != "batch"
+    ) or (isinstance(op, DeleteInsert) and not op.delete_template)
+    new_full = None
+    if pure_add and store.closed:
+        rec = _DeltaRecorder()
+        tmp = _execute_one(store.with_statements(explicit), op, rec, pattern_store=store)
+        if rec.added is not None:
+            try:
+                new_full = incremental_closure(old_full, rec.added)
+            except NeedsFullClosure:
+                new_full = None
+        else:
+            new_full = old_full  # op added nothing
+    else:
+        tmp = _execute_one(store.with_statements(explicit), op, None, pattern_store=store)
+    if new_full is None:
+        new_full = rdfs_closure(tmp.statements)
+    new_full = new_full.localCheckpoint(eager=True)
     out = store.with_statements(new_full)
+    out.closed = True  # TM invariant: the store IS the closure
     added = removed = None
     if change_log is not None or store._text_index is not None:
         added, removed, updated = _tm_diff(old_full, new_full)
@@ -516,7 +576,7 @@ def _tm_diff(old: DataFrame, new: DataFrame):
     return added, removed, updated
 
 
-def _execute_one(store, op, change_log=None):
+def _execute_one(store, op, change_log=None, pattern_store=None):
     """Execute one UPDATE op, deriving the new store via
     ``store.with_statements`` so session state (named solution sets,
     ``union_default_graph``, and the SID map) survives mutation.  The
@@ -564,7 +624,11 @@ def _execute_one(store, op, change_log=None):
         emit("DeleteData", removed=gone)
         return _maintain_text_index(store, out, removed=gone)
     if isinstance(op, DeleteInsert):
-        comp = QueryCompiler(store)
+        # under truth maintenance the WHERE pattern must see inferences
+        # (the reference evaluates UPDATE WHERE with includeInferred —
+        # BigdataSail TM); ``pattern_store`` carries the FULL closed
+        # store while the templates mutate the explicit subset
+        comp = QueryCompiler(pattern_store if pattern_store is not None else store)
         pattern = op.pattern
         if op.with_graph:
             pattern = A.GraphPat(Term.iri(op.with_graph), pattern)
@@ -601,10 +665,22 @@ def _execute_one(store, op, change_log=None):
             keep_cond = F.lit(False)
         else:
             keep_cond = ~F.col("g").eqNullSafe(F.lit(t))
+        if t == "all":
+            if change_log is not None:
+                emit(opname, removed=df.localCheckpoint(eager=True))
+            return store.with_statements(spark.createDataFrame([], STATEMENTS_SCHEMA))
+        if store.sid_map is not None:
+            # same cascade as DELETE: clearing a graph also retracts
+            # statements about the SIDs of the cleared rows (the fast-
+            # path probe inside _sid_cascade makes this free on stores
+            # with no statements-about-statements)
+            gone = _sid_cascade(df, df.where(~keep_cond))
+            out = store.with_statements(_anti_remove(df, gone))
+            if change_log is not None:
+                emit(opname, removed=gone)
+            return out
         if change_log is not None:
             emit(opname, removed=df.where(~keep_cond).localCheckpoint(eager=True))
-        if t == "all":
-            return store.with_statements(spark.createDataFrame([], STATEMENTS_SCHEMA))
         return store.with_statements(df.where(keep_cond))
     if isinstance(op, CreateOp):
         return store  # graphs are implicit (no catalog) — no-op
@@ -613,20 +689,24 @@ def _execute_one(store, op, change_log=None):
         dst_val = F.lit(None).cast("string") if op.dst == "default" else F.lit(op.dst)
         moved = df.where(src_cond).withColumn("g", dst_val)
         removed_cond = F.lit(False)
-        if op.add:
-            rest = df
-        else:  # COPY/MOVE replace the destination graph
+        if not op.add:  # COPY/MOVE replace the destination graph
             dst_cond = F.col("g").isNull() if op.dst == "default" else F.col("g") == op.dst
-            rest = df.where(~dst_cond)
             removed_cond = removed_cond | dst_cond
         if op.move:
-            rest = rest.where(~src_cond)
             removed_cond = removed_cond | src_cond
+        gone = df.where(removed_cond)
+        if store.sid_map is not None and not op.add:
+            # destination-replacement (and MOVE source) removals cascade
+            # through SIDs exactly like DELETE
+            gone = _sid_cascade(df, gone)
+            rest = _anti_remove(df, gone)
+        else:
+            rest = df.where(~removed_cond)
         delta = snap(_anti_new_stmts(moved, rest))
         if change_log is not None:
             emit("Add" if op.add else ("Move" if op.move else "Copy"),
                  added=delta,
-                 removed=df.where(removed_cond).localCheckpoint(eager=True))
+                 removed=gone.localCheckpoint(eager=True))
         return store.with_statements(rest.unionByName(delta))
     if isinstance(op, LoadOp):
         path = op.source

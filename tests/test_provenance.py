@@ -148,3 +148,26 @@ def test_sids_retraction_cascade(spark):
     )
     assert st3.statements.count() == 3
     assert log2.changes[0].removed.count() == 0
+
+
+def test_clear_graph_cascades_sids(spark):
+    """ADVICE r5: CLEAR/DROP on a SID-mode store cascade like DELETE —
+    clearing the graph holding (A X B) also removes the statement about
+    its sid ((sid1 Y C), in the default graph)."""
+    st = TripleStore.from_trig(spark, """
+        @prefix ns: <http://www.bigdata.com/rdf#> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        ns:g1 { ns:A ns:X ns:B . }
+        { _:s1 a rdf:Statement ;
+               rdf:subject ns:A ; rdf:predicate ns:X ; rdf:object ns:B ;
+               ns:Y ns:C . }
+    """).to_sids()
+    assert st.statements.count() == 2  # (A X B)@g1, (sid1 Y C)
+    st2 = st.update("CLEAR GRAPH <http://www.bigdata.com/rdf#g1>")
+    assert st2.statements.count() == 0
+
+    # COPY destination replacement cascades the replaced rows too
+    st3 = st.update(
+        "COPY <http://www.bigdata.com/rdf#gsrc> TO <http://www.bigdata.com/rdf#g1>"
+    )
+    assert st3.statements.count() == 0  # g1 replaced (by empty) + sid cascade

@@ -326,3 +326,163 @@ def test_tm_upgrade_and_downgrade(spark):
     down = ch2.updated.collect()
     assert len(down) == 1 and _key(down, EX + "A", EX + "C")[0]["stype"] == 2
     assert _key(st3.statements.collect(), EX + "A", EX + "C")[0]["stype"] == 2
+
+
+def test_tm_where_sees_inferences(spark):
+    """ADVICE r5: under truth maintenance, a DELETE/INSERT WHERE pattern
+    that only matches via an INFERRED triple must still bind — the
+    reference evaluates UPDATE WHERE clauses with includeInferred
+    (BigdataSail TM); the templates still mutate the explicit subset."""
+    st = _tm_store(spark).update(
+        P + "INSERT DATA { :A rdfs:subClassOf :B . :B rdfs:subClassOf :C }"
+    )
+    # (:A ⊑ :C) exists only as an inference
+    st2 = st.update(P + "INSERT { :A :provably :C } WHERE { :A rdfs:subClassOf :C }")
+    assert st2.query(P + "ASK { :A :provably :C }").collect()[0]["ask"]
+    # DELETE whose WHERE binds through the inferred triple
+    st3 = st2.update(
+        P + "DELETE { :A :provably ?o } WHERE { :A rdfs:subClassOf ?o . :A :provably ?o }"
+    )
+    assert not st3.query(P + "ASK { :A :provably :C }").collect()[0]["ask"]
+
+
+def test_tm_clear_graph_rederives(spark):
+    """ADVICE r5: CLEAR GRAPH routes through truth maintenance —
+    inferences whose premises were cleared disappear."""
+    st = _tm_store(spark).update(
+        P + "INSERT DATA { GRAPH :g1 { :A rdfs:subClassOf :B . :B rdfs:subClassOf :C } }"
+    )
+    assert st.query(P + "ASK { :A rdfs:subClassOf :C }").collect()[0]["ask"]
+    st2 = st.update(P + "CLEAR GRAPH :g1")
+    assert not st2.query(P + "ASK { :A rdfs:subClassOf :C }").collect()[0]["ask"]
+    # the unrelated base triple survives
+    assert st2.query(P + "ASK { :z :unrelated :w }").collect()[0]["ask"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental truth maintenance (VERDICT r5 #1 — TruthMaintenance.java:110
+# assertion path: close the DELTA against the database, not the world)
+# ---------------------------------------------------------------------------
+
+
+def _closed_tm_store(spark, ttl):
+    st = TripleStore.from_turtle(spark, ttl, closure="batch")
+    st.truth_maintenance = True
+    return st
+
+
+def test_tm_incremental_add_is_delta_driven(spark):
+    """A pure instance-level addition on a closed TM store derives its
+    consequences from the DELTA (incremental_closure) — the full
+    rdfs_closure is NOT invoked — and the result equals the full
+    re-derivation."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :A rdfs:subClassOf :B . :B rdfs:subClassOf :C .
+           :p rdfs:domain :A .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    inc_before = inference.INCREMENTAL_RUNS
+    st2 = st.update(P + "INSERT DATA { :x :p :y }")
+    assert inference.FULL_CLOSURE_RUNS == full_before  # no full re-closure
+    assert inference.INCREMENTAL_RUNS == inc_before + 1
+    # rdfs2 (domain) + rdfs9 (subclass chain) fire off the delta
+    for cls in (":A", ":B", ":C"):
+        assert st2.query(P + "ASK { :x a %s }" % cls).collect()[0]["ask"]
+    # byte-identical to the batch re-derivation
+    full = inference.rdfs_closure(st2.statements.where("stype != 2"))
+    assert {tuple(r) for r in st2.statements.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_tm_incremental_owl_instance_rules(spark):
+    """Transitive / sameAs instance rules fire semi-naively off the
+    delta (Δ⋈closure both directions; replication across static
+    equivalence classes)."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix owl: <http://www.w3.org/2002/07/owl#> .
+           :knows a owl:TransitiveProperty .
+           :a :knows :b .
+           :m owl:sameAs :n .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st2 = st.update(P + "INSERT DATA { :b :knows :c . :m :likes :v }")
+    st3 = st2.update(P + "INSERT DATA { :c :knows :d }")
+    assert inference.FULL_CLOSURE_RUNS == full_before
+    assert st2.query(P + "ASK { :a :knows :c }").collect()[0]["ask"]
+    assert st2.query(P + "ASK { :n :likes :v }").collect()[0]["ask"]
+    assert st3.query(P + "ASK { :a :knows :d }").collect()[0]["ask"]
+    full = inference.rdfs_closure(st3.statements.where("stype != 2"))
+    assert {tuple(r) for r in st3.statements.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_tm_incremental_flip_and_noop(spark):
+    """Explicit re-add of an already-inferred fact flips stype via the
+    incremental path; re-adding existing explicit data is a no-op."""
+    from bigdata_old_spark import inference
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :p rdfs:domain :A .
+           :x :p :y .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    log = InMemChangeLog()
+    st2 = st.update(P + "INSERT DATA { :x a :A }", change_log=log)
+    assert inference.FULL_CLOSURE_RUNS == full_before
+    ch = log.changes[0]
+    assert ch.added.count() == 0 and ch.removed.count() == 0
+    up = ch.updated.collect()
+    assert len(up) == 1 and up[0]["stype"] == 0  # inferred → explicit
+    assert [
+        r["stype"]
+        for r in st2.statements.collect()
+        if r["s"].endswith("x") and r["p"].endswith("type")
+    ] == [0]
+
+
+def test_tm_incremental_schema_or_fp_delta_falls_back(spark):
+    """Deltas that touch schema vocabulary — or fire a sameAs-GENERATING
+    rule (FunctionalProperty) — re-close in full, and the results are
+    still right."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :A rdfs:subClassOf :B .
+           :x a :A .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st2 = st.update(P + "INSERT DATA { :B rdfs:subClassOf :C }")
+    assert inference.FULL_CLOSURE_RUNS == full_before + 1  # schema → full path
+    assert st2.query(P + "ASK { :x a :C }").collect()[0]["ask"]
+
+    st3 = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix owl: <http://www.w3.org/2002/07/owl#> .
+           :ssn a owl:FunctionalProperty .
+           :a :ssn :s1 .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st4 = st3.update(P + "INSERT DATA { :a :ssn :s2 }")
+    assert inference.FULL_CLOSURE_RUNS == full_before + 1  # FP delta → full path
+    assert st4.query(
+        P + "PREFIX owl: <http://www.w3.org/2002/07/owl#> ASK { :s1 owl:sameAs :s2 }"
+    ).collect()[0]["ask"]
