@@ -1,4 +1,4 @@
-"""History index — an ordered, queryable log of KB changes.
+"""History index — a durable, ordered, queryable log of KB changes.
 
 The reference's History Service (bigdata-rdf/.../service/history/
 HistoryServiceFactory.java:30 — "tracks KB updates via an IChangeLog
@@ -6,21 +6,30 @@ and maintains an ordered index over the assertions that have been
 added to or removed from a KB instance"; HistoryChangeRecord carries a
 revisionTime) re-expressed on changesets: a HistoryLog is a ChangeLog
 that stamps every committed transaction with a monotone revision
-number and accumulates the per-op deltas as slim DataFrames.  ``scan``
-is the service's range query: revision bounds (from inclusive, to
-exclusive — the reference's fromTime/toTime contract) plus optional
-predicate / action filters.
+number and APPENDS the per-op deltas to a parquet table partitioned by
+(revision, action) — the Spark analog of the service's persistent
+ordered B+Tree index.  ``scan`` is the service's range query: revision
+bounds (from inclusive, to exclusive — the reference's fromTime/toTime
+contract) plus optional predicate / action filters; the revision and
+action predicates prune whole partition directories before any row is
+read (the ordered index's key-range scan), and the predicate filter
+pushes down to the parquet scan.
 
-Scale shape: each commit's deltas are already checkpointed by the
-update path, so ``history()`` is a union of materialized slices — at
-production scale, append each commit's slice to a parquet table
-partitioned by revision and scan that instead; the schema here is
-exactly that table's schema.
+Scale shape: the driver holds only the path and the revision counter —
+never the slices — so plan size and driver memory stay FLAT in the
+number of commits (a thousand commits is a thousand partition
+directories, one partition-pruned read), unlike a unionByName chain
+whose analysis cost grows with every commit.  Each commit's deltas are
+already checkpointed by the update path, so the append writes
+materialized rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_old_spark.changesets import ChangeLog, ChangeSet
@@ -31,14 +40,41 @@ ACTION_UPDATED = "UPDATED"
 
 
 class HistoryLog(ChangeLog):
-    """Collects committed change deltas as (revision, action, statement)
-    rows (HistoryServiceFactory analog)."""
+    """Durable history index over committed change deltas
+    (HistoryServiceFactory analog).
 
-    def __init__(self) -> None:
-        #: committed slices: list of (revision, action, statements DF)
-        self._slices: list[tuple[int, str, DataFrame]] = []
+    ``path``: directory of the revision-partitioned parquet table; a
+    fresh temp directory when omitted.  Re-opening a path with existing
+    history resumes the revision counter from the recorded maximum, so
+    the log survives process restarts (the reference's index lives in
+    the journal the same way).
+    """
+
+    def __init__(self, path: str | None = None) -> None:
+        self._path = path or tempfile.mkdtemp(prefix="bdos_history_")
         self._staged: list[ChangeSet] = []
-        self.revision = 0  # last committed revision
+        self.revision = self._resume_revision()
+
+    # -- write side ---------------------------------------------------------
+
+    def _resume_revision(self) -> int:
+        if not self._has_data():
+            return 0
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover - no session yet, start fresh
+            return 0
+        return (
+            spark.read.parquet(self._path)
+            .agg(F.max(F.col("revision").cast("int")))
+            .collect()[0][0]
+            or 0
+        )
+
+    def _has_data(self) -> bool:
+        try:
+            return any(e.startswith("revision=") for e in os.listdir(self._path))
+        except FileNotFoundError:
+            return False
 
     def transaction_begin(self) -> None:
         self._staged = []
@@ -51,6 +87,7 @@ class HistoryLog(ChangeLog):
 
     def transaction_committed(self) -> None:
         self.revision += 1
+        out = None
         for ch in self._staged:
             for action, df in (
                 (ACTION_INSERTED, ch.added),
@@ -58,19 +95,35 @@ class HistoryLog(ChangeLog):
                 (ACTION_UPDATED, ch.updated),
             ):
                 if df is not None:
-                    self._slices.append((self.revision, action, df))
+                    part = df.select(
+                        F.lit(self.revision).alias("revision"),
+                        F.lit(action).alias("action"),
+                        "*",
+                    )
+                    out = part if out is None else out.unionByName(part)
+        if out is not None:
+            out.write.mode("append").partitionBy("revision", "action").parquet(
+                self._path
+            )
         self._staged = []
+
+    # -- read side ----------------------------------------------------------
+
+    def _read(self) -> DataFrame | None:
+        if not self._has_data():
+            return None
+        spark = SparkSession.getActiveSession()
+        df = spark.read.parquet(self._path)
+        data_cols = [c for c in df.columns if c not in ("revision", "action")]
+        return df.select(
+            F.col("revision").cast("int").alias("revision"), "action", *data_cols
+        )
 
     def history(self) -> DataFrame | None:
         """All recorded changes: revision | action | <statement cols>.
-        None when nothing has been committed yet."""
-        out = None
-        for rev, action, df in self._slices:
-            part = df.select(
-                F.lit(rev).alias("revision"), F.lit(action).alias("action"), "*"
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+        None when nothing has been committed yet.  One partitioned
+        table read — plan size independent of commit count."""
+        return self._read()
 
     def scan(
         self,
@@ -81,21 +134,20 @@ class HistoryLog(ChangeLog):
     ) -> DataFrame | None:
         """Range scan (HistoryServiceFactory.java:72 restrictions):
         ``from_rev`` inclusive, ``to_rev`` exclusive, optional predicate
-        and action filters.  Revision bounds prune whole slices before
-        any Spark work — the analog of the ordered index's key-range
-        scan."""
-        out = None
-        for rev, act, df in self._slices:
-            if from_rev is not None and rev < from_rev:
-                continue
-            if to_rev is not None and rev >= to_rev:
-                continue
-            if action is not None and act != action:
-                continue
-            part = df.select(
-                F.lit(rev).alias("revision"), F.lit(act).alias("action"), "*"
-            )
-            if p is not None:
-                part = part.where(F.col("p") == p)
-            out = part if out is None else out.unionByName(part)
-        return out
+        and action filters.  Revision/action bounds hit the partition
+        columns — Spark prunes the non-matching directories at planning
+        time (PartitionFilters in the scan node), the analog of the
+        ordered index's key-range scan; the ``p`` filter pushes down to
+        the parquet row groups."""
+        df = self._read()
+        if df is None:
+            return None
+        if from_rev is not None:
+            df = df.where(F.col("revision") >= from_rev)
+        if to_rev is not None:
+            df = df.where(F.col("revision") < to_rev)
+        if action is not None:
+            df = df.where(F.col("action") == action)
+        if p is not None:
+            df = df.where(F.col("p") == p)
+        return df
