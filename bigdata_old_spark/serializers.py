@@ -35,6 +35,7 @@ MIME_FORMATS = {
     "text/plain": "ntriples",
     "application/n-quads": "nquads",
     "text/turtle": "turtle",
+    "application/rdf+xml": "rdfxml",
 }
 
 
@@ -252,6 +253,71 @@ def nquads_rows(df: DataFrame) -> DataFrame:
     )
 
 
+def _xml_attr_escape(c: Column) -> Column:
+    return F.regexp_replace(_xml_escape(c), '"', "&quot;")
+
+
+def rdfxml_rows(df: DataFrame) -> DataFrame:
+    """Statements (s/p/o term structs) → one RDF/XML ``rdf:Description``
+    element per row, built JVM-side (distributed; the envelope writer
+    only collects the fragments).  Each property element declares its
+    namespace inline (``<p:local xmlns:p="ns">``), the standard writer
+    trick that needs no global prefix table — the same split Sesame's
+    RDFXMLWriter performs (reference conneg serves CONSTRUCT/DESCRIBE
+    through it, webapp/ConnegUtil.java)."""
+    s, p, o = F.col("s"), F.col("p"), F.col("o")
+    local = F.regexp_extract(p["lex"], r"([A-Za-z_][A-Za-z0-9_.\-]*)$", 1)
+    ns = p["lex"].substr(F.lit(1), F.length(p["lex"]) - F.length(local))
+    subj_attr = F.when(
+        s["kind"] == KIND_BNODE,
+        F.concat(F.lit(' rdf:nodeID="b'), s["lex"], F.lit('"')),
+    ).otherwise(F.concat(F.lit(' rdf:about="'), _xml_attr_escape(s["lex"]), F.lit('"')))
+    open_tag = F.concat(F.lit("<p:"), local, F.lit(' xmlns:p="'), _xml_attr_escape(ns), F.lit('"'))
+    lit_attrs = (
+        F.when(o["lang"].isNotNull(), F.concat(F.lit(' xml:lang="'), o["lang"], F.lit('"')))
+        .when(
+            o["dt"].isNotNull() & (o["dt"] != XSD_STRING),
+            F.concat(F.lit(' rdf:datatype="'), _xml_attr_escape(o["dt"]), F.lit('"')),
+        )
+        .otherwise(F.lit(""))
+    )
+    prop = (
+        F.when(o["kind"] == KIND_IRI,
+               F.concat(open_tag, F.lit(' rdf:resource="'), _xml_attr_escape(o["lex"]), F.lit('"/>')))
+        .when(o["kind"] == KIND_BNODE,
+              F.concat(open_tag, F.lit(' rdf:nodeID="b'), o["lex"], F.lit('"/>')))
+        .otherwise(
+            F.concat(open_tag, lit_attrs, F.lit(">"), _xml_escape(o["lex"]),
+                     F.lit("</p:"), local, F.lit(">"))
+        )
+    )
+    return df.select(
+        F.concat(
+            F.lit("  <rdf:Description"), subj_attr, F.lit(">\n    "),
+            prop, F.lit("\n  </rdf:Description>"),
+        ).alias("row"),
+        (F.length(local) == 0).alias("__badpred"),
+    )
+
+
+def rdfxml(df: DataFrame) -> str:
+    """RDF/XML document for CONSTRUCT/DESCRIBE results (the writer the
+    reference's conneg picks for ``application/rdf+xml``).  Raises on a
+    predicate IRI with no XML-QName-able local part, like Sesame's
+    writer does."""
+    rows = rdfxml_rows(df).collect()
+    if any(r["__badpred"] for r in rows):
+        raise ValueError("predicate IRI has no XML local name (cannot serialize as RDF/XML)")
+    body = "\n".join(r["row"] for r in rows)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        + body
+        + ("\n" if body else "")
+        + "</rdf:RDF>\n"
+    )
+
+
 def turtle(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
     """Turtle with prefix abbreviation and subject grouping — a
     driver-side pretty writer for protocol responses (for bulk export
@@ -302,6 +368,7 @@ _STRING_WRITERS = {
     "tsv": sparql_tsv,
     "ntriples": ntriples,
     "turtle": turtle,
+    "rdfxml": rdfxml,
 }
 
 

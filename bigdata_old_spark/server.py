@@ -41,6 +41,7 @@ _FORMAT_MIME = {
     "ntriples": "application/n-triples",
     "nquads": "application/n-quads",
     "turtle": "text/turtle",
+    "rdfxml": "application/rdf+xml",
 }
 
 _GRAPH_FORMS = ("CONSTRUCT", "DESCRIBE")

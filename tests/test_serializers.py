@@ -135,3 +135,36 @@ def test_describe_symmetric_one_step(bst):
     got = _lexes(df)
     assert (EX + "y", "link") in got
     assert ("_b", "lat") not in got  # no bnode closure
+
+
+def test_construct_rdfxml_roundtrip(st, spark):
+    """VERDICT r5 #3: RDF/XML writer — parse_rdfxml(rdfxml(df)) is
+    graph-isomorphic to the CONSTRUCT result (IRIs, typed literals,
+    lang tags, bnode-free case)."""
+    from bigdata_old_spark.rio import parse_rdfxml
+    from bigdata_old_spark.serializers import ntriples
+
+    q = P + "CONSTRUCT { ?s :label2 ?o . ?s :knows2 ?k } WHERE { ?s rdfs:label ?o . OPTIONAL { ?s :knows ?k } }"
+    doc = st.serialize(q, "rdfxml")
+    assert doc.startswith('<?xml version="1.0"')
+    # reparse through the engine's own RDF/XML reader
+    back = parse_rdfxml(doc)
+    got = {(s, p, (o.kind, o.lex, o.dt, o.lang)) for s, p, o in back}
+    df = st.query(q)
+    want = set()
+    for r in df.collect():
+        s = r["s"]["lex"] if r["s"]["kind"] != 1 else "_:" + r["s"]["lex"]
+        o = r["o"]
+        want.add((s, r["p"]["lex"], (o["kind"], o["lex"], o["dt"], o["lang"])))
+    assert got == want and len(got) >= 3
+
+
+def test_rdfxml_datatype_and_lang(st):
+    doc = st.serialize(P + "CONSTRUCT { ?s :v ?o } WHERE { ?s :age ?o }", "rdfxml")
+    assert 'rdf:datatype="http://www.w3.org/2001/XMLSchema#integer"' in doc
+    doc2 = st.serialize(
+        P + "CONSTRUCT { ?s :v ?o } WHERE { ?s rdfs:label ?o . FILTER(lang(?o) = \"en\") }",
+        "rdfxml",
+    )
+    # quotes need no escaping in element text; & < > do
+    assert 'xml:lang="en"' in doc2 and 'Bob, "the builder"' in doc2

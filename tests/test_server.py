@@ -127,3 +127,12 @@ def test_real_service_federation(spark, endpoint):
     assert [r["o"]["lex"] for r in rows] == ["1", "2"]
     assert all(r["s"]["lex"] == "http://example.org/a" for r in rows)
     assert all(r["tag"]["lex"] == "local-a" for r in rows)
+
+
+def test_conneg_rdfxml_construct(endpoint):
+    base, _ = endpoint
+    q = "PREFIX : <http://example.org/> CONSTRUCT { :a :p ?o } WHERE { :a :p ?o }"
+    url = f"{base}?query={urllib.parse.quote(q)}"
+    code, ctype, body = _get(url, accept="application/rdf+xml")
+    assert code == 200 and ctype == "application/rdf+xml"
+    assert "<rdf:RDF" in body and "rdf:Description" in body
