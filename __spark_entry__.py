@@ -483,6 +483,24 @@ def _p_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
 
 
+def _p_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-hyperplane LSH ANN at the provably exhaustive
+    parameterization (n_planes=0, bands=1 → one bucket, full candidate
+    set), so output ≡ exact top-k and the all-pairs DuckDB oracle
+    value-checks the whole banding/bucket-join/re-rank path — the same
+    trick as p09's nprobe==n_centroids."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_topk(emb, queries_df, k=10, n_planes=0, bands=1)
+    return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
 def _p_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked + exact verify,
     gate-checked against a DuckDB all-pairs list_cosine_similarity
@@ -1299,6 +1317,20 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
                                     substr(sha256, 2 + 2 * pos, 1)) - 1)
                        AS BIGINT) AS fbyte
            FROM s, j""",
+    ),
+    "p20_lsh_topk_exhaustive": (
+        _p_lsh_topk,
+        # one bucket ⇒ LSH provably equals the exact top-k, so the
+        # brute-force oracle value-checks the LSH machinery (cf. p09)
+        """SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.embedding, e.embedding), 5) AS sim,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                  ) AS rnk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN embeddings e
+           QUALIFY rnk <= 10""",
     ),
     "p04_minhash_lsh_pairs": (_p_minhash_pairs, _ngram_jaccard_oracle()),
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),

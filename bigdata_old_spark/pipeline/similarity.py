@@ -66,7 +66,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature under fixed random hyperplanes → long."""
+    """Sign-bit signature under fixed random hyperplanes → long.
+    Zero planes → constant 0 signature (the degenerate exhaustive-
+    blocking mode: every vector shares one bucket)."""
+    if not planes:
+        return F.lit(0).cast("long")
     bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(x) for x in p])
@@ -107,6 +111,12 @@ def lsh_topk(
     keys — never an all-pairs scan); exact cosine re-ranks candidates.
     Recall rises with more/narrower bands, cost with bucket collision
     rate — the classic b×r dial (same theory as MinHash banding).
+
+    ``n_planes=0, bands=1`` is the PROVABLY EXHAUSTIVE parameterization
+    (zero-width bands put every vector in one bucket, so the candidate
+    set is the full corpus and the output equals brute_force_topk) —
+    the p09 full-probe trick: it lets a SQL all-pairs oracle value-
+    check the whole banding/bucket-join/re-rank machinery.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     e = embeddings.select(
