@@ -408,3 +408,64 @@ def test_seeded_shuffle_deterministic_and_seed_sensitive(spark):
     by_hex = sorted(rows, key=lambda r: r["shuffle_rank"])
     by_int = sorted(rows, key=lambda r: r["shuffle_rank_64"])
     assert [r["doc_id"] for r in by_hex] == [r["doc_id"] for r in by_int]
+
+
+def test_end_to_end_curation_pipeline(spark):
+    """The north-star composition: near-dup clustering → canonical
+    selection → eval-set decontamination → cluster-aware leakage-safe
+    split → PII redaction → sequence packing, in one flow.  Asserts
+    each stage's invariant AND run-to-run determinism (same output
+    hash twice)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.decontam import ngram_contamination
+    from bigdata_old_spark.pipeline.dedup import dedup_clusters
+    from bigdata_old_spark.pipeline.packing import concat_chunk_packing
+    from bigdata_old_spark.pipeline.redact import redact_pii
+    from bigdata_old_spark.pipeline.sampling import group_hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_df = docs.where(F.col("doc_id") % 20 == 0)
+
+    def run():
+        # 1. near-dup clusters; keep only canonical docs, carry cluster id
+        clusters = dedup_clusters(docs, min_jaccard=0.4)
+        kept = docs.join(clusters, "doc_id").where("is_keep")
+        # 2. decontaminate against the eval slice
+        contam = ngram_contamination(kept, eval_df, n=3, min_frac=0.2)
+        clean = kept.join(contam.select("doc_id", "is_contaminated"), "doc_id").where(
+            ~F.col("is_contaminated")
+        )
+        # 3. cluster-aware split (no near-dup leaks across sides)
+        train, test = group_hash_split(clean, "cluster_id", test_sixteenths=2)
+        # 4. redact + 5. pack the train side
+        red = redact_pii(train)
+        packed = concat_chunk_packing(red, budget=256, n_buckets=4)
+        return clusters, contam, train, test, red, packed
+
+    clusters, contam, train, test, red, packed = run()
+
+    # stage invariants
+    assert clusters.where("is_keep").count() == clusters.select("cluster_id").distinct().count()
+    # planted eval docs are 100% contaminated → filtered out
+    eval_kept = {r["doc_id"] for r in eval_df.join(clusters, "doc_id").where("is_keep").collect()}
+    contam_ids = {r["doc_id"] for r in contam.where("is_contaminated").collect()}
+    assert eval_kept <= contam_ids
+    tr_cl = {r["cluster_id"] for r in train.select("cluster_id").distinct().collect()}
+    te_cl = {r["cluster_id"] for r in test.select("cluster_id").distinct().collect()}
+    assert not (tr_cl & te_cl) and train.count() > 0 and test.count() > 0
+    # packing covers every train doc exactly once
+    assert packed.count() == train.count()
+
+    def fingerprint(df, cols):
+        rows = sorted(tuple(r) for r in df.select(*cols).collect())
+        return hashlib.md5(str(rows).encode()).hexdigest()
+
+    h1 = fingerprint(packed, ["doc_id", "bucket", "seq_id", "seq_offset", "end_seq_id"])
+    rh1 = fingerprint(red, ["doc_id", "text"])
+    # run the whole pipeline again: byte-identical
+    _, _, _, _, red2, packed2 = run()
+    assert fingerprint(packed2, ["doc_id", "bucket", "seq_id", "seq_offset", "end_seq_id"]) == h1
+    assert fingerprint(red2, ["doc_id", "text"]) == rh1
