@@ -151,6 +151,44 @@ def _fresh(prefix: str = "v") -> str:
     return f"__{prefix}{next(_ids)}"
 
 
+def _expand_static_path_triple(t: "A.TriplePattern") -> list | None:
+    """Fixed-length link-chain path → plain triples with fresh
+    intermediate variables (the reference's ASTPropertyPathOptimizer
+    static expansion, ast/optimizers/ASTPropertyPathOptimizer.java:62):
+    ``?s a/^b/c ?o`` becomes ``?s a ?v1 . ?v2 b ?v1 . ?v2 c ?o`` so the
+    chain joins through the stats-ordered BGP machinery (greedy join
+    order, star-join grouping, broadcast small sides, flat-key late
+    materialization) instead of the generic pair-DF path compiler.
+    Returns None when the path isn't a pure static chain (alternation /
+    closure / negated sets keep the pair-DF path)."""
+    p = t.p
+    steps = list(p.steps) if isinstance(p, A.PathSeq) else [p]
+    if len(steps) < 2:
+        return None
+    out: list = []
+    src = t.s
+    n = len(steps)
+    for i, step in enumerate(steps):
+        inv = False
+        if isinstance(step, A.PathInv):
+            step, inv = step.path, True
+        if isinstance(step, A.PathLink):
+            pred = Term.iri(step.iri)
+        elif isinstance(step, Term):
+            pred = step
+        else:
+            return None
+        # intermediate nodes are non-distinguished vars: the _bnode_
+        # prefix joins normally but stays out of SELECT * (same
+        # convention as bnode syntax sugar)
+        dst = t.o if i == n - 1 else A.Var(f"_bnode_pseq{next(_ids)}")
+        out.append(
+            A.TriplePattern(dst, pred, src) if inv else A.TriplePattern(src, pred, dst)
+        )
+        src = dst
+    return out
+
+
 @dataclass
 class Compiled:
     df: DataFrame
@@ -726,6 +764,17 @@ class QueryCompiler:
         search_units, triples = self._split_search_groups(triples_in, graph)
         if not triples and len(search_units) == 1:
             return search_units[0]
+        # static link-chain paths expand to plain triples BEFORE star/
+        # join planning, so they ride the optimized BGP machinery
+        expanded: list = []
+        for t in triples:
+            exp = (
+                _expand_static_path_triple(t)
+                if not isinstance(t.p, (A.Var, Term))
+                else None
+            )
+            expanded.extend(exp if exp is not None else [t])
+        triples = expanded
         star_groups, rest = self._split_star_groups(triples)
         # property-path triples join LAST: a zero-length-capable path
         # (p?, p*) whose endpoints get bound by sibling patterns must see
