@@ -88,10 +88,16 @@ def _store(spark: SparkSession, sf_dir: str):
         else:
             _STORES[key] = TripleStore.from_bucketed(spark, table, path, 32, has_named_graphs=False)
         if os.environ.get("BDOS_CACHE_STATEMENTS"):
-            # optional in-memory columnar cache of the serving store
-            # (keeps bucketed partitioning — q01 stays exchange-free);
-            # measured: big win for scan-heavy aggs (q03 ~2x), small
-            # loss for the path-closure loop (q12) — opt-in
+            # experimentation-only in-memory columnar cache.  The r6
+            # serving-cache decision (VERDICT r5 item 5) was settled by
+            # measurement: with the bucketed+predicate-partitioned
+            # layout, caching LOSES on every headline query (sf0.1
+            # idle-box medians 16.6s cached vs 5.3s uncached; q03
+            # 4.70 vs 0.84, q12 2.24 vs 0.43) because InMemoryRelation
+            # scans every cached batch instead of pruning p= partition
+            # directories and drops the bucket-join zero-Exchange
+            # property.  The automatic heuristic is therefore BYPASS;
+            # this knob remains only to reproduce the measurement.
             _STORES[key].persist()
     return _STORES[key]
 
