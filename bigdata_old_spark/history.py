@@ -53,16 +53,45 @@ class HistoryLog(ChangeLog):
     def __init__(self, path: str | None = None) -> None:
         self._path = path or tempfile.mkdtemp(prefix="bdos_history_")
         self._staged: list[ChangeSet] = []
-        self.revision = self._resume_revision()
+        # resolved lazily: resuming from partition dirs needs a
+        # SparkSession, which may not exist yet at construction time
+        self._revision: int | None = None
+
+    @property
+    def revision(self) -> int:
+        if self._revision is None:
+            self._revision = self._resume_revision()
+        return self._revision
+
+    @revision.setter
+    def revision(self, value: int) -> None:
+        self._revision = value
 
     # -- write side ---------------------------------------------------------
 
+    def _marker(self) -> str:
+        # leading "_" keeps the file invisible to spark.read.parquet
+        return os.path.join(self._path, "_revision")
+
     def _resume_revision(self) -> int:
+        # the marker persists the counter across restarts even for
+        # commits whose deltas were all empty (which write no partition)
+        # and needs no SparkSession to read
+        try:
+            with open(self._marker()) as fh:
+                return int(fh.read().strip() or 0)
+        except FileNotFoundError:
+            pass
         if not self._has_data():
             return 0
         spark = SparkSession.getActiveSession()
-        if spark is None:  # pragma: no cover - no session yet, start fresh
-            return 0
+        if spark is None:
+            # returning 0 here would silently restart the counter and
+            # merge new commits into existing revision partitions
+            raise RuntimeError(
+                f"HistoryLog at {self._path} has recorded revisions but no "
+                "active SparkSession is available to resume the counter"
+            )
         return (
             spark.read.parquet(self._path)
             .agg(F.max(F.col("revision").cast("int")))
@@ -105,6 +134,11 @@ class HistoryLog(ChangeLog):
             out.write.mode("append").partitionBy("revision", "action").parquet(
                 self._path
             )
+        # persist the counter so empty-delta commits (no partition
+        # written) still survive a restart
+        os.makedirs(self._path, exist_ok=True)
+        with open(self._marker(), "w") as fh:
+            fh.write(str(self.revision))
         self._staged = []
 
     # -- read side ----------------------------------------------------------

@@ -518,10 +518,20 @@ _SCHEMA_CLASSES = (
 )
 
 
-def _delta_touches_schema(delta: DataFrame) -> bool:
+def _delta_touches_schema(delta: DataFrame, ignore_reflexive: bool = False) -> bool:
+    pred_hit = F.col("p").isin(*_SCHEMA_PREDS)
+    if ignore_reflexive:
+        # reflexive ⊑ edges (P ⊑p P / C ⊑c C) are emitted by the
+        # incremental rdf1/rdfs6 rules themselves and change no schema
+        # join result — don't let them punt every run to full closure
+        pred_hit = pred_hit & ~(
+            F.col("p").isin(RDFS_SUBPROP, RDFS_SUBCLASS)
+            & (F.col("o_kind") == KIND_IRI)
+            & (F.col("o_lex") == F.col("s"))
+        )
     return (
         delta.where(
-            F.col("p").isin(*_SCHEMA_PREDS)
+            pred_hit
             | (
                 (F.col("p") == RDF_TYPE)
                 & (F.col("o_kind") == KIND_IRI)
@@ -763,6 +773,16 @@ def incremental_closure(
         new = _anti_new(cand, out).localCheckpoint(eager=True)
         if new.isEmpty():
             break
+        # DERIVED facts can be schema facts even when the raw delta is
+        # not (e.g. ':myP rdfs:subPropertyOf rdfs:subClassOf' in the
+        # base + instance fact ':D :myP :E' derives ':D rdfs:subClassOf
+        # :E' via rdfs7) — the frozen schema snapshot would go stale and
+        # the result would silently be a non-fixpoint.  Mirror the
+        # fp_preds frontier check: any schema-touching frontier punts to
+        # full closure (the reference TM re-fires the full rule program
+        # including schema rules each round, so this matches semantics).
+        if _delta_touches_schema(new, ignore_reflexive=True):
+            raise NeedsFullClosure("derived fact touches schema vocabulary")
         out = out.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return out

@@ -698,7 +698,27 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         if store.sid_map is not None and not op.add:
             # destination-replacement (and MOVE source) removals cascade
             # through SIDs exactly like DELETE
-            gone = _sid_cascade(df, gone)
+            if op.move:
+                # ADVICE r6 (update.py:701): a MOVEd statement still
+                # exists (in the destination graph) after the op, and
+                # SIDs are keyed on (s,p,o) only — its provenance
+                # annotations stay valid.  Seed the cascade with only
+                # the rows whose statement KEY no longer exists in any
+                # graph post-op.
+                spo = [k for k in _KEYS if k != "g"]
+                post = df.where(~removed_cond).unionByName(moved)
+                pk = post.select(
+                    *[F.col(k).alias(f"__p_{k}") for k in spo]
+                ).dropDuplicates()
+                cond = None
+                for k in spo:
+                    c = gone[k].eqNullSafe(pk[f"__p_{k}"])
+                    cond = c if cond is None else (cond & c)
+                seed = gone.join(pk, cond, "left_anti")
+                # gone ∪ (cascade extras beyond the seed)
+                gone = gone.unionByName(_anti_remove(_sid_cascade(df, seed), gone))
+            else:
+                gone = _sid_cascade(df, gone)
             rest = _anti_remove(df, gone)
         else:
             rest = df.where(~removed_cond)

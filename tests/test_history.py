@@ -71,6 +71,39 @@ def test_history_durable_resume_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "revision" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_history_empty_delta_commit_and_no_session_resume(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (history.py:65): commits whose deltas are all empty
+    still advance AND persist the revision counter (marker file), so
+    resume never under-counts and reuses revisions; and resuming a
+    marker-less log without an active session raises instead of
+    silently restarting the counter at 0."""
+    import os
+
+    import pytest
+    from pyspark.sql import SparkSession
+
+    path = str(tmp_path / "hist_e")
+    st = TripleStore.from_turtle(spark, "@prefix : <http://example.org/> . :a :p :b .")
+    h = HistoryLog(path)
+    st = st.update(P + "INSERT DATA { :c :p :d }", change_log=h)  # rev 1
+    h.transaction_begin()
+    h.transaction_committed()  # rev 2: empty delta, no partition written
+    assert h.revision == 2
+
+    # marker-file resume: correct counter, and needs no SparkSession
+    monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
+    h2 = HistoryLog(path)
+    assert h2.revision == 2
+
+    # marker-less data dir without a session: raise, don't restart at 0
+    os.remove(os.path.join(path, "_revision"))
+    h3 = HistoryLog(path)
+    with pytest.raises(RuntimeError, match="no.*active SparkSession|SparkSession"):
+        _ = h3.revision
+    monkeypatch.undo()
+    assert HistoryLog(path).revision == 1  # partition-scan fallback still works
+
+
 def test_history_many_commits_flat_plan(spark, tmp_path):
     """Driver memory and plan size stay flat in commit count: after N
     commits the scan plan is ONE partitioned table read, not an

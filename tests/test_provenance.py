@@ -171,3 +171,36 @@ def test_clear_graph_cascades_sids(spark):
         "COPY <http://www.bigdata.com/rdf#gsrc> TO <http://www.bigdata.com/rdf#g1>"
     )
     assert st3.statements.count() == 0  # g1 replaced (by empty) + sid cascade
+
+
+def test_move_keeps_provenance_of_surviving_statements(spark):
+    """ADVICE r6 (update.py:701): MOVE relocates (A X B) to another
+    graph — the statement still exists, its SID (keyed on (s,p,o) only)
+    is still valid, so its provenance annotation must SURVIVE.  A
+    statement that genuinely disappears in the move (destination
+    replacement) still cascades."""
+    NS = "http://www.bigdata.com/rdf#"
+    st = TripleStore.from_trig(spark, """
+        @prefix ns: <http://www.bigdata.com/rdf#> .
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        ns:g1 { ns:A ns:X ns:B . }
+        ns:g2 { ns:D ns:W ns:E . }
+        { _:s1 a rdf:Statement ;
+               rdf:subject ns:A ; rdf:predicate ns:X ; rdf:object ns:B ;
+               ns:Y ns:C .
+          _:s2 a rdf:Statement ;
+               rdf:subject ns:D ; rdf:predicate ns:W ; rdf:object ns:E ;
+               ns:Y ns:C2 . }
+    """).to_sids()
+    assert st.statements.count() == 4  # (A X B)@g1, (D W E)@g2, 2 sid rows
+
+    st2 = st.update(f"MOVE <{NS}g1> TO <{NS}g2>")
+    rows = {(r["g"], r["s"], r["p"]) for r in st2.statements.collect()}
+    # (A X B) now lives in g2; its provenance annotation survived
+    assert (NS + "g2", NS + "A", NS + "X") in rows
+    assert any(p == NS + "Y" and s.startswith("sid:") for (_, s, p) in rows)
+    # (D W E) was replaced away — it AND its sid annotation are gone
+    assert not any(p == NS + "W" for (_, _, p) in rows)
+    sid_y_rows = [r for r in st2.statements.collect() if r["p"] == NS + "Y"]
+    assert len(sid_y_rows) == 1  # only s1's annotation remains
+    assert st2.statements.count() == 2

@@ -486,3 +486,53 @@ def test_tm_incremental_schema_or_fp_delta_falls_back(spark):
     assert st4.query(
         P + "PREFIX owl: <http://www.w3.org/2002/07/owl#> ASK { :s1 owl:sameAs :s2 }"
     ).collect()[0]["ask"]
+
+
+def test_tm_incremental_derived_schema_fact_falls_back(spark):
+    """ADVICE r6 (inference.py:660): a pure-instance raw delta can still
+    DERIVE a schema fact when the base makes an instance predicate a
+    sub-property of schema vocabulary (:myP ⊑p rdfs:subClassOf + delta
+    ':D :myP :E' derives ':D rdfs:subClassOf :E' via rdfs7).  The frozen
+    schema snapshot cannot absorb that — the frontier check must punt to
+    full closure so ':x a :E' (x typed :D) is derived, not silently
+    dropped as a non-fixpoint."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :myP rdfs:subPropertyOf rdfs:subClassOf .
+           :x a :D .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st2 = st.update(P + "INSERT DATA { :D :myP :E }")
+    assert inference.FULL_CLOSURE_RUNS == full_before + 1  # punted to full
+    assert st2.query(P + "ASK { :D rdfs:subClassOf :E }").collect()[0]["ask"]
+    assert st2.query(P + "ASK { :x a :E }").collect()[0]["ask"]
+    # result is a true fixpoint ≡ batch re-derivation
+    full = inference.rdfs_closure(st2.statements.where("stype != 2"))
+    assert {tuple(r) for r in st2.statements.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_tm_incremental_plain_add_stays_incremental(spark):
+    """Counter-assert for the frontier schema check: an ordinary
+    instance delta (whose frontier contains only the harmless reflexive
+    P ⊑p P facts) must NOT punt to full closure."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :A rdfs:subClassOf :B .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    inc_before = inference.INCREMENTAL_RUNS
+    # :brandNewP has never been seen → rdf1/rdfs6 emit reflexive ⊑p
+    st2 = st.update(P + "INSERT DATA { :u :brandNewP :v . :u a :A }")
+    assert inference.FULL_CLOSURE_RUNS == full_before
+    assert inference.INCREMENTAL_RUNS == inc_before + 1
+    assert st2.query(P + "ASK { :u a :B }").collect()[0]["ask"]
