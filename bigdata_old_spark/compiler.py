@@ -428,6 +428,19 @@ class QueryCompiler:
         if isinstance(node, A.BGP):
             return self.compile_bgp(node, graph)
         if isinstance(node, A.Join):
+            # a SERVICE joined with sibling patterns runs VECTORED: the
+            # sibling side compiles first and its solutions are pushed
+            # to the endpoint as VALUES chunks (ServiceCallJoin analog)
+            if isinstance(node.right, A.ServicePat) and not isinstance(
+                node.left, A.ServicePat
+            ):
+                l = self.compile_pattern(node.left, graph)
+                return self.join(l, self.compile_service(node.right, graph, outer=l))
+            if isinstance(node.left, A.ServicePat) and not isinstance(
+                node.right, A.ServicePat
+            ):
+                r = self.compile_pattern(node.right, graph)
+                return self.join(self.compile_service(node.left, graph, outer=r), r)
             return self.join(self.compile_pattern(node.left, graph), self.compile_pattern(node.right, graph))
         if isinstance(node, A.LeftJoin):
             return self.left_join(node, graph)
@@ -508,12 +521,13 @@ class QueryCompiler:
             return self.compile_service(node, graph)
         raise NotImplementedError(f"pattern {type(node)}")
 
-    def compile_service(self, node: A.ServicePat, graph) -> Compiled:
+    def compile_service(self, node: A.ServicePat, graph, outer=None) -> Compiled:
         """SERVICE <iri> {…} → registered handler (ServiceRegistry
         analog, sparql/ast/service/ServiceRegistry.java:34); an
         unregistered http(s) IRI goes to the remote SPARQL protocol
-        client (ServiceCallJoin.java:103).  SILENT turns any failure
-        into the unit solution per spec."""
+        client (ServiceCallJoin.java:103), vectoring ``outer``'s
+        bindings into the request when provided.  SILENT turns any
+        failure into the unit solution per spec."""
         from bigdata_old_spark.model import BDS
         from bigdata_old_spark.registry import lookup_service
 
@@ -529,7 +543,7 @@ class QueryCompiler:
         try:
             from bigdata_old_spark.service import remote_service
 
-            return remote_service(self.store, node, self)
+            return remote_service(self.store, node, self, outer=outer)
         except Exception:
             if node.silent:  # SERVICE SILENT: failure → unit solution
                 return Compiled(

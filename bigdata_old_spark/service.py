@@ -2,11 +2,26 @@
 
 The reference's ServiceCallJoin (bigdata/.../controller/
 ServiceCallJoin.java:103) ships the service group to a remote SPARQL
-endpoint over the SPARQL protocol and vector-joins the returned
-bindings.  Here the service group's reconstructed source text is sent
-as ``SELECT * WHERE {…}`` (Accept: sparql-results+json), the JSON
-bindings become a term-struct DataFrame, and the ordinary compiler
-join machinery does the vectored join.
+endpoint over the SPARQL protocol and VECTORS the outer solutions into
+the request: chunks of already-computed bindings ride along as a
+BINDINGS/VALUES block so the endpoint evaluates the group
+pre-constrained (ServiceCallJoin.java:85-88,378; the remote query text
+is synthesized by RemoteSparql11QueryBuilder, chosen by
+RemoteSparqlBuilderFactory.java:109).  Here, when the service group
+shares certainly-bound variables with the outer solutions, the
+DISTINCT outer bindings of those variables are collected (capped),
+chunked ``VECTOR_CHUNK`` per request, and each request is
+
+    SELECT * WHERE { VALUES (?v …) { (…) … } <service group> }
+
+The chunk results are unioned and the ordinary compiler join machinery
+does the final vectored join.  Cross-chunk duplicate solutions cannot
+arise because vectored variables are restricted to those CERTAINLY
+bound inside the service group — every remote solution binds them to
+exactly one VALUES tuple, which lives in exactly one chunk.  The
+unconstrained ``SELECT * WHERE {…}`` form is kept when there are no
+shared certain variables, a binding is a blank node (label has no
+cross-endpoint identity), or the binding count exceeds ``MAX_VECTOR``.
 
 The HTTP call is driver-side and the result is a local DataFrame —
 correct for the protocol (a remote endpoint is a single server; there
@@ -20,11 +35,26 @@ from __future__ import annotations
 import json
 from collections.abc import Callable
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bigdata_old_spark.model import TERM_TYPE, Term
+from bigdata_old_spark import algebra as A
+from bigdata_old_spark.model import (
+    KIND_BNODE,
+    KIND_IRI,
+    TERM_TYPE,
+    XSD,
+    Term,
+)
 
 Transport = Callable[[str, str], str]  # (endpoint, query) -> response body
+
+#: outer bindings per remote request (the reference vectors chunks too,
+#: ServiceCallJoin.java:378)
+VECTOR_CHUNK = 512
+#: above this many distinct outer bindings the VALUES block would bloat
+#: the request — fall back to the unconstrained form
+MAX_VECTOR = 4096
 
 _transport: Transport | None = None
 
@@ -61,30 +91,163 @@ def _json_term(d: dict) -> Term:
     return Term.literal(d["value"], dt=d.get("datatype"), lang=d.get("xml:lang"))
 
 
+def _parse_results(payload: str):
+    """SPARQL 1.1 Query Results JSON → (vars list, list of row tuples)."""
+    doc = json.loads(payload)
+    names = doc["head"]["vars"]
+    rows = [
+        tuple(_json_term(b[n]).as_row() if n in b else None for n in names)
+        for b in doc["results"]["bindings"]
+    ]
+    return names, rows
+
+
 def results_json_to_df(spark, payload: str):
     """SPARQL 1.1 Query Results JSON → (DataFrame of term structs,
     vars list).  Unbound = NULL struct, matching engine convention."""
-    doc = json.loads(payload)
-    names = doc["head"]["vars"]
-    rows = []
-    for b in doc["results"]["bindings"]:
-        rows.append(tuple(_json_term(b[n]).as_row() if n in b else None for n in names))
+    names, rows = _parse_results(payload)
+    return _rows_to_df(spark, names, rows), names
+
+
+def _rows_to_df(spark, names, rows):
     schema = T.StructType([T.StructField(n, TERM_TYPE) for n in names])
-    return spark.createDataFrame(rows, schema), names
+    return spark.createDataFrame(rows, schema)
 
 
-def remote_service(store, node, compiler):
-    """Execute SERVICE <endpoint> {…} remotely; returns Compiled."""
+def certainly_bound_vars(node) -> set[str]:
+    """Variables a pattern binds in EVERY solution — the syntactic
+    certainly-bound analysis the reference's service-var computation
+    performs on the service group (conservative: anything unknown
+    contributes nothing)."""
+    if isinstance(node, A.BGP):
+        out: set[str] = set()
+        for t in node.triples:
+            for pos in (t.s, t.p, t.o):
+                if isinstance(pos, A.Var):
+                    out.add(pos.name)
+        return out
+    if isinstance(node, A.Join):
+        return certainly_bound_vars(node.left) | certainly_bound_vars(node.right)
+    if isinstance(node, A.LeftJoin):
+        return certainly_bound_vars(node.left)
+    if isinstance(node, A.UnionPat):
+        return certainly_bound_vars(node.left) & certainly_bound_vars(node.right)
+    if isinstance(node, A.FilterPat):
+        return certainly_bound_vars(node.child)
+    if isinstance(node, A.Extend):
+        # BIND exprs can evaluate to error → unbound; don't count n.var
+        return certainly_bound_vars(node.child)
+    if isinstance(node, A.GraphPat):
+        out = certainly_bound_vars(node.child)
+        if isinstance(node.graph, A.Var):
+            out.add(node.graph.name)
+        return out
+    if isinstance(node, A.ServicePat):
+        return certainly_bound_vars(node.child)
+    return set()  # ValuesPat (UNDEF rows), SubSelect, … — conservative
+
+
+def _escape_lex(lex: str) -> str:
+    return (
+        lex.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+def _sparql_value(v) -> str | None:
+    """One outer binding → SPARQL VALUES token.  None = not shippable
+    (blank node: its label has no identity at the remote endpoint)."""
+    if isinstance(v, str):  # flat resource string
+        if v.startswith("_:"):
+            return None
+        return f"<{v}>"
+    kind = v["kind"]
+    if kind == KIND_IRI:
+        return f"<{v['lex']}>"
+    if kind == KIND_BNODE:
+        return None
+    lex = f'"{_escape_lex(v["lex"])}"'
+    if v["lang"]:
+        return f"{lex}@{v['lang']}"
+    if v["dt"] and v["dt"] != XSD + "string":
+        return f"{lex}^^<{v['dt']}>"
+    return lex
+
+
+def _vector_queries(decls: str, node, outer) -> list[str] | None:
+    """Synthesize the chunked VALUES-constrained request texts, or None
+    when the unconstrained form must be used."""
+    if outer is None:
+        return None
+    jvars = sorted(
+        set(outer.certain)
+        & A.pattern_vars(node.child)
+        & certainly_bound_vars(node.child)
+    )
+    if not jvars:
+        return None
+    rows = (
+        outer.df.select(*[F.col(v) for v in jvars])
+        .dropDuplicates()
+        .limit(MAX_VECTOR + 1)
+        .collect()
+    )
+    if not rows or len(rows) > MAX_VECTOR:
+        return None
+    # serialize; a var with any non-shippable value (bnode) drops out
+    ser = {v: [_sparql_value(r[v]) for r in rows] for v in jvars}
+    jvars = [v for v in jvars if all(x is not None for x in ser[v])]
+    if not jvars:
+        return None
+    tuples = sorted({tuple(ser[v][i] for v in jvars) for i in range(len(rows))})
+    var_list = " ".join("?" + v for v in jvars)
+    out = []
+    for i in range(0, len(tuples), VECTOR_CHUNK):
+        chunk = tuples[i : i + VECTOR_CHUNK]
+        rows_txt = " ".join("(" + " ".join(t) + ")" for t in chunk)
+        out.append(
+            f"{decls}SELECT * WHERE {{ VALUES ({var_list}) "
+            f"{{ {rows_txt} }} {node.raw} }}"
+        )
+    return out
+
+
+def remote_service(store, node, compiler, outer=None):
+    """Execute SERVICE <endpoint> {…} remotely; returns Compiled.
+
+    ``outer``: the already-compiled solutions the service result will
+    join with — when it shares certainly-bound variables with the
+    service group, their distinct bindings are pushed to the endpoint
+    as chunked VALUES blocks (the vectored ServiceCallJoin)."""
     from bigdata_old_spark.compiler import Compiled
 
     decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in node.prefixes)
-    query = f"{decls}SELECT * WHERE {node.raw}"
-    body = (_transport or default_transport)(node.iri.lex, query)
-    df, names = results_json_to_df(store.spark, body)
+    send = _transport or default_transport
+    queries = _vector_queries(decls, node, outer)
+    if queries is None:
+        queries = [f"{decls}SELECT * WHERE {node.raw}"]
+    names: list | None = None
+    rows: list = []
+    for q in queries:
+        ns, rs = _parse_results(send(node.iri.lex, q))
+        if names is None:
+            names = ns
+        elif set(ns) != set(names):  # pragma: no cover - defensive
+            rs = [tuple(r[ns.index(n)] if n in ns else None for n in names) for r in rs]
+        rows.extend(rs)
+    df = _rows_to_df(store.spark, names or [], rows)
     # vars bound in every row are certain (join keys); others stay
-    # optional, same as the reference's service-var analysis
-    certain = frozenset(
-        n for i, n in enumerate(names)
-        if not df.where(df[n].isNull()).take(1)
-    ) if names else frozenset()
+    # optional, same as the reference's service-var analysis — one
+    # aggregation for all vars, not a take(1) probe per var
+    if names and rows:
+        counts = df.agg(
+            *[F.count(F.col(n)).alias(n) for n in names],
+            F.count(F.lit(1)).alias("__n"),
+        ).collect()[0]
+        certain = frozenset(n for n in names if counts[n] == counts["__n"])
+    else:
+        certain = frozenset()
     return Compiled(df, certain)
