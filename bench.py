@@ -14,13 +14,18 @@ Methodology (self-documenting, per VERDICT r4 items 2 & 9):
   before any same-store execution.  This is the cold-cache number.
 - "headline_query_set_wall_sec" (the headline metric, "value") —
   steady-state repeat latency: after the first pass, the set runs
-  N_RUNS=3 more times in-process; each query reports its MEDIAN, and
+  N_RUNS=5 more times in-process; each query reports its MEDIAN, and
   the metric is the sum of medians.  Warm-up-mix-then-measure is the
   reference's own BSBM methodology (bigdata-perf/bsbm3/README.txt).
-- "runs" — the three measured pass totals; "spread" — per-query
+- "runs" — the measured pass totals; "spread" — per-query
   [min, median, max] over the measured passes, the variance evidence
   VERDICT r4 asked for (this box shows ±30% noise on sub-second
   queries).
+- Noise self-diagnosis (VERDICT r6 #2): "loadavg_per_pass" records the
+  1-min loadavg before every measured pass, and "best_pass_wall_sec" /
+  "best_query_set_wall_sec" (sum of per-query minima) are reported
+  alongside the median metric — a loaded box shows rising loadavg and
+  a best-pass far below the median; a genuine regression moves both.
 """
 
 from __future__ import annotations
@@ -50,7 +55,7 @@ HEADLINE = [
     "q18_events_agg",
 ]
 
-N_RUNS = 3
+N_RUNS = 5
 
 
 def _timed_pass(qs, spark, sf_dir, report=False):
@@ -104,12 +109,18 @@ def main() -> None:
     first_total = sum(first.values())
     print(f"# first_run (cold): {first_total:.3f}s", file=sys.stderr)
 
-    # measured passes: steady-state repeat latency, median-of-3
+    # measured passes: steady-state repeat latency, median-of-N_RUNS
     passes = []
+    loads = []
     for i in range(N_RUNS):
+        try:
+            loads.append(round(os.getloadavg()[0], 2))
+        except OSError:
+            loads.append(None)
         p = _timed_pass(qs, spark, sf_dir, report=(i == N_RUNS - 1))
         passes.append(p)
-        print(f"# pass {i + 1}/{N_RUNS}: {sum(p.values()):.3f}s", file=sys.stderr)
+        print(f"# pass {i + 1}/{N_RUNS}: {sum(p.values()):.3f}s "
+              f"(loadavg {loads[-1]})", file=sys.stderr)
 
     spread = {}
     total = 0.0
@@ -134,6 +145,11 @@ def main() -> None:
         "runs": [round(sum(p.values()), 3) for p in passes],
         "spread": spread,
         "loadavg_1_5_15": la,  # box-contention evidence for the record
+        "loadavg_per_pass": loads,
+        "best_pass_wall_sec": round(min(sum(p.values()) for p in passes), 3),
+        "best_query_set_wall_sec": round(
+            sum(min(p[n] for p in passes) for n in HEADLINE), 3
+        ),
     }))
 
 
