@@ -92,9 +92,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             labels.join(msgs, "v", "left")
             .select("v", F.least(F.col("component"), F.col("nbr_min")).alias("component"),
                     (F.col("nbr_min") < F.col("component")).alias("chg"))
+            # checkpoint FIRST (one job computes the round), then probe
+            # convergence on the materialized frame — probing before the
+            # checkpoint would recompute the round's join lineage, 2×
+            # cost per round (VERDICT r6 #8)
+            .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("chg")).isEmpty() is False
-        labels = new_labels.select("v", "component").localCheckpoint(eager=True)
+        changed = not new_labels.where(F.col("chg")).isEmpty()
+        labels = new_labels.select("v", "component")
         if not changed:
             break
     return labels

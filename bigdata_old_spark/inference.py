@@ -493,6 +493,7 @@ _STMT_KEYS = ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
 # full re-closure) by watching these counters
 FULL_CLOSURE_RUNS = 0
 INCREMENTAL_RUNS = 0
+RETRACTION_RUNS = 0
 
 
 class NeedsFullClosure(Exception):
@@ -542,6 +543,195 @@ def _delta_touches_schema(delta: DataFrame, ignore_reflexive: bool = False) -> b
         .count()
         > 0
     )
+
+
+class _SchemaSnap:
+    """One-time schema closures computed from a CLOSED store and
+    broadcast into the semi-naive instance rules — shared by
+    incremental_closure (additions) and retraction_closure."""
+
+    __slots__ = (
+        "with_owl", "subc", "subp", "dom", "rng", "inv_all",
+        "trans_preds", "fp_preds", "eqr", "hv_schema",
+    )
+
+
+def _schema_snapshot(closed: DataFrame, probe_extra: DataFrame | None = None) -> _SchemaSnap:
+    snap = _SchemaSnap()
+    probe = closed if probe_extra is None else closed.unionByName(probe_extra)
+    snap.with_owl = (
+        probe.where(
+            F.col("p").startswith(OWL)
+            | ((F.col("o_kind") == KIND_IRI) & F.col("o_lex").startswith(OWL))
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    snap.subc = _iri_obj_triples(closed, RDFS_SUBCLASS)
+    snap.subp = _iri_obj_triples(closed, RDFS_SUBPROP)
+    snap.dom = _iri_obj_triples(closed, RDFS_DOMAIN)
+    snap.rng = _iri_obj_triples(closed, RDFS_RANGE)
+    snap.eqr = snap.inv_all = snap.hv_schema = None
+    snap.trans_preds = []
+    snap.fp_preds = []
+    if snap.with_owl:
+        def _typed(cls):
+            return (
+                closed.where(
+                    (F.col("p") == RDF_TYPE)
+                    & (F.col("o_kind") == KIND_IRI)
+                    & (F.col("o_lex") == cls)
+                )
+                .select("s")
+                .dropDuplicates()
+            )
+
+        inv = _iri_obj_triples(closed, OWL_INVERSE)
+        sym = _typed(OWL_SYMMETRIC)
+        snap.inv_all = (
+            inv.unionByName(_flip(inv))
+            .unionByName(sym.select(F.col("s"), F.col("s").alias("o")))
+            .dropDuplicates()
+        )
+        # schema-small driver-side lists (one-time, like store stats)
+        snap.trans_preds = [r["s"] for r in _typed(OWL_TRANSITIVE).collect()]
+        snap.fp_preds = [
+            r["s"]
+            for r in _typed(OWL_FUNCTIONAL)
+            .unionByName(_typed(OWL_INV_FUNCTIONAL))
+            .dropDuplicates()
+            .collect()
+        ]
+        sa = _resource_obj_triples(closed, OWL_SAMEAS)
+        if not sa.isEmpty():
+            # closed sameAs is already the full equivalence closure
+            snap.eqr = F.broadcast(
+                sa.where(F.col("s") != F.col("o")).select(
+                    F.col("s").alias("__eq_s"), F.col("o").alias("__eq_o")
+                )
+            )
+        restr = _typed(OWL_RESTRICTION).withColumnRenamed("s", "a")
+        onp = _iri_obj_triples(closed, OWL_ONPROP).select(
+            F.col("s").alias("a"), F.col("o").alias("__hv_p")
+        )
+        hv = (
+            closed.where(F.col("p") == OWL_HASVALUE)
+            .select(F.col("s").alias("a"),
+                    *[F.col(c) for c in closed.columns if c.startswith("o_")])
+            .dropDuplicates(["a", "o_kind", "o_lex", "o_dt", "o_lang"])
+        )
+        snap.hv_schema = restr.join(onp, "a").join(hv, "a")
+        if snap.hv_schema.isEmpty():
+            snap.hv_schema = None
+    return snap
+
+
+def _fire_instance_rules(fr: DataFrame, acc: DataFrame, snap: _SchemaSnap, cols) -> DataFrame:
+    """One semi-naive round of the INSTANCE rules: ``fr`` is the
+    frontier (the instance side of every join), ``acc`` the accumulated
+    statement set (used only by the two-premise transitive rule, both
+    directions — the classic semi-naive delta rule).  Returns the
+    candidate inferences; callers anti-join against what exists."""
+    fresh = []
+    # rdf1 (+ rdfs6 chain): new predicates → (P a Property), (P ⊑p P)
+    props = fr.select(F.col("p").alias("s")).dropDuplicates()
+    fresh.append(_mk_triples(props, s="s", p=RDF_TYPE, o=F.lit(RDF_PROPERTY)))
+    fresh.append(_mk_triples(props, s="s", p=RDFS_SUBPROP, o=F.col("s")))
+    # rdfs6 on freshly-typed Properties
+    fr_props = (
+        fr.where(
+            (F.col("p") == RDF_TYPE)
+            & (F.col("o_kind") == KIND_IRI)
+            & (F.col("o_lex") == RDF_PROPERTY)
+        )
+        .select("s")
+        .dropDuplicates()
+    )
+    fresh.append(_mk_triples(fr_props, s="s", p=RDFS_SUBPROP, o=F.col("s")))
+    # rdfs7: (x P y) ∈ Δ, (P ⊑p Q) → (x Q y)
+    j = fr.join(F.broadcast(snap.subp.withColumnRenamed("s", "p")), "p")
+    fresh.append(
+        j.select(
+            F.col("g"), F.col("s"), F.col("o").alias("p"),
+            *[F.col(c) for c in cols if c.startswith("o_")],
+            F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+        ).select(*cols)
+    )
+    # rdfs9: (x type C) ∈ Δ, (C ⊑ D) → (x type D)
+    types = fr.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI))
+    j = types.join(F.broadcast(snap.subc.withColumnRenamed("s", "o_lex")), "o_lex")
+    fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
+    # rdfs2: (x P y) ∈ Δ, (P domain C) → (x type C)
+    j = fr.join(F.broadcast(snap.dom.withColumnRenamed("s", "p")), "p")
+    fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
+    # rdfs3: (x P y) ∈ Δ, (P range C), y resource → (y type C)
+    j = (
+        fr.where(F.col("o_kind") != 2)
+        .join(F.broadcast(snap.rng.withColumnRenamed("s", "p")), "p")
+        .select(_obj_flat().alias("y"), F.col("o").alias("cls"))
+    )
+    fresh.append(_mk_triples(j, s="y", p=RDF_TYPE, o="cls"))
+    if snap.with_owl:
+        # inverseOf / SymmetricProperty on delta facts
+        j = (
+            fr.where(F.col("o_kind") != 2)
+            .join(F.broadcast(snap.inv_all.withColumnRenamed("s", "p")), "p")
+            .select(
+                _obj_flat().alias("ns"), F.col("o").alias("np"), F.col("s").alias("no")
+            )
+        )
+        fresh.append(_mk_triples(j, s="ns", p=F.col("np"), o="no"))
+        # TransitiveProperty: Δ ⋈ closure + closure ⋈ Δ
+        if snap.trans_preds:
+            fr_t = fr.where(F.col("p").isin(*snap.trans_preds) & (F.col("o_kind") != 2))
+            all_t = acc.where(F.col("p").isin(*snap.trans_preds) & (F.col("o_kind") != 2))
+            fl = fr_t.select(F.col("s").alias("x"), "p", _obj_flat().alias("y"))
+            al = all_t.select(F.col("s").alias("x"), "p", _obj_flat().alias("y"))
+            ar = all_t.select(F.col("s").alias("y"), F.col("p").alias("p2"), F.col("o_lex").alias("z"))
+            frr = fr_t.select(F.col("s").alias("y"), F.col("p").alias("p2"), F.col("o_lex").alias("z"))
+            step = fl.join(ar, (fl["y"] == ar["y"]) & (fl["p"] == ar["p2"])).select("x", "p", "z")
+            step2 = al.join(frr, (al["y"] == frr["y"]) & (al["p"] == frr["p2"])).select("x", "p", "z")
+            fresh.append(_mk_triples(step, s="x", p=F.col("p"), o="z"))
+            fresh.append(_mk_triples(step2, s="x", p=F.col("p"), o="z"))
+        # sameAs2/3: replicate delta facts across the (static)
+        # equivalence classes
+        if snap.eqr is not None:
+            eqr = snap.eqr
+            j2 = fr.join(eqr, fr["s"] == eqr["__eq_s"])
+            fresh.append(
+                j2.select(
+                    F.col("g"), F.col("__eq_o").alias("s"), F.col("p"),
+                    *[F.col(c) for c in cols if c.startswith("o_")],
+                    F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
+                ).select(*cols)
+            )
+            res = fr.where(F.col("o_kind") != 2).select(
+                "s", "p", _obj_flat().alias("oy")
+            )
+            j3 = res.join(eqr, res["oy"] == eqr["__eq_s"]).select(
+                F.col("s"), F.col("p"), F.col("__eq_o").alias("oz")
+            )
+            fresh.append(_mk_triples_flat_obj(j3, s="s", p=F.col("p"), o="oz"))
+        # hasValue: (x type a) ∈ Δ, restriction schema → (x p v)
+        if snap.hv_schema is not None:
+            ghv, sthv = _g_stype_cols()
+            hv_inst = fr.where(
+                (F.col("p") == RDF_TYPE) & (F.col("o_kind") != 2)
+            ).select(F.col("s").alias("__hv_x"), _obj_flat().alias("a"))
+            jhv = hv_inst.join(F.broadcast(snap.hv_schema), "a")
+            fresh.append(
+                jhv.select(
+                    ghv, F.col("__hv_x").alias("s"),
+                    F.col("__hv_p").cast("string").alias("p"),
+                    *[F.col(c) for c in cols if c.startswith("o_")],
+                    sthv,
+                ).select(*cols)
+            )
+    cand = fresh[0]
+    for d in fresh[1:]:
+        cand = cand.unionByName(d)
+    return cand
 
 
 def incremental_closure(
@@ -595,181 +785,18 @@ def incremental_closure(
     if delta_new.isEmpty():
         return out
 
-    # ---- one-time schema snapshot from the closed base ----------------
-    with_owl = (
-        closed.unionByName(delta)
-        .where(
-            F.col("p").startswith(OWL)
-            | ((F.col("o_kind") == KIND_IRI) & F.col("o_lex").startswith(OWL))
-        )
-        .limit(1)
-        .count()
-        > 0
-    )
-    subc = _iri_obj_triples(closed, RDFS_SUBCLASS)
-    subp = _iri_obj_triples(closed, RDFS_SUBPROP)
-    dom = _iri_obj_triples(closed, RDFS_DOMAIN)
-    rng = _iri_obj_triples(closed, RDFS_RANGE)
-    eqr = inv_all = hv_schema = None
-    trans_preds: list = []
-    fp_preds: list = []
-    if with_owl:
-        def _typed(cls):
-            return (
-                closed.where(
-                    (F.col("p") == RDF_TYPE)
-                    & (F.col("o_kind") == KIND_IRI)
-                    & (F.col("o_lex") == cls)
-                )
-                .select("s")
-                .dropDuplicates()
-            )
-
-        inv = _iri_obj_triples(closed, OWL_INVERSE)
-        sym = _typed(OWL_SYMMETRIC)
-        inv_all = (
-            inv.unionByName(_flip(inv))
-            .unionByName(sym.select(F.col("s"), F.col("s").alias("o")))
-            .dropDuplicates()
-        )
-        # schema-small driver-side lists (one-time, like store stats)
-        trans_preds = [r["s"] for r in _typed(OWL_TRANSITIVE).collect()]
-        fp_preds = [
-            r["s"]
-            for r in _typed(OWL_FUNCTIONAL)
-            .unionByName(_typed(OWL_INV_FUNCTIONAL))
-            .dropDuplicates()
-            .collect()
-        ]
-        sa = _resource_obj_triples(closed, OWL_SAMEAS)
-        if not sa.isEmpty():
-            # closed sameAs is already the full equivalence closure
-            eqr = F.broadcast(
-                sa.where(F.col("s") != F.col("o")).select(
-                    F.col("s").alias("__eq_s"), F.col("o").alias("__eq_o")
-                )
-            )
-        restr = _typed(OWL_RESTRICTION).withColumnRenamed("s", "a")
-        onp = _iri_obj_triples(closed, OWL_ONPROP).select(
-            F.col("s").alias("a"), F.col("o").alias("__hv_p")
-        )
-        hv = (
-            closed.where(F.col("p") == OWL_HASVALUE)
-            .select(F.col("s").alias("a"),
-                    *[F.col(c) for c in closed.columns if c.startswith("o_")])
-            .dropDuplicates(["a", "o_kind", "o_lex", "o_dt", "o_lang"])
-        )
-        hv_schema = restr.join(onp, "a").join(hv, "a")
-        if hv_schema.isEmpty():
-            hv_schema = None
-
+    snap = _schema_snapshot(closed, probe_extra=delta)
     cols = closed.columns
     frontier = delta_new
     for _ in range(max_rounds):
         fr = frontier
-        if fp_preds:
+        if snap.fp_preds:
             # a delta fact over a (Inverse)FunctionalProperty can mint
             # NEW sameAs pairs — that invalidates the static equivalence
             # snapshot; punt to full closure (rare path)
-            if fr.where(F.col("p").isin(*fp_preds)).limit(1).count() > 0:
+            if fr.where(F.col("p").isin(*snap.fp_preds)).limit(1).count() > 0:
                 raise NeedsFullClosure("delta fires a sameAs-generating rule")
-        fresh = []
-        # rdf1 (+ rdfs6 chain): new predicates → (P a Property), (P ⊑p P)
-        props = fr.select(F.col("p").alias("s")).dropDuplicates()
-        fresh.append(_mk_triples(props, s="s", p=RDF_TYPE, o=F.lit(RDF_PROPERTY)))
-        fresh.append(_mk_triples(props, s="s", p=RDFS_SUBPROP, o=F.col("s")))
-        # rdfs6 on freshly-typed Properties
-        fr_props = (
-            fr.where(
-                (F.col("p") == RDF_TYPE)
-                & (F.col("o_kind") == KIND_IRI)
-                & (F.col("o_lex") == RDF_PROPERTY)
-            )
-            .select("s")
-            .dropDuplicates()
-        )
-        fresh.append(_mk_triples(fr_props, s="s", p=RDFS_SUBPROP, o=F.col("s")))
-        # rdfs7: (x P y) ∈ Δ, (P ⊑p Q) → (x Q y)
-        j = fr.join(F.broadcast(subp.withColumnRenamed("s", "p")), "p")
-        fresh.append(
-            j.select(
-                F.col("g"), F.col("s"), F.col("o").alias("p"),
-                *[F.col(c) for c in cols if c.startswith("o_")],
-                F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
-            ).select(*cols)
-        )
-        # rdfs9: (x type C) ∈ Δ, (C ⊑ D) → (x type D)
-        types = fr.where((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI))
-        j = types.join(F.broadcast(subc.withColumnRenamed("s", "o_lex")), "o_lex")
-        fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
-        # rdfs2: (x P y) ∈ Δ, (P domain C) → (x type C)
-        j = fr.join(F.broadcast(dom.withColumnRenamed("s", "p")), "p")
-        fresh.append(_mk_triples(j, s="s", p=RDF_TYPE, o="o"))
-        # rdfs3: (x P y) ∈ Δ, (P range C), y resource → (y type C)
-        j = (
-            fr.where(F.col("o_kind") != 2)
-            .join(F.broadcast(rng.withColumnRenamed("s", "p")), "p")
-            .select(_obj_flat().alias("y"), F.col("o").alias("cls"))
-        )
-        fresh.append(_mk_triples(j, s="y", p=RDF_TYPE, o="cls"))
-        if with_owl:
-            # inverseOf / SymmetricProperty on delta facts
-            j = (
-                fr.where(F.col("o_kind") != 2)
-                .join(F.broadcast(inv_all.withColumnRenamed("s", "p")), "p")
-                .select(
-                    _obj_flat().alias("ns"), F.col("o").alias("np"), F.col("s").alias("no")
-                )
-            )
-            fresh.append(_mk_triples(j, s="ns", p=F.col("np"), o="no"))
-            # TransitiveProperty: Δ ⋈ closure + closure ⋈ Δ
-            if trans_preds:
-                fr_t = fr.where(F.col("p").isin(*trans_preds) & (F.col("o_kind") != 2))
-                all_t = out.where(F.col("p").isin(*trans_preds) & (F.col("o_kind") != 2))
-                fl = fr_t.select(F.col("s").alias("x"), "p", _obj_flat().alias("y"))
-                al = all_t.select(F.col("s").alias("x"), "p", _obj_flat().alias("y"))
-                ar = all_t.select(F.col("s").alias("y"), F.col("p").alias("p2"), F.col("o_lex").alias("z"))
-                frr = fr_t.select(F.col("s").alias("y"), F.col("p").alias("p2"), F.col("o_lex").alias("z"))
-                step = fl.join(ar, (fl["y"] == ar["y"]) & (fl["p"] == ar["p2"])).select("x", "p", "z")
-                step2 = al.join(frr, (al["y"] == frr["y"]) & (al["p"] == frr["p2"])).select("x", "p", "z")
-                fresh.append(_mk_triples(step, s="x", p=F.col("p"), o="z"))
-                fresh.append(_mk_triples(step2, s="x", p=F.col("p"), o="z"))
-            # sameAs2/3: replicate delta facts across the (static)
-            # equivalence classes
-            if eqr is not None:
-                j2 = fr.join(eqr, fr["s"] == eqr["__eq_s"])
-                fresh.append(
-                    j2.select(
-                        F.col("g"), F.col("__eq_o").alias("s"), F.col("p"),
-                        *[F.col(c) for c in cols if c.startswith("o_")],
-                        F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"),
-                    ).select(*cols)
-                )
-                res = fr.where(F.col("o_kind") != 2).select(
-                    "s", "p", _obj_flat().alias("oy")
-                )
-                j3 = res.join(eqr, res["oy"] == eqr["__eq_s"]).select(
-                    F.col("s"), F.col("p"), F.col("__eq_o").alias("oz")
-                )
-                fresh.append(_mk_triples_flat_obj(j3, s="s", p=F.col("p"), o="oz"))
-            # hasValue: (x type a) ∈ Δ, restriction schema → (x p v)
-            if hv_schema is not None:
-                ghv, sthv = _g_stype_cols()
-                hv_inst = fr.where(
-                    (F.col("p") == RDF_TYPE) & (F.col("o_kind") != 2)
-                ).select(F.col("s").alias("__hv_x"), _obj_flat().alias("a"))
-                jhv = hv_inst.join(F.broadcast(hv_schema), "a")
-                fresh.append(
-                    jhv.select(
-                        ghv, F.col("__hv_x").alias("s"),
-                        F.col("__hv_p").cast("string").alias("p"),
-                        *[F.col(c) for c in cols if c.startswith("o_")],
-                        sthv,
-                    ).select(*cols)
-                )
-        cand = fresh[0]
-        for d in fresh[1:]:
-            cand = cand.unionByName(d)
+        cand = _fire_instance_rules(fr, out, snap, cols)
         new = _anti_new(cand, out).localCheckpoint(eager=True)
         if new.isEmpty():
             break
@@ -777,15 +804,150 @@ def incremental_closure(
         # not (e.g. ':myP rdfs:subPropertyOf rdfs:subClassOf' in the
         # base + instance fact ':D :myP :E' derives ':D rdfs:subClassOf
         # :E' via rdfs7) — the frozen schema snapshot would go stale and
-        # the result would silently be a non-fixpoint.  Mirror the
-        # fp_preds frontier check: any schema-touching frontier punts to
-        # full closure (the reference TM re-fires the full rule program
-        # including schema rules each round, so this matches semantics).
+        # the result would silently be a non-fixpoint.  Any
+        # schema-touching frontier punts to full closure (the reference
+        # TM re-fires the full rule program including schema rules each
+        # round, so this matches semantics).
         if _delta_touches_schema(new, ignore_reflexive=True):
             raise NeedsFullClosure("derived fact touches schema vocabulary")
         out = out.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return out
+
+
+def _semi_stmt(base: DataFrame, keys: DataFrame) -> DataFrame:
+    """Rows of base whose statement key appears in keys (null-safe)."""
+    k = keys.select(*[F.col(c).alias(f"__k_{c}") for c in _STMT_KEYS]).dropDuplicates()
+    cond = None
+    for c in _STMT_KEYS:
+        e = base[c].eqNullSafe(k[f"__k_{c}"])
+        cond = e if cond is None else (cond & e)
+    return base.join(k, cond, "left_semi")
+
+
+def retraction_closure(
+    closed: DataFrame, removed: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Close ``closed − removed`` with work scoped to the retracted
+    delta's CONE, not the store — the reference's retraction-path truth
+    maintenance (inf/TruthMaintenance.java:110 retractAll closes the
+    retracted temp store against the database to find the affected
+    inferences, then inf/Justification.java grounds-checks each one;
+    only the ungrounded are removed).
+
+    Spark re-expression, justification-free:
+
+    1. **Cone** — the forward consequences derivable FROM the retracted
+       facts against the old closure (semi-naive: retracted facts seed
+       the frontier; other premises come from the closed store).  Every
+       inference that LOSES all derivations is in the cone (each of its
+       derivations contains an affected premise, so it is derivable
+       from affected facts + the store).
+    2. **Remove** the retracted rows and the cone's INFERRED rows —
+       the survivors are a sound under-approximation of the new
+       closure.
+    3. **Re-derive** — fixpoint over the holes: fire the instance rules
+       with the instance side SEMI-JOINED to the holes' subject/object/
+       predicate terms (broadcast — the delta is small), keep exactly
+       the candidates that fill a hole, repeat until no hole fills.
+       Grounded holes return as INFERRED (a retracted explicit fact
+       that is still provable flips, the testTMRetract contract);
+       ungrounded holes stay gone.
+
+    Raises NeedsFullClosure when the retracted delta (or any cone
+    frontier) touches schema vocabulary or fires a sameAs-generating
+    rule — same punts as the assertion path, matching the reference,
+    which re-fires the full program for schema-level changes."""
+    global RETRACTION_RUNS
+    removed = removed.dropDuplicates(_STMT_KEYS)
+    if _delta_touches_schema(removed):
+        raise NeedsFullClosure("retracted delta touches schema vocabulary")
+    snap = _schema_snapshot(closed)
+    cols = closed.columns
+
+    # ---- 1. affected cone (⊆ old closure by construction) -----------------
+    seeds = _semi_stmt(closed, removed).localCheckpoint(eager=True)
+    cone = seeds
+    frontier = seeds
+    for _ in range(max_rounds):
+        if snap.fp_preds:
+            if frontier.where(F.col("p").isin(*snap.fp_preds)).limit(1).count() > 0:
+                raise NeedsFullClosure("retracted delta fires a sameAs-generating rule")
+        cand = _fire_instance_rules(frontier, closed, snap, cols)
+        # only facts that actually EXIST in the old closure matter (the
+        # rule program over closure premises cannot leave the closure,
+        # but candidate stype/g must match the stored row)
+        new = _anti_new(_semi_stmt(closed, cand), cone).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        if _delta_touches_schema(new, ignore_reflexive=True):
+            raise NeedsFullClosure("cone reaches schema vocabulary")
+        cone = cone.unionByName(new)
+        frontier = new
+    RETRACTION_RUNS += 1
+
+    # ---- 2. open the holes -------------------------------------------------
+    cone_inferred = cone.where(F.col("stype") == STYPE_INFERRED)
+    holes = (
+        seeds.unionByName(_anti_new(cone_inferred, seeds))
+        .localCheckpoint(eager=True)
+    )
+    base = _anti_remove_stmts(closed, holes).localCheckpoint(eager=True)
+
+    # ---- 3. scoped re-derivation fixpoint ----------------------------------
+    remaining = holes
+    store = base
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # terms a premise of a hole-filling derivation must mention:
+        # the holes' subjects, resource objects and predicates, expanded
+        # through the static sameAs equivalence (replication rules
+        # derive a hole about x from premises about x's equivalents)
+        terms = (
+            remaining.select(F.col("s").alias("__t"))
+            .unionByName(
+                remaining.where(F.col("o_kind") != 2)
+                .select(F.col("o_lex").alias("__t"))
+            )
+            .unionByName(remaining.select(F.col("p").alias("__t")))
+            .dropDuplicates()
+        )
+        if snap.eqr is not None:
+            partners = snap.eqr.join(
+                terms, F.col("__eq_o") == F.col("__t"), "inner"
+            ).select(F.col("__eq_s").alias("__t"))
+            terms = terms.unionByName(partners).dropDuplicates()
+        tb = F.broadcast(terms)
+        fr = (
+            store.join(tb, store["s"] == tb["__t"], "left_semi")
+            .unionByName(store.join(tb, store["p"] == tb["__t"], "left_semi"))
+            .unionByName(
+                store.where(F.col("o_kind") != 2)
+                .join(tb, store["o_lex"] == tb["__t"], "left_semi")
+            )
+            .dropDuplicates(_STMT_KEYS)
+        )
+        cand = _fire_instance_rules(fr, store, snap, cols)
+        recovered = (
+            _semi_stmt(cand.dropDuplicates(_STMT_KEYS), remaining)
+            .localCheckpoint(eager=True)
+        )
+        if recovered.isEmpty():
+            break
+        store = store.unionByName(recovered).localCheckpoint(eager=True)
+        remaining = _anti_new(remaining, recovered).localCheckpoint(eager=True)
+    return store
+
+
+def _anti_remove_stmts(base: DataFrame, victims: DataFrame) -> DataFrame:
+    """base minus rows whose statement key appears in victims."""
+    v = victims.select(*[F.col(c).alias(f"__v_{c}") for c in _STMT_KEYS]).dropDuplicates()
+    cond = None
+    for c in _STMT_KEYS:
+        e = base[c].eqNullSafe(v[f"__v_{c}"])
+        cond = e if cond is None else (cond & e)
+    return base.join(v, cond, "left_anti")
 
 
 def _anti_new(cand: DataFrame, base: DataFrame) -> DataFrame:

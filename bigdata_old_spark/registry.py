@@ -150,3 +150,14 @@ def _sid_of(args):
 
 
 _FUNCTIONS[SID_OF_IRI] = _sid_of
+
+
+# ---------------------------------------------------------------------------
+# Built-in bd: services (the reference ServiceRegistry's default
+# registrations, ServiceRegistry.java:87-93): bd:values / bd:slice /
+# bd:sample — see bd_services.py.
+# ---------------------------------------------------------------------------
+
+from bigdata_old_spark import bd_services as _bd_services  # noqa: E402
+
+_bd_services.register_defaults(register_service)

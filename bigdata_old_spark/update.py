@@ -501,39 +501,45 @@ def _execute_one_tm(store, op, change_log):
     retraction of a still-provable explicit statement) is reported in
     ``updated`` with its new stype rather than added/removed.
 
-    PURE ADDITIONS on a known-closed store take the reference's
-    incremental assertion path (TruthMaintenance.java:110 closes the
-    temp DELTA store against the database): additions are monotone, so
-    inference.incremental_closure derives only the delta's consequences
-    — work proportional to the delta, not the store.  Retractions (and
-    deltas that touch schema vocabulary or fire sameAs-generating
-    rules) fall back to full re-closure, the SURVEY §2.12-sanctioned
-    batch re-derivation.  Axiom triples are not modeled (the documented
-    closure deviation), and like the reference TM is triples-mode
-    only."""
+    Statement-level deltas on a known-closed store take the reference's
+    incremental paths (TruthMaintenance.java:110): ADDITIONS close the
+    delta against the database (inference.incremental_closure —
+    additions are monotone); RETRACTIONS remove and re-derive only the
+    retracted delta's affected cone (inference.retraction_closure, the
+    retractAll + Justification grounds-check analog) — both work
+    proportional to the delta, not the store.  Deltas that touch schema
+    vocabulary or fire sameAs-generating rules fall back to full
+    re-closure, the SURVEY §2.12-sanctioned batch re-derivation (so do
+    graph-level ops: Clear/Drop/Copy/Move).  Axiom triples are not
+    modeled (the documented closure deviation), and like the reference
+    TM is triples-mode only."""
     from bigdata_old_spark.inference import (
         NeedsFullClosure,
         incremental_closure,
         rdfs_closure,
+        retraction_closure,
     )
     from bigdata_old_spark.model import STYPE_INFERRED
 
     old_full = store.statements
     explicit = old_full.where(F.col("stype") != STYPE_INFERRED)
-    pure_add = isinstance(op, InsertData) or (
+    delta_op = isinstance(op, (InsertData, DeleteData, DeleteInsert)) or (
         isinstance(op, LoadOp) and store.load_closure != "batch"
-    ) or (isinstance(op, DeleteInsert) and not op.delete_template)
+    )
     new_full = None
-    if pure_add and store.closed:
+    if delta_op and store.closed:
         rec = _DeltaRecorder()
         tmp = _execute_one(store.with_statements(explicit), op, rec, pattern_store=store)
-        if rec.added is not None:
-            try:
-                new_full = incremental_closure(old_full, rec.added)
-            except NeedsFullClosure:
-                new_full = None
-        else:
-            new_full = old_full  # op added nothing
+        try:
+            cur = old_full
+            # delete-before-insert, the op's own evaluation order
+            if rec.removed is not None and not rec.removed.isEmpty():
+                cur = retraction_closure(cur, rec.removed)
+            if rec.added is not None and not rec.added.isEmpty():
+                cur = incremental_closure(cur, rec.added)
+            new_full = cur
+        except NeedsFullClosure:
+            new_full = None
     else:
         tmp = _execute_one(store.with_statements(explicit), op, None, pattern_store=store)
     if new_full is None:

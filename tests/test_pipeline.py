@@ -469,3 +469,66 @@ def test_end_to_end_curation_pipeline(spark):
     _, _, _, _, red2, packed2 = run()
     assert fingerprint(packed2, ["doc_id", "bucket", "seq_id", "seq_offset", "end_seq_id"]) == h1
     assert fingerprint(red2, ["doc_id", "text"]) == rh1
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-scale dedup (VERDICT r6 #5): persisted signature
+# index + batch-vs-corpus join — no corpus re-self-join
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_against_equals_full_restricted_to_batch(spark, tmp_path):
+    from bigdata_old_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against,
+        load_dedup_index,
+        minhash_lsh_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (3, NEAR), (4, OTHER), (5, "short text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, BASE.replace("quick", "swift")), (12, "unrelated fresh content")],
+        "doc_id long, text string",
+    )
+    # ground truth: full-corpus pairs on corpus ∪ batch, restricted to
+    # pairs with at least one batch member
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in minhash_lsh_pairs(corpus.unionByName(batch), min_jaccard=0.4).collect()
+        if r["id_a"] >= 10 or r["id_b"] >= 10
+    }
+    assert full  # the scenario has cross and internal batch pairs
+
+    idx = build_dedup_index(corpus, path=str(tmp_path / "dedup_idx"))
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dedup_against(idx, batch, min_jaccard=0.4).collect()
+    }
+    assert got == full
+
+    # reload from disk: the corpus side is ONLY the persisted signature
+    # tables — the corpus DataFrame is not in the lineage at all
+    idx2 = load_dedup_index(spark, str(tmp_path / "dedup_idx"))
+    pairs2 = dedup_against(idx2, batch, min_jaccard=0.4)
+    got2 = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6) for r in pairs2.collect()}
+    assert got2 == full
+    plan = pairs2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") >= 2  # buckets + shingles
+    # corpus-only pairs are excluded by construction
+    assert all(a >= 10 or b >= 10 for (a, b) in got2)
+
+
+def test_exact_duplicates_caps_ids(spark):
+    from bigdata_old_spark.pipeline.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(i, "same boilerplate") for i in range(20)], "doc_id long, text string"
+    )
+    row = exact_duplicates(df, max_ids=5).collect()[0]
+    assert row["n_dups"] == 20 and len(row["doc_ids"]) == 5
+    assert row["keep_id"] == 0
+    row2 = exact_duplicates(df, max_ids=None).collect()[0]
+    assert "doc_ids" not in row2.asDict() and row2["n_dups"] == 20

@@ -163,3 +163,82 @@ def test_builtin_sketch_aggregates(spark):
     assert int(r["ndv"]["num"]) == 7          # HLL exact at this cardinality
     assert r["med"]["dbl"] == 3.0
     assert r["sd"]["dbl"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Built-in bd: services (ServiceRegistry.java:87-93 default registrations)
+# ---------------------------------------------------------------------------
+
+BDP = P + "PREFIX bd: <http://www.bigdata.com/rdf#>\n"
+
+
+def test_bd_values_service(small_store):
+    """SERVICE bd:values — ValuesServiceFactory.java:93."""
+    df = small_store.query(BDP + """
+        SELECT ?x ?name WHERE {
+          SERVICE bd:values {
+            bd:serviceParam <http://www.bigdata.com/rdf#values.var> ?name .
+            bd:serviceParam <http://www.bigdata.com/rdf#values.val> "Mike" .
+            bd:serviceParam <http://www.bigdata.com/rdf#values.val> "DC" .
+          }
+          ?x rdfs:label ?name .
+        }""")
+    assert sorted(r["x"]["lex"] for r in df.collect()) == [EX + "DC", EX + "Mike"]
+
+
+def test_bd_slice_service(small_store):
+    """SERVICE bd:slice — SliceServiceFactory.java:112: offset/limit
+    slice of one triple pattern in deterministic order."""
+    q = BDP + """
+        SELECT ?x ?l WHERE {
+          SERVICE bd:slice {
+            ?x rdfs:label ?l .
+            bd:serviceParam <http://www.bigdata.com/rdf#slice.offset> 1 .
+            bd:serviceParam <http://www.bigdata.com/rdf#slice.limit> 2 .
+          }
+        }"""
+    rows = small_store.query(q).collect()
+    assert len(rows) == 2
+    # all three labels, minus the first in deterministic solution order
+    all_rows = small_store.query(BDP + """
+        SELECT ?x ?l WHERE {
+          SERVICE bd:slice { ?x rdfs:label ?l . }
+        }""").collect()
+    assert len(all_rows) == 3  # default offset 0 / limit 1000 covers all
+    assert {r["x"]["lex"] for r in rows} <= {r["x"]["lex"] for r in all_rows}
+
+
+def test_bd_slice_range_count(small_store):
+    """bd:slice.range ?r binds the pattern's range count instead."""
+    df = small_store.query(BDP + """
+        SELECT ?r WHERE {
+          SERVICE bd:slice {
+            ?x rdfs:label ?l .
+            bd:serviceParam <http://www.bigdata.com/rdf#slice.range> ?r .
+          }
+        }""")
+    rows = df.collect()
+    assert len(rows) == 1 and int(rows[0]["r"]["num"]) == 3
+
+
+def test_bd_sample_service(small_store):
+    """SERVICE bd:sample — SampleServiceFactory.java:101: seeded,
+    reproducible sample of one triple pattern."""
+    q = BDP + """
+        SELECT ?x ?o WHERE {
+          SERVICE bd:sample {
+            ?x foaf:knows ?o .
+            bd:serviceParam <http://www.bigdata.com/rdf#sample.limit> 2 .
+            bd:serviceParam <http://www.bigdata.com/rdf#sample.seed> 7 .
+            bd:serviceParam <http://www.bigdata.com/rdf#sample.sampleType> "RANDOM" .
+          }
+        }"""
+    small_store._plan_cache.clear()
+    got1 = sorted((r["x"]["lex"], r["o"]["lex"]) for r in small_store.query(q).collect())
+    small_store._plan_cache.clear()
+    got2 = sorted((r["x"]["lex"], r["o"]["lex"]) for r in small_store.query(q).collect())
+    assert len(got1) == 2 and got1 == got2  # seeded → reproducible
+    # a different seed is a (potentially) different sample, same size
+    q2 = q.replace("sample.seed> 7", "sample.seed> 8")
+    got3 = small_store.query(q2).collect()
+    assert len(got3) == 2

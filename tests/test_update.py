@@ -517,6 +517,150 @@ def test_tm_incremental_derived_schema_fact_falls_back(spark):
     }
 
 
+def test_tm_retraction_is_cone_scoped(spark):
+    """VERDICT r6 #3 (TruthMaintenance.java:110 retraction path): a
+    pure instance-level DELETE removes and re-derives only the
+    retracted delta's affected cone — FULL_CLOSURE_RUNS must not move —
+    and the result is byte-identical to the batch re-derivation.
+    Covers: lost-only-derivation (x∈A gone), alternate-support survival
+    (x∈C still provable through the explicit x∈B), and untouched
+    subjects (z)."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :A rdfs:subClassOf :B . :B rdfs:subClassOf :C .
+           :p rdfs:domain :A .
+           :x :p :y .
+           :x a :B .
+           :z a :A .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    retr_before = inference.RETRACTION_RUNS
+    st2 = st.update(P + "DELETE DATA { :x :p :y }")
+    assert inference.FULL_CLOSURE_RUNS == full_before  # no full re-closure
+    assert inference.RETRACTION_RUNS == retr_before + 1
+    assert not st2.query(P + "ASK { :x :p :y }").collect()[0]["ask"]
+    assert not st2.query(P + "ASK { :x a :A }").collect()[0]["ask"]  # only via :p
+    assert st2.query(P + "ASK { :x a :B }").collect()[0]["ask"]  # explicit
+    assert st2.query(P + "ASK { :x a :C }").collect()[0]["ask"]  # via B⊑C
+    assert st2.query(P + "ASK { :z a :B }").collect()[0]["ask"]  # untouched
+    full = inference.rdfs_closure(st2.statements.where("stype != 2"))
+    assert {tuple(r) for r in st2.statements.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_tm_retraction_transitive_chain(spark):
+    """Cone over a transitive predicate: retracting the middle link
+    kills every closure fact that rode through it, keeps the rest."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix owl: <http://www.w3.org/2002/07/owl#> .
+           :knows a owl:TransitiveProperty .
+           :a :knows :b . :b :knows :c . :c :knows :d .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st2 = st.update(P + "DELETE DATA { :a :knows :b }")
+    assert inference.FULL_CLOSURE_RUNS == full_before
+    for pair, want in [
+        (":a :knows :b", False), (":a :knows :c", False), (":a :knows :d", False),
+        (":b :knows :c", True), (":b :knows :d", True), (":c :knows :d", True),
+    ]:
+        assert st2.query(P + f"ASK {{ {pair} }}").collect()[0]["ask"] is want, pair
+    full = inference.rdfs_closure(st2.statements.where("stype != 2"))
+    assert {tuple(r) for r in st2.statements.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_tm_retract_still_provable_flips_incrementally(spark):
+    """The explicit→inferred downgrade flip (testTMUpdate) through the
+    INCREMENTAL retraction path: the retracted explicit fact is
+    re-derived into the closure as inferred and reported in updated."""
+    from bigdata_old_spark import inference
+    from bigdata_old_spark.changesets import InMemChangeLog
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :p rdfs:domain :A .
+           :x :p :y .
+           :x a :A .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    log = InMemChangeLog()
+    st2 = st.update(P + "DELETE DATA { :x a :A }", change_log=log)
+    assert inference.FULL_CLOSURE_RUNS == full_before
+    ch = log.changes[0]
+    assert ch.added.count() == 0 and ch.removed.count() == 0
+    up = ch.updated.collect()
+    assert len(up) == 1 and up[0]["stype"] == 2  # explicit → inferred
+    assert st2.query(P + "ASK { :x a :A }").collect()[0]["ask"]
+
+
+def test_tm_retraction_schema_or_fp_falls_back(spark):
+    """Schema-touching retractions (and retractions over a
+    sameAs-generating FunctionalProperty) still re-close in full."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :A rdfs:subClassOf :B . :B rdfs:subClassOf :C .
+           :x a :A .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st2 = st.update(P + "DELETE DATA { :B rdfs:subClassOf :C }")
+    assert inference.FULL_CLOSURE_RUNS == full_before + 1  # schema → full
+    assert not st2.query(P + "ASK { :x a :C }").collect()[0]["ask"]
+
+    st3 = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix owl: <http://www.w3.org/2002/07/owl#> .
+           :ssn a owl:FunctionalProperty .
+           :a :ssn :s1 . :a :ssn :s2 . :s1 :tag :t .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st4 = st3.update(P + "DELETE DATA { :a :ssn :s2 }")
+    assert inference.FULL_CLOSURE_RUNS == full_before + 1  # FP → full
+    assert not st4.query(
+        P + "PREFIX owl: <http://www.w3.org/2002/07/owl#> ASK { :s1 owl:sameAs :s2 }"
+    ).collect()[0]["ask"]
+
+
+def test_tm_delete_insert_combines_both_incremental_paths(spark):
+    """A DELETE/INSERT WHERE under TM applies retraction_closure then
+    incremental_closure — no full re-closure — and matches batch."""
+    from bigdata_old_spark import inference
+
+    st = _closed_tm_store(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :p rdfs:domain :A . :q rdfs:domain :B .
+           :x :p :y .""",
+    )
+    full_before = inference.FULL_CLOSURE_RUNS
+    st2 = st.update(P + "DELETE { :x :p ?o } INSERT { :x :q ?o } WHERE { :x :p ?o }")
+    assert inference.FULL_CLOSURE_RUNS == full_before
+    assert not st2.query(P + "ASK { :x a :A }").collect()[0]["ask"]
+    assert st2.query(P + "ASK { :x a :B }").collect()[0]["ask"]
+    assert st2.query(P + "ASK { :x :q :y }").collect()[0]["ask"]
+    full = inference.rdfs_closure(st2.statements.where("stype != 2"))
+    assert {tuple(r) for r in st2.statements.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
 def test_tm_incremental_plain_add_stays_incremental(spark):
     """Counter-assert for the frontier schema check: an ordinary
     instance delta (whose frontier contains only the harmless reflexive
