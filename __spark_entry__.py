@@ -565,6 +565,26 @@ def _p_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
 
 
+def _p_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN serve path (build_ivf_index / ivf_search):
+    the corpus's inverted lists are materialized once, then the query
+    batch searches the INDEX — no corpus re-assignment.  Full probe
+    (nprobe == n_centroids) makes the output provably equal the exact
+    brute-force top-k, so the p03 oracle value-checks the whole
+    build/serve machinery."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import build_ivf_index, ivf_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, n_centroids=8)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_search(idx, queries_df, k=10, nprobe=8)
+    return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
+
+
 def _p_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-hyperplane LSH ANN at the provably exhaustive
     parameterization (n_planes=0, bands=1 → one bucket, full candidate
@@ -1274,6 +1294,19 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
         _p_ivf_topk,
         # nprobe == n_centroids ⇒ IVF provably equals the exact top-k,
         # so the brute-force oracle value-checks the IVF machinery
+        """SELECT q.vec_id AS q_id, e.vec_id,
+                  round(list_cosine_similarity(q.embedding, e.embedding), 5) AS sim,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                  ) AS rnk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN embeddings e
+           QUALIFY rnk <= 10""",
+    ),
+    "p22_ivf_index_search": (
+        _p_ivf_index_search,
+        # full probe of the PERSISTED inverted lists ≡ exact top-k
         """SELECT q.vec_id AS q_id, e.vec_id,
                   round(list_cosine_similarity(q.embedding, e.embedding), 5) AS sim,
                   row_number() OVER (

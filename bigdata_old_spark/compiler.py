@@ -1292,7 +1292,16 @@ class QueryCompiler:
 
     def left_join(self, node: A.LeftJoin, graph) -> Compiled:
         l = self.compile_pattern(node.left, graph)
-        r = self.compile_pattern(node.right, graph)
+        # OPTIONAL { SERVICE … } vectors too: constraining the remote
+        # fetch to the left side's bindings is sound for a left join
+        # (service solutions matching no outer row would be dropped by
+        # the join anyway, and non-matching outer rows null-pad either
+        # way) — the reference's ServiceCallJoin is pipelined in both
+        # join types
+        if isinstance(node.right, A.ServicePat):
+            r = self.compile_service(node.right, graph, outer=l)
+        else:
+            r = self.compile_pattern(node.right, graph)
         return self.join(l, r, how="left", extra=node.condition, graph=graph)
 
     def union(self, l: Compiled, r: Compiled) -> Compiled:

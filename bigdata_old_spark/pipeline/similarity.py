@@ -254,6 +254,98 @@ def ivf_topk(
     )
 
 
+class IVFIndex:
+    """Persisted IVF state of an already-embedded corpus: the
+    (n_centroids × dim) coarse quantizer (driver-side model state) and
+    the inverted lists — (cid, vec_id, v) assignments PARTITIONED BY
+    cid, so a query batch's probe join prunes to its nprobe list
+    directories (the inverted-list read).  New query batches search
+    AGAINST this index without re-assigning or re-reading the corpus —
+    the ingest/serve split of a real 100 TB vector index (cf. the
+    dedup index in pipeline/dedup.py)."""
+
+    def __init__(self, centroids: list[list[float]], assignments: DataFrame) -> None:
+        self.centroids = centroids
+        self.assignments = assignments  # cid | vec_id | v
+
+    @property
+    def n_centroids(self) -> int:
+        return len(self.centroids)
+
+    def save(self, path: str) -> "IVFIndex":
+        import json
+
+        self.assignments.write.mode("overwrite").partitionBy("cid").parquet(
+            path + "/lists"
+        )
+        spark = self.assignments.sparkSession
+        # model state is tiny: a JSON sidecar next to the lists
+        spark.sparkContext.parallelize([json.dumps(self.centroids)], 1).saveAsTextFile(
+            path + "/centroids"
+        )
+        return load_ivf_index(spark, path)
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    import json
+
+    centroids = json.loads("".join(spark.sparkContext.textFile(path + "/centroids").collect()))
+    lists = spark.read.parquet(path + "/lists").select(
+        F.col("cid").cast("int").alias("cid"), "vec_id", "v"
+    )
+    return IVFIndex(centroids, lists)
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> IVFIndex:
+    """Train the coarse quantizer and materialize the inverted lists
+    (one linear assignment pass).  With ``path``, persist and return
+    the disk-backed index."""
+    centroids = train_centroids(embeddings, n_centroids, kmeans_iters, id_col, vec_col)
+    assignments = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+        .select("cid", "vec_id", "v")
+    )
+    idx = IVFIndex(centroids, assignments)
+    return idx.save(path) if path else idx
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k against a prebuilt :class:`IVFIndex`: each query probes
+    its ``nprobe`` nearest inverted lists (an equi-join on cid that
+    prunes the persisted list partitions), exact cosine re-rank of the
+    probed candidates.  ``nprobe == index.n_centroids`` probes every
+    list ⇒ output ≡ brute force."""
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("qv")
+    ).withColumn("cid", F.explode(_probe_set(F.col("qv"), index.centroids, nprobe)))
+    cand = q.join(index.assignments, "cid")
+    scored = cand.select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     min_sim: float = 0.95,

@@ -532,3 +532,42 @@ def test_exact_duplicates_caps_ids(spark):
     assert row["keep_id"] == 0
     row2 = exact_duplicates(df, max_ids=None).collect()[0]
     assert "doc_ids" not in row2.asDict() and row2["n_dups"] == 20
+
+
+def test_ivf_index_build_save_search(spark, tmp_path):
+    """Persisted IVF index: disk round-trip, partition-pruned probe,
+    and full-probe equality with brute force."""
+    import random
+
+    from bigdata_old_spark.pipeline.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+        load_ivf_index,
+    )
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["rnk"]): r["vec_id"]
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    idx = build_ivf_index(emb, n_centroids=4, path=str(tmp_path / "ivf"))
+    got = {(r["q_id"], r["rnk"]): r["vec_id"]
+           for r in ivf_search(idx, queries, k=5, nprobe=4).collect()}
+    assert got == exact  # full probe ≡ exact
+
+    # reload from disk — corpus DataFrame not in lineage
+    idx2 = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert idx2.n_centroids == 4
+    out2 = ivf_search(idx2, queries, k=5, nprobe=4)
+    assert {(r["q_id"], r["rnk"]): r["vec_id"] for r in out2.collect()} == exact
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+
+    # restricted probe reads fewer lists and still returns k rows/query
+    part = ivf_search(idx2, queries, k=5, nprobe=1)
+    assert part.groupBy("q_id").count().where("count <> 5").isEmpty()

@@ -177,9 +177,9 @@ def test_bd_values_service(small_store):
     df = small_store.query(BDP + """
         SELECT ?x ?name WHERE {
           SERVICE bd:values {
-            bd:serviceParam <http://www.bigdata.com/rdf#values.var> ?name .
-            bd:serviceParam <http://www.bigdata.com/rdf#values.val> "Mike" .
-            bd:serviceParam <http://www.bigdata.com/rdf#values.val> "DC" .
+            bd:serviceParam bd:values.var ?name .
+            bd:serviceParam bd:values.val "Mike" .
+            bd:serviceParam bd:values.val "DC" .
           }
           ?x rdfs:label ?name .
         }""")

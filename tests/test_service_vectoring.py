@@ -250,3 +250,28 @@ def test_cap_overflow_falls_back(small_store, monkeypatch):
         svc.set_transport(None)
     assert len(calls) == 1 and "VALUES" not in calls[0]
     assert got == [(EX + "Bryan", EX + "Bryan"), (EX + "Mike", EX + "Mike")]
+
+
+def test_optional_service_vectors_and_null_pads(small_store):
+    """OPTIONAL { SERVICE … } vectors the left side's bindings and
+    still null-pads non-matching outer rows (left-join semantics)."""
+    small_store._plan_cache.clear()
+    calls = []
+    svc.set_transport(_mk_endpoint(REMOTE, calls))
+    try:
+        df = small_store.query(P + """
+            SELECT ?x ?name ?who WHERE {
+              ?x rdfs:label ?name .
+              OPTIONAL {
+                SERVICE <http://remote.example.org/sparql> { ?who foaf:name ?name . }
+              }
+            }""")
+        rows = {(r["x"]["lex"], r["who"]["lex"] if r["who"] else None) for r in df.collect()}
+    finally:
+        svc.set_transport(None)
+    assert "VALUES (?name)" in calls[0]
+    assert rows == {
+        (EX + "Mike", EX + "Mike"),
+        (EX + "Bryan", EX + "Bryan"),
+        (EX + "DC", None),  # no remote match → null-padded, not dropped
+    }
