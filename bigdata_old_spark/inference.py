@@ -495,6 +495,11 @@ FULL_CLOSURE_RUNS = 0
 INCREMENTAL_RUNS = 0
 RETRACTION_RUNS = 0
 
+#: retraction re-derivation: hole-term sets at or below this size ship
+#: as an InSet literal filter (one scan); larger sets use broadcast
+#: semi-joins
+_TERM_INSET_CAP = 8192
+
 
 class NeedsFullClosure(Exception):
     """Raised by incremental_closure when the delta cannot be closed
@@ -810,7 +815,10 @@ def incremental_closure(
         # round, so this matches semantics).
         if _delta_touches_schema(new, ignore_reflexive=True):
             raise NeedsFullClosure("derived fact touches schema vocabulary")
-        out = out.unionByName(new).localCheckpoint(eager=True)
+        # only the (small, checkpointed) delta layers stack on top of the
+        # already-materialized base — checkpointing the UNION here would
+        # rewrite the whole store every round, cost ∝ store not delta
+        out = out.unionByName(new)
         frontier = new
     return out
 
@@ -918,16 +926,28 @@ def retraction_closure(
                 terms, F.col("__eq_o") == F.col("__t"), "inner"
             ).select(F.col("__eq_s").alias("__t"))
             terms = terms.unionByName(partners).dropDuplicates()
-        tb = F.broadcast(terms)
-        fr = (
-            store.join(tb, store["s"] == tb["__t"], "left_semi")
-            .unionByName(store.join(tb, store["p"] == tb["__t"], "left_semi"))
-            .unionByName(
-                store.where(F.col("o_kind") != 2)
-                .join(tb, store["o_lex"] == tb["__t"], "left_semi")
+        # small deltas (the normal case): one InSet-filtered scan of the
+        # store instead of three semi-joins + a dedup shuffle; fall back
+        # to broadcast semi-joins when the term set is genuinely large
+        term_rows = terms.limit(_TERM_INSET_CAP + 1).collect()
+        if len(term_rows) <= _TERM_INSET_CAP:
+            tl = [r["__t"] for r in term_rows]
+            fr = store.where(
+                F.col("s").isin(tl)
+                | F.col("p").isin(tl)
+                | ((F.col("o_kind") != 2) & F.col("o_lex").isin(tl))
             )
-            .dropDuplicates(_STMT_KEYS)
-        )
+        else:
+            tb = F.broadcast(terms)
+            fr = (
+                store.join(tb, store["s"] == tb["__t"], "left_semi")
+                .unionByName(store.join(tb, store["p"] == tb["__t"], "left_semi"))
+                .unionByName(
+                    store.where(F.col("o_kind") != 2)
+                    .join(tb, store["o_lex"] == tb["__t"], "left_semi")
+                )
+                .dropDuplicates(_STMT_KEYS)
+            )
         cand = _fire_instance_rules(fr, store, snap, cols)
         recovered = (
             _semi_stmt(cand.dropDuplicates(_STMT_KEYS), remaining)
@@ -935,7 +955,9 @@ def retraction_closure(
         )
         if recovered.isEmpty():
             break
-        store = store.unionByName(recovered).localCheckpoint(eager=True)
+        # stack only the (small, checkpointed) recovered layer — never
+        # re-materialize the whole store per round
+        store = store.unionByName(recovered)
         remaining = _anti_new(remaining, recovered).localCheckpoint(eager=True)
     return store
 
