@@ -240,6 +240,29 @@ def load_dedup_index(spark, path: str, k: int = 3, num_hashes: int = 32, bands: 
     )
 
 
+def dedup_index_exists(spark, path: str) -> bool:
+    import os
+
+    return os.path.isdir(path + "/buckets")
+
+
+def append_to_dedup_index(
+    index: DedupIndex,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append new documents' signatures to a persisted index (the
+    ingest-time index maintenance step: one linear pass over the new
+    docs; the existing index files are untouched)."""
+    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), index.k).alias("sh"))
+    _band_buckets(base, index.num_hashes, index.bands).write.mode("append").partitionBy(
+        "b"
+    ).parquet(path + "/buckets")
+    base.write.mode("append").parquet(path + "/shingles")
+
+
 def dedup_against(
     index: DedupIndex,
     batch: DataFrame,

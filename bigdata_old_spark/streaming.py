@@ -317,3 +317,97 @@ def continuous_query(spark: SparkSession, source_dir: str, sparql: str) -> DataF
     stream = stream_ntriples(spark, source_dir)
     st = TripleStore(spark, stream, union_default_graph=False, has_named_graphs=False)
     return st.query(sparql)
+
+
+def dedup_ingest_once(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_jaccard: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Continuous curation ingest: document batches (JSON-lines files
+    appearing under ``source_dir``) dedup against the PERSISTED MinHash
+    signature index (pipeline.dedup) — a batch doc near-duplicating any
+    already-ingested doc is dropped, batch-internal near-dup groups
+    keep the min id, survivors are appended to ``out_dir`` AND their
+    signatures are appended to the index, so every later batch dedups
+    against everything ingested so far.
+
+    The streaming composition of the round-7 incremental dedup index:
+    each micro-batch's (small, broadcast) bucket keys probe the stored
+    bucket table — the ingested corpus is never re-read or re-shingled.
+    availableNow trigger = process pending files, then exit
+    (rerunnable; the checkpoint tracks consumed files).  At 100 TB the
+    same foreachBatch body runs unmodified under a continuous trigger.
+    """
+    from bigdata_old_spark.pipeline.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_against,
+        dedup_index_exists,
+        load_dedup_index,
+        minhash_lsh_pairs,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        if not dedup_index_exists(sp, index_path):
+            # bootstrap: first batch self-dedups, then seeds the index
+            pairs = minhash_lsh_pairs(
+                batch, id_col, text_col, k=k, num_hashes=num_hashes,
+                bands=bands, min_jaccard=min_jaccard,
+            )
+            drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+            survivors = batch.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+            build_dedup_index(
+                survivors, id_col, text_col, k=k, num_hashes=num_hashes,
+                bands=bands, path=index_path,
+            )
+            survivors.write.mode("append").parquet(out_dir)
+            return
+        idx = load_dedup_index(sp, index_path, k=k, num_hashes=num_hashes, bands=bands)
+        pairs = dedup_against(idx, batch, id_col, text_col, min_jaccard=min_jaccard)
+        bids = batch.select(F.col(id_col).alias("__bid"))
+        # drop a batch doc when it pairs with an already-ingested doc
+        # (corpus wins) or with a smaller-id batch doc (greedy keep-min,
+        # the minhash_dedup convention)
+        pa = pairs.join(bids, pairs["id_a"] == bids["__bid"], "left_semi")
+        pb = pairs.join(bids, pairs["id_b"] == bids["__bid"], "left_semi")
+        both = pa.join(
+            bids.select(F.col("__bid").alias("__bid2")),
+            pa["id_b"] == F.col("__bid2"), "left_semi",
+        )
+        drop = (
+            both.select(F.col("id_b").alias(id_col))          # batch-batch: greater id
+            .unionByName(
+                pa.join(both, ["id_a", "id_b"], "left_anti")  # batch(a) vs corpus(b)
+                .select(F.col("id_a").alias(id_col))
+            )
+            .unionByName(
+                pb.join(both, ["id_a", "id_b"], "left_anti")  # corpus(a) vs batch(b)
+                .select(F.col("id_b").alias(id_col))
+            )
+            .dropDuplicates()
+        )
+        survivors = batch.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+        append_to_dedup_index(idx, index_path, survivors, id_col, text_col)
+        survivors.write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .json(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -149,3 +149,49 @@ def test_continuous_sparql_query(spark, tmp_path):
     with _pytest.raises(ValueError):
         continuous_query(spark, str(src),
                          "SELECT * WHERE { ?s <http://ex/p> ?x . ?x <http://ex/q> ?y }")
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    """Continuous curation ingest: each micro-batch dedups against the
+    persisted signature index (exact + near dups dropped, corpus wins,
+    batch-internal keeps min id), survivors extend the index for later
+    batches."""
+    import json as _json
+
+    from bigdata_old_spark.streaming import dedup_ingest_once
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    index_path = str(tmp_path / "sigidx")
+    out_dir = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight")
+    other = ("completely different content about spark dataframes "
+            "shuffles partitions and catalyst optimizer internals")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    # batch 1: one internal near-dup pair (1,2) + one distinct
+    write_batch("b1.json", [(1, base), (2, base.replace("lazy", "sleepy")), (3, other)])
+    dedup_ingest_once(spark, str(src), index_path, out_dir, ckpt, min_jaccard=0.5)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1, 3}  # 2 deduped against 1 (min id kept)
+
+    # batch 2: near-dup of ingested doc 1, internal dup pair (11,12), fresh 13
+    write_batch("b2.json", [
+        (10, base.replace("quick", "swift")),       # ~ doc 1 → dropped (corpus wins)
+        (11, "storage engines compact sorted runs into leveled trees "
+             "while write amplification grows with fanout"),  # ~12, keep 11
+        (12, "storage engines compact sorted runs into leveled trees "
+             "while write amplification grows with fanout quickly"),
+        (13, "a genuinely novel document with nothing in common at all "
+             "regarding topics previously seen here"),
+    ])
+    dedup_ingest_once(spark, str(src), index_path, out_dir, ckpt, min_jaccard=0.5)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {1, 3, 11, 13}
