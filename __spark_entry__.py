@@ -831,6 +831,21 @@ def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _p_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (CCNet-style perplexity
+    quality signal), model trained on the same corpus — pure count
+    joins, replicated exactly by the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import lm_cross_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lm_cross_entropy(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round(F.col("cross_entropy"), 5).alias("cross_entropy")
+    )
+
+
 def _p_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus-scale dedup (dedup.build_dedup_index /
     dedup_against): documents split into an ingested corpus
@@ -1529,6 +1544,33 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p23_lm_perplexity": (
+        _p_lm_perplexity,
+        # add-one-smoothed bigram cross-entropy, identical math
+        f"""WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+           bg AS (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(2, len(toks)),
+                                          i -> toks[i-1] || chr(31) || toks[i])) AS bg
+             FROM base WHERE len(toks) >= 2
+           ),
+           bgc AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+           pfx AS (SELECT split_part(bg, chr(31), 1) AS p, count(*) AS cp
+                   FROM bg GROUP BY 1),
+           v AS (SELECT count(DISTINCT t) AS vs FROM (
+                   SELECT unnest(toks) AS t FROM base)),
+           sc AS (
+             SELECT b.doc_id,
+                    ln((c.cb + 1.0) / (p.cp + v.vs)) AS lp
+             FROM bg b
+             JOIN bgc c USING (bg)
+             JOIN pfx p ON p.p = split_part(b.bg, chr(31), 1)
+             CROSS JOIN v
+           )
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(-avg(lp), 5) AS cross_entropy
+           FROM sc GROUP BY doc_id""",
+    ),
     "p21_dedup_against_index": (
         _p_dedup_against,
         # exact all-pairs Jaccard restricted to pairs touching the batch

@@ -201,3 +201,103 @@ def repetition_signals(
         )
     )
     return base.drop("__words").join(top, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity filtering (CCNet-style quality
+# signal: score each document by its cross-entropy under an n-gram LM
+# trained on the corpus — or on a reference corpus — and filter the
+# high-perplexity tail).  Pure DataFrame counts + joins: training is
+# two groupBy passes, scoring is two equi-joins per bigram occurrence;
+# both linear, no Python in the hot path.
+# ---------------------------------------------------------------------------
+
+_BG_SEP = "\x1f"
+
+
+def _bigrams(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.concat_ws(_BG_SEP, F.element_at(toks, i - 1), F.element_at(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+class BigramLM:
+    """Trained add-one-smoothed bigram model: bigram counts, prefix
+    (first-token) counts, and the vocabulary size.  The two count
+    tables are DataFrames — persist/broadcast as corpus size warrants;
+    the driver holds only V."""
+
+    def __init__(self, bigram_counts: DataFrame, prefix_counts: DataFrame, vocab_size: int) -> None:
+        self.bigram_counts = bigram_counts  # bg | cb
+        self.prefix_counts = prefix_counts  # pfx | cp
+        self.vocab_size = vocab_size
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
+    bg = df.select(F.explode(_bigrams(F.col(text_col))).alias("bg"))
+    bigram_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    prefix_counts = (
+        bg.select(F.split_part(F.col("bg"), F.lit(_BG_SEP), F.lit(1)).alias("pfx"))
+        .groupBy("pfx")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    vocab = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    return BigramLM(bigram_counts, prefix_counts, int(vocab))
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    lm: BigramLM | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under the bigram LM (add-one
+    smoothing over the prefix counts): −mean ln (c(bg)+1)/(c(prefix)+V).
+    Unseen bigrams/prefixes coalesce to 0 counts, so a model trained on
+    one corpus scores any other.  Docs with < 2 tokens are excluded
+    (no bigram support).  Returns: doc_id | n_bigrams | cross_entropy."""
+    if lm is None:
+        lm = train_bigram_lm(df, text_col)
+    occ = df.select(
+        F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
+    ).withColumn("pfx", F.split_part(F.col("bg"), F.lit(_BG_SEP), F.lit(1)))
+    scored = (
+        occ.join(lm.bigram_counts, "bg", "left")
+        .join(lm.prefix_counts, "pfx", "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(float(lm.vocab_size)))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (-F.avg("lp")).alias("cross_entropy"),
+    )
+
+
+def lm_filter(
+    df: DataFrame,
+    max_cross_entropy: float,
+    lm: BigramLM | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents at or below the cross-entropy ceiling (the
+    CCNet head/middle cut).  Docs with < 2 tokens are kept (no
+    evidence against them)."""
+    ce = lm_cross_entropy(df, lm, id_col, text_col)
+    bad = ce.where(F.col("cross_entropy") > max_cross_entropy).select(id_col)
+    return df.join(bad, id_col, "left_anti")

@@ -571,3 +571,33 @@ def test_ivf_index_build_save_search(spark, tmp_path):
     # restricted probe reads fewer lists and still returns k rows/query
     part = ivf_search(idx2, queries, k=5, nprobe=1)
     assert part.groupBy("q_id").count().where("count <> 5").isEmpty()
+
+
+def test_lm_perplexity_filter(spark):
+    """Bigram-LM cross-entropy: repeated fluent text scores lower than
+    a jumbled outlier; lm_filter drops the high-perplexity tail; a
+    model trained on one corpus scores unseen text via smoothing."""
+    from bigdata_old_spark.pipeline.text import (
+        lm_cross_entropy,
+        lm_filter,
+        train_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    corpus = [(i, fluent) for i in range(8)] + [
+        (100, "zq xv qj kw pz vx jq wk zp xq vz qx")
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    ce = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(df).collect()}
+    assert ce[0] < ce[100]  # the outlier is high-perplexity
+    kept = lm_filter(df, max_cross_entropy=(ce[0] + ce[100]) / 2)
+    assert {r["doc_id"] for r in kept.collect()} == set(range(8))
+
+    # cross-corpus scoring: unseen bigrams smooth, don't error
+    lm = train_bigram_lm(df)
+    new = spark.createDataFrame(
+        [(200, "the cat sat quietly"), (201, "entirely novel words herein")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(new, lm).collect()}
+    assert out[200] < out[201]  # partially-seen text beats fully-unseen
