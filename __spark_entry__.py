@@ -831,6 +831,25 @@ def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget data mixing: documents bucketed into
+    three synthetic sources (doc_id % 3), sampled to a 60/30/10 token
+    mix of a 3000-token budget in stable (md5(id), id) order — the SQL
+    oracle replays the same window cumsum."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import token_budget_mix
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "source", F.element_at(F.array(F.lit("web"), F.lit("code"), F.lit("books")),
+                               (F.col("doc_id") % 3 + 1).cast("int"))
+    )
+    out = token_budget_mix(
+        docs, {"web": 0.6, "code": 0.3, "books": 0.1}, total_tokens=3000
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def _p_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (CCNet-style perplexity
     quality signal), model trained on the same corpus — pure count
@@ -1544,6 +1563,29 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p24_token_budget_mix": (
+        _p_token_budget_mix,
+        # same (md5(id), id)-ordered per-source cumsum-before-target rule
+        f"""WITH d AS (
+             SELECT doc_id,
+                    ['web','code','books'][(doc_id % 3 + 1)::INT] AS source,
+                    len({_TOKS})::BIGINT AS n_tokens
+             FROM documents
+           ),
+           t AS (
+             SELECT *,
+                    CASE source WHEN 'web' THEN 1800.0
+                                WHEN 'code' THEN 900.0
+                                ELSE 300.0 END AS target,
+                    COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY source
+                      ORDER BY md5(doc_id::VARCHAR), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS cum_before
+             FROM d
+           )
+           SELECT doc_id, source, n_tokens FROM t WHERE cum_before < target""",
+    ),
     "p23_lm_perplexity": (
         _p_lm_perplexity,
         # add-one-smoothed bigram cross-entropy, identical math

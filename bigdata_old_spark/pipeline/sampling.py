@@ -112,3 +112,52 @@ def stratified_sample(
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-data mixing: sample each source down to
+    its share of a token budget.  Source ``s`` gets a target of
+    ``total_tokens * weights[s] / sum(weights)``; within a source, docs
+    are taken in (md5(id), id) order — a stable pseudo-random order
+    every rerun and the SQL oracle reproduce — while the running token
+    count BEFORE the doc is under the target (so each source overshoots
+    by at most one document; sources absent from ``weights`` are
+    dropped).  Whitespace tokens (pipeline.text.tokens) are the budget
+    currency.
+
+    Returns the kept rows plus ``n_tokens``.
+
+    Scale shape: one shuffle on the source key; per-source window
+    cumsum, never a global sort; the weights ride as a broadcast
+    literal map."""
+    from bigdata_old_spark.pipeline.text import token_count
+
+    total_w = sum(weights.values())
+    targets = F.create_map(
+        *[x for s, w in sorted(weights.items())
+          for x in (F.lit(s), F.lit(total_tokens * w / total_w))]
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = (
+        df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        .withColumn("__target", targets[F.col(source_col)])
+        .where(F.col("__target").isNotNull())
+        .withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("__cum_before") < F.col("__target"))
+    )
+    return out.drop("__target", "__cum_before")

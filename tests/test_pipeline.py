@@ -601,3 +601,31 @@ def test_lm_perplexity_filter(spark):
     )
     out = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(new, lm).collect()}
     assert out[200] < out[201]  # partially-seen text beats fully-unseen
+
+
+def test_token_budget_mix(spark):
+    """Per-source token-budget sampling: each source's kept set hits
+    its target share with at most one doc of overshoot, deterministic
+    across reruns; unlisted sources drop."""
+    from bigdata_old_spark.pipeline.sampling import token_budget_mix
+
+    rows = []
+    for i in range(60):
+        src = ["a", "b", "junk"][i % 3]
+        rows.append((i, src, "tok " * 10))  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_mix(df, {"a": 0.5, "b": 0.5}, total_tokens=100)
+    got = [(r["doc_id"], r["source"], r["n_tokens"]) for r in out.collect()]
+    by_src = {}
+    for _, s, n in got:
+        by_src[s] = by_src.get(s, 0) + n
+    assert set(by_src) == {"a", "b"}  # junk dropped
+    # target 50 tokens/source; 10-token docs → exactly 5 docs each
+    assert by_src == {"a": 50, "b": 50}
+    # deterministic
+    again = [(r["doc_id"], r["source"], r["n_tokens"]) for r in
+             token_budget_mix(df, {"a": 0.5, "b": 0.5}, total_tokens=100).collect()]
+    assert sorted(again) == sorted(got)
+    # overshoot by at most one doc: budget 45 → cum_before<22.5 → 3 docs (30 tokens)
+    out2 = token_budget_mix(df, {"a": 1.0}, total_tokens=25)
+    assert sum(r["n_tokens"] for r in out2.collect()) == 30
