@@ -831,6 +831,25 @@ def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _p_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) eval-set contamination pairs: documents
+    split into train (doc_id % 7 != 0) and eval (doc_id % 7 = 0); the
+    eval side's bucket keys broadcast into the probe join.  The exact
+    all-pairs oracle restricted to cross pairs value-checks it (same
+    LSH-completeness argument as p04/p21 at j >= 0.4)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.decontam import fuzzy_contamination_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    out = fuzzy_contamination_pairs(train, ev, min_jaccard=0.4)
+    return out.select(
+        "id_train", "id_eval", F.round(F.col("jaccard"), 5).alias("jaccard")
+    )
+
+
 def _p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget data mixing: documents bucketed into
     three synthetic sources (doc_id % 3), sampled to a 60/30/10 token
@@ -1563,6 +1582,29 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p25_fuzzy_decontam": (
+        _p_fuzzy_decontam,
+        # exact shingle-Jaccard cross pairs train x eval at j >= 0.4
+        f"""WITH base AS (
+             SELECT doc_id, {_TOKS} AS toks FROM documents
+           ), sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 3
+                         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                           i -> array_to_string(toks[i:i+2], ' ')))
+                         ELSE [array_to_string(toks, ' ')] END AS sh
+             FROM base
+           )
+           SELECT id_train, id_eval, round(j, 5) AS jaccard FROM (
+             SELECT t.doc_id AS id_train, e.doc_id AS id_eval,
+                    CASE WHEN len(list_distinct(list_concat(t.sh, e.sh))) > 0
+                         THEN len(list_intersect(t.sh, e.sh))::DOUBLE
+                              / len(list_distinct(list_concat(t.sh, e.sh)))
+                         ELSE 1.0 END AS j
+             FROM sh t JOIN sh e
+               ON t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+           ) WHERE j >= 0.4""",
+    ),
     "p24_token_budget_mix": (
         _p_token_budget_mix,
         # same (md5(id), id)-ordered per-source cumsum-before-target rule

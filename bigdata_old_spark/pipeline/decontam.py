@@ -101,3 +101,76 @@ def decontaminate(
     return train.join(
         flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: near-duplicate (not just shared-n-gram)
+# overlap with the eval set, via the MinHash-LSH machinery — catches
+# paraphrased / lightly-edited benchmark leakage that exact n-gram
+# overlap under-scores.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    min_jaccard: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """(train_id, eval_id, jaccard) pairs whose shingle Jaccard clears
+    the threshold — candidates from banded MinHash buckets (the eval
+    side is small and broadcasts into the probe join; the training
+    corpus is never self-joined), verified with true shingle Jaccard.
+
+    Returns: id_train | id_eval | jaccard."""
+    from bigdata_old_spark.pipeline.dedup import (
+        _band_buckets,
+        jaccard,
+        shingles,
+    )
+
+    tb = train.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+    eb = eval_df.select(
+        F.col(eval_id_col).alias("id"), shingles(F.col(eval_text_col), k).alias("sh")
+    )
+    t_buckets = _band_buckets(tb, num_hashes, bands)
+    e_buckets = _band_buckets(eb, num_hashes, bands).select(
+        F.col("id").alias("eid"), "b", "h"
+    )
+    cand = (
+        t_buckets.join(F.broadcast(e_buckets), ["b", "h"])
+        .select(F.col("id").alias("id_train"), F.col("eid").alias("id_eval"))
+        .dropDuplicates()
+    )
+    sh_t = tb.select(F.col("id").alias("id_train"), F.col("sh").alias("sh_t"))
+    sh_e = eb.select(F.col("id").alias("id_eval"), F.col("sh").alias("sh_e"))
+    return (
+        cand.join(sh_t, "id_train")
+        .join(F.broadcast(sh_e), "id_eval")
+        .select(
+            "id_train", "id_eval",
+            jaccard(F.col("sh_t"), F.col("sh_e")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    min_jaccard: float = 0.7,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop training documents that near-duplicate any eval document."""
+    pairs = fuzzy_contamination_pairs(
+        train, eval_df, min_jaccard=min_jaccard, id_col=id_col, **kw
+    )
+    bad = pairs.select(F.col("id_train").alias(id_col)).dropDuplicates()
+    return train.join(bad, id_col, "left_anti")

@@ -81,3 +81,29 @@ def test_contamination_plan_no_cartesian(spark):
     train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     plan = ngram_contamination(train, train, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_decontaminate(spark):
+    """Near-dup eval leakage: a lightly-edited eval doc in the training
+    set is caught (exact n-gram overlap would score it lower) and
+    dropped; unrelated docs survive."""
+    from bigdata_old_spark.pipeline.decontam import (
+        fuzzy_contamination_pairs,
+        fuzzy_decontaminate,
+    )
+
+    ev_text = ("what is the capital of france the capital of france "
+               "is paris a city on the seine")
+    train = spark.createDataFrame(
+        [
+            (1, ev_text.replace("seine", "river")),  # paraphrased leak
+            (2, "completely unrelated training document about gradient "
+                "descent optimizers and learning rate schedules"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+    pairs = fuzzy_contamination_pairs(train, ev, min_jaccard=0.5).collect()
+    assert {(r["id_train"], r["id_eval"]) for r in pairs} == {(1, 100)}
+    kept = fuzzy_decontaminate(train, ev, min_jaccard=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
