@@ -76,28 +76,35 @@ class HistoryLog(ChangeLog):
     def _resume_revision(self) -> int:
         # the marker persists the counter across restarts even for
         # commits whose deltas were all empty (which write no partition)
-        # and needs no SparkSession to read
+        # and needs no SparkSession to read; it is written BEFORE the
+        # partition append (the revision is claimed first), but resume
+        # still takes max(marker, partition max) so neither a stale
+        # marker nor missing partitions can reuse a revision number
+        marker = None
         try:
             with open(self._marker()) as fh:
-                return int(fh.read().strip() or 0)
+                marker = int(fh.read().strip() or 0)
         except FileNotFoundError:
             pass
         if not self._has_data():
-            return 0
+            return marker or 0
         spark = SparkSession.getActiveSession()
         if spark is None:
+            if marker is not None:
+                return marker
             # returning 0 here would silently restart the counter and
             # merge new commits into existing revision partitions
             raise RuntimeError(
                 f"HistoryLog at {self._path} has recorded revisions but no "
                 "active SparkSession is available to resume the counter"
             )
-        return (
+        pmax = (
             spark.read.parquet(self._path)
             .agg(F.max(F.col("revision").cast("int")))
             .collect()[0][0]
             or 0
         )
+        return max(marker or 0, pmax)
 
     def _has_data(self) -> bool:
         try:
@@ -116,6 +123,12 @@ class HistoryLog(ChangeLog):
 
     def transaction_committed(self) -> None:
         self.revision += 1
+        # claim the revision BEFORE the partition append: a crash
+        # mid-commit then resumes PAST the partial revision instead of
+        # reusing its number and merging two commits into one partition
+        os.makedirs(self._path, exist_ok=True)
+        with open(self._marker(), "w") as fh:
+            fh.write(str(self.revision))
         out = None
         for ch in self._staged:
             for action, df in (
@@ -134,11 +147,6 @@ class HistoryLog(ChangeLog):
             out.write.mode("append").partitionBy("revision", "action").parquet(
                 self._path
             )
-        # persist the counter so empty-delta commits (no partition
-        # written) still survive a restart
-        os.makedirs(self._path, exist_ok=True)
-        with open(self._marker(), "w") as fh:
-            fh.write(str(self.revision))
         self._staged = []
 
     # -- read side ----------------------------------------------------------

@@ -39,27 +39,32 @@ def exact_duplicates(
     hash — must not OOM a single task collecting every member id);
     ``max_ids=None`` skips the collect entirely (keep_id/n_dups alone
     drive exact_dedup, and they aggregate without any array state)."""
+    from pyspark.sql import Window
+
     c = F.col(text_col)
     if normalize:
         c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     h = F.md5(c)
+    sel = df.select(F.col(id_col), h.alias("content_hash"))
     aggs = [
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
     ]
-    if max_ids is not None:
-        # listagg of a bounded prefix: pre-rank per group would shuffle
-        # twice; slice-after-sort bounds the OUTPUT row, and the
-        # documented escape hatch for truly degenerate groups is
-        # max_ids=None (no array state at all)
-        aggs.append(
-            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids).alias("doc_ids")
-        )
-    return (
-        df.select(F.col(id_col), h.alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(*aggs)
+    if max_ids is None:
+        return sel.groupBy("content_hash").agg(*aggs)
+    # bound the aggregation STATE, not just the output row: rank within
+    # the group first (window on the same hash key — the groupBy reuses
+    # that partitioning, no second exchange) and collect only rank ≤
+    # max_ids; collect_list skips NULLs, so a degenerate group holds at
+    # most max_ids ids in its buffer instead of every member
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    ranked = sel.withColumn("__rn", F.row_number().over(w))
+    aggs.append(
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= max_ids, F.col(id_col)))
+        ).alias("doc_ids")
     )
+    return ranked.groupBy("content_hash").agg(*aggs)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True) -> DataFrame:
@@ -110,27 +115,15 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified
     with true shingle Jaccard.  Returns: id_a | id_b | jaccard (a<b)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
-    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    sig = sig.select("id", *band_cols)
     # candidate pairs: same hash in ANY band → explode to (band_idx, key).
     # Only (id, band, hash) rides the explode and the self-join — the
     # shingle arrays would amplify shuffle bytes ∝ bands; candidates are
     # joined back to the one-row-per-doc shingle table for verification.
-    buckets = sig.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(b) for b in range(bands)]).alias("b"),
-                F.array(*[F.col(f"band{b}") for b in range(bands)]).alias("h"),
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.b").alias("b"), F.col("bk.h").alias("h"))
+    # ONE band-keying implementation (_band_buckets) serves this, the
+    # persisted index, and the fuzzy-decontam path — the
+    # batch-vs-index ≡ full-corpus contract depends on them agreeing.
+    buckets = _band_buckets(base, num_hashes, bands)
     l = buckets.alias("l")
     r = buckets.select(F.col("id").alias("rid"), "b", "h").alias("r")
     cand = (
@@ -241,9 +234,13 @@ def load_dedup_index(spark, path: str, k: int = 3, num_hashes: int = 32, bands: 
 
 
 def dedup_index_exists(spark, path: str) -> bool:
-    import os
-
-    return os.path.isdir(path + "/buckets")
+    # Hadoop-FS check, not os.path — the index may live on hdfs://,
+    # s3a://, …, where a driver-local isdir is always False and every
+    # ingest batch would re-bootstrap (overwriting the index)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/buckets")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def append_to_dedup_index(

@@ -275,13 +275,16 @@ class IVFIndex:
     def save(self, path: str) -> "IVFIndex":
         import json
 
+        spark = self.assignments.sparkSession
+        # write the (tiny) model state FIRST, with overwrite semantics —
+        # saveAsTextFile would refuse an existing dir, making a rebuild
+        # at the same path fail AFTER the lists were replaced and
+        # leaving new lists paired with old centroids
+        spark.createDataFrame(
+            [(json.dumps(self.centroids),)], "j string"
+        ).coalesce(1).write.mode("overwrite").text(path + "/centroids")
         self.assignments.write.mode("overwrite").partitionBy("cid").parquet(
             path + "/lists"
-        )
-        spark = self.assignments.sparkSession
-        # model state is tiny: a JSON sidecar next to the lists
-        spark.sparkContext.parallelize([json.dumps(self.centroids)], 1).saveAsTextFile(
-            path + "/centroids"
         )
         return load_ivf_index(spark, path)
 
@@ -289,7 +292,9 @@ class IVFIndex:
 def load_ivf_index(spark, path: str) -> IVFIndex:
     import json
 
-    centroids = json.loads("".join(spark.sparkContext.textFile(path + "/centroids").collect()))
+    centroids = json.loads(
+        "".join(r["value"] for r in spark.read.text(path + "/centroids").collect())
+    )
     lists = spark.read.parquet(path + "/lists").select(
         F.col("cid").cast("int").alias("cid"), "vec_id", "v"
     )

@@ -189,6 +189,10 @@ def _vector_queries(decls: str, node, outer) -> list[str] | None:
     )
     if not jvars:
         return None
+    # the same outer plan is re-executed by the local join after the
+    # service returns — persist so the (possibly expensive) subtree is
+    # computed once, not twice
+    outer.df.persist()
     rows = (
         outer.df.select(*[F.col(v) for v in jvars])
         .dropDuplicates()
@@ -235,7 +239,10 @@ def remote_service(store, node, compiler, outer=None):
         ns, rs = _parse_results(send(node.iri.lex, q))
         if names is None:
             names = ns
-        elif set(ns) != set(names):  # pragma: no cover - defensive
+        elif ns != names:
+            # nothing fixes head.vars ORDER across responses — re-map
+            # positionally-different chunks instead of appending
+            # bindings under the wrong variables
             rs = [tuple(r[ns.index(n)] if n in ns else None for n in names) for r in rs]
         rows.extend(rs)
     df = _rows_to_df(store.spark, names or [], rows)
