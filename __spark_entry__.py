@@ -831,6 +831,16 @@ def _p_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows with 8-token overlap
+    over the documents table — per-row array expressions, the DuckDB
+    oracle replays the same start arithmetic and slices."""
+    from bigdata_old_spark.pipeline.packing import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=8)
+
+
 def _p_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (near-duplicate) eval-set contamination pairs: documents
     split into train (doc_id % 7 != 0) and eval (doc_id % 7 = 0); the
@@ -1582,6 +1592,25 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p26_chunk_documents": (
+        _p_chunk_documents,
+        # same 1-based starts: 1, 1+56, … up to greatest(n-8, 1)
+        f"""WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+           st AS (
+             SELECT doc_id, toks,
+                    unnest(generate_series(1, greatest(len(toks) - 8, 1), 56)) AS s,
+                    generate_subscripts(generate_series(1, greatest(len(toks) - 8, 1), 56), 1) - 1 AS chunk_id
+             FROM base
+           ),
+           c AS (
+             SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                    toks[s:s+63] AS ck
+             FROM st
+           )
+           SELECT doc_id, chunk_id, len(ck)::BIGINT AS n_tokens,
+                  array_to_string(ck, ' ') AS chunk_text
+           FROM c WHERE len(ck) > 0""",
+    ),
     "p25_fuzzy_decontam": (
         _p_fuzzy_decontam,
         # exact shingle-Jaccard cross pairs train x eval at j >= 0.4

@@ -83,3 +83,44 @@ def pack_budget_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.floor((F.sum("n_tokens") - 1) / budget) + 1).alias("n_sequences"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into context-window chunks of at most
+    ``max_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (the standard long-document → training-window
+    splitter; packing's concat-then-chunk is the complementary
+    short-document path).  Empty documents yield no chunks; the final
+    chunk may be short.
+
+    Returns: doc_id | chunk_id | n_tokens | chunk_text.
+
+    Pure per-row Catalyst array expressions (transform over the chunk
+    starts + posexplode) — zero shuffle, runs in whole-stage codegen at
+    any scale."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    from bigdata_old_spark.pipeline.text import tokens
+
+    toks = tokens(F.col(text_col))
+    step = max_tokens - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, max_tokens))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c"))
+        .where(F.size(F.col("__c")) > 0)
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("__c").cast("long").alias("n_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )

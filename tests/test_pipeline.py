@@ -629,3 +629,32 @@ def test_token_budget_mix(spark):
     # overshoot by at most one doc: budget 45 → cum_before<22.5 → 3 docs (30 tokens)
     out2 = token_budget_mix(df, {"a": 1.0}, total_tokens=25)
     assert sum(r["n_tokens"] for r in out2.collect()) == 30
+
+
+def test_chunk_documents(spark):
+    from bigdata_old_spark.pipeline.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(11))),  # 11 tokens
+            (2, "a b"),                                  # fits in one chunk
+            (3, ""),                                     # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: starts 1 and 9 → chunks of 10 and 3 tokens, overlap t8 t9
+    assert rows[(1, 0)][0] == 10 and rows[(1, 0)][1].startswith("t0 ")
+    assert rows[(1, 1)] == (3, "t8 t9 t10")
+    assert rows[(2, 0)] == (2, "a b")
+    assert not any(d == 3 for (d, _) in rows)
+    assert len(rows) == 3
+    # stitched coverage: every token appears in some chunk
+    import itertools
+    toks = set(itertools.chain.from_iterable(
+        v[1].split() for (d, _), v in rows.items() if d == 1))
+    assert toks == {f"t{i}" for i in range(11)}
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
