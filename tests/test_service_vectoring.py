@@ -275,3 +275,36 @@ def test_optional_service_vectors_and_null_pads(small_store):
         (EX + "Bryan", EX + "Bryan"),
         (EX + "DC", None),  # no remote match → null-padded, not dropped
     }
+
+
+def test_two_services_chain_vectoring(small_store):
+    """Two SERVICE groups in one pattern: the second vectors over the
+    accumulated solutions of the BGP ⋈ first-service join."""
+    small_store._plan_cache.clear()
+    remote2 = [
+        {"who": _iri(EX + "Mike"), "dept": _lit("eng")},
+        {"who": _iri(EX + "Elsewhere"), "dept": _lit("ops")},
+    ]
+    calls1, calls2 = [], []
+    ep1 = _mk_endpoint(REMOTE, calls1)
+    ep2 = _mk_endpoint(remote2, calls2)
+
+    def route(endpoint, query):
+        return (ep1 if "one" in endpoint else ep2)(endpoint, query)
+
+    svc.set_transport(route)
+    try:
+        df = small_store.query(P + """
+            SELECT ?x ?who ?dept WHERE {
+              ?x rdfs:label ?name .
+              SERVICE <http://one.example.org/sparql> { ?who foaf:name ?name . }
+              SERVICE <http://two.example.org/sparql> { ?who foaf:dept ?dept . }
+            }""")
+        got = {(r["x"]["lex"], r["dept"]["lex"]) for r in df.collect()}
+    finally:
+        svc.set_transport(None)
+    assert "VALUES (?name)" in calls1[0]
+    # the second service vectors ?who from the accumulated join
+    assert "VALUES (?who)" in calls2[0] and f"<{EX}Mike>" in calls2[0]
+    assert f"<{EX}Elsewhere>" not in calls2[0]  # never bound upstream
+    assert got == {(EX + "Mike", "eng")}
