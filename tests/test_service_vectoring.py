@@ -308,3 +308,35 @@ def test_two_services_chain_vectoring(small_store):
     assert "VALUES (?who)" in calls2[0] and f"<{EX}Mike>" in calls2[0]
     assert f"<{EX}Elsewhere>" not in calls2[0]  # never bound upstream
     assert got == {(EX + "Mike", "eng")}
+
+
+def test_values_serialization_matrix(spark):
+    """RemoteSparql11QueryBuilder test_service_003 analog: vectored
+    bindings cover IRI, plain literal, lang-tagged literal, typed int
+    and boolean — each serialized in its SPARQL VALUES form."""
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        :book1 :title "Semantic Web Primer" .
+        :book2 :title "Semantic Web Primer"@de .
+        :book3 :title "12"^^<http://www.w3.org/2001/XMLSchema#int> .
+        :book4 :title true .
+    """)
+    calls = []
+    svc.set_transport(_mk_endpoint([], calls))
+    try:
+        st.query(P + """
+            SELECT * WHERE {
+              ?b :title ?t .
+              SERVICE <http://remote.example.org/sparql> { ?x foaf:comment ?t . ?x foaf:about ?b . }
+            }""").collect()
+    finally:
+        svc.set_transport(None)
+    q = calls[0]
+    assert "VALUES (?b ?t)" in q
+    assert '"Semantic Web Primer"' in q
+    assert '"Semantic Web Primer"@de' in q
+    assert '"12"^^<http://www.w3.org/2001/XMLSchema#int>' in q
+    assert '^^<http://www.w3.org/2001/XMLSchema#boolean>' in q
+    assert f"<{EX}book1>" in q
