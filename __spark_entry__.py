@@ -841,6 +841,31 @@ def _p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=64, overlap=8)
 
 
+def _p_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level corpus dedup: documents are re-chunked
+    into 8-token lines (the synthetic corpus has no newlines), then any
+    line occurring in >= 2 distinct documents is dropped everywhere.
+    Boilerplate detection is one count-distinct groupBy; the small
+    boilerplate set anti-joins back (AQE broadcasts it)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8)),
+                lambda s: F.array_join(F.slice(toks, s, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(lined, min_docs=2)
+
+
 def _p_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (near-duplicate) eval-set contamination pairs: documents
     split into train (doc_id % 7 != 0) and eval (doc_id % 7 = 0); the
@@ -1592,6 +1617,44 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p27_line_dedup": (
+        _p_line_dedup,
+        # same 8-token re-chunking, then drop lines in >= 2 distinct docs
+        """WITH base AS (
+             SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+             FROM documents
+           ), lined AS (
+             SELECT doc_id,
+                    array_to_string(
+                      list_transform(
+                        generate_series(1, greatest(len(toks), 1), 8),
+                        s -> array_to_string(toks[s:s+7], ' ')),
+                      chr(10)) AS text
+             FROM base
+           ), lines AS (
+             SELECT doc_id,
+                    unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+             FROM lined
+           ), boiler AS (
+             SELECT line FROM lines GROUP BY line
+             HAVING count(DISTINCT doc_id) >= 2
+           ), kept AS (
+             SELECT l.doc_id, l.pos, l.line
+             FROM lines l ANTI JOIN boiler b ON l.line = b.line
+           ), rebuilt AS (
+             SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                    count(*) AS n_kept
+             FROM kept GROUP BY doc_id
+           )
+           SELECT d.doc_id,
+                  coalesce(r.text_dedup, '') AS text_dedup,
+                  len(string_split(d.text, chr(10)))::BIGINT AS n_lines,
+                  (len(string_split(d.text, chr(10)))
+                     - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+           FROM lined d LEFT JOIN rebuilt r USING (doc_id)""",
+    ),
     "p26_chunk_documents": (
         _p_chunk_documents,
         # same 1-based starts: 1, 1+56, … up to greatest(n-8, 1)

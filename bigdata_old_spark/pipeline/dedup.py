@@ -466,3 +466,68 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
                 jaccard(F.col("sh"), F.col("rsh")).alias("jaccard"))
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level dedup across the corpus: drop every line
+    whose exact text occurs in >= ``min_docs`` DISTINCT documents
+    (boilerplate — nav bars, cookie banners, license footers), keeping
+    the remaining lines in their original order.
+
+    Returns: id_col | text_dedup | n_lines | n_removed.  A document all
+    of whose lines are boilerplate survives with empty text (the caller
+    decides whether to drop empties — a quality filter's job, not this
+    op's).
+
+    Scale shape: posexplode is map-side; the boilerplate-line set is
+    one groupBy with a partial count-distinct (map-side combine on
+    (line, doc) pairs), and is tiny relative to the corpus — AQE turns
+    the left_anti join into a broadcast.  Reconstruction groups by the
+    doc id only.  At 100 TB, shuffling raw line text can be slimmed to
+    xxhash64(line) keys at a 2^-64 collision risk; this implementation
+    keys on the exact line so results are exact (and oracle-checkable).
+    """
+    import re as _re
+
+    sep_rx = _re.escape(sep)  # split() is regex; join is literal — keep them agreeing
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_rx, -1)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep_rx, -1)).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+    )

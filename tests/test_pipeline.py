@@ -658,3 +658,42 @@ def test_chunk_documents(spark):
     assert toks == {f"t{i}" for i in range(11)}
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_line_dedup(spark):
+    from bigdata_old_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep one\ncookie banner\nkeep two"),
+            (2, "cookie banner\nunique line\ncookie banner"),  # within-doc repeat
+            (3, "cookie banner"),                               # all boilerplate
+            (4, "solo\nsolo"),                                  # repeat in ONE doc only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    assert len(out) == 4
+    # boilerplate ('cookie banner', in 3 distinct docs) dropped everywhere,
+    # order of survivors preserved
+    assert out[1]["text_dedup"] == "keep one\nkeep two"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["text_dedup"] == "unique line"
+    assert out[2]["n_removed"] == 2  # both within-doc copies removed
+    # a fully-boilerplate doc survives with empty text
+    assert out[3]["text_dedup"] == "" and out[3]["n_removed"] == 1
+    # within-ONE-doc repetition is not corpus boilerplate (distinct docs < 2)
+    assert out[4]["text_dedup"] == "solo\nsolo" and out[4]["n_removed"] == 0
+
+
+def test_line_dedup_custom_sep_and_threshold(spark):
+    from bigdata_old_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a|b|c"), (2, "b|x"), (3, "b|y")],
+        "doc_id long, text string",
+    )
+    # '|' is a regex metacharacter — must be escaped internally
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in line_dedup(df, min_docs=3, sep="|").collect()}
+    assert out == {1: "a|c", 2: "x", 3: "y"}
