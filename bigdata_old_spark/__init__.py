@@ -18,8 +18,9 @@ Design (see SURVEY.md):
 """
 
 from bigdata_old_spark.changesets import ChangeLog, ChangeSet, InMemChangeLog
+from bigdata_old_spark.describe_cache import DescribeCache
 from bigdata_old_spark.session import get_spark
 from bigdata_old_spark.store import TripleStore
 
-__all__ = ["get_spark", "TripleStore", "ChangeLog", "ChangeSet", "InMemChangeLog"]
+__all__ = ["get_spark", "TripleStore", "ChangeLog", "ChangeSet", "InMemChangeLog", "DescribeCache"]
 __version__ = "0.1.0"
