@@ -858,6 +858,15 @@ def _p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=64, overlap=8)
 
 
+def _p_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) — every signal is a
+    row-local Catalyst expression; the oracle replays the same regex
+    and ratio arithmetic in SQL."""
+    from bigdata_old_spark.pipeline.text import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents"))
+
+
 def _p_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line-level corpus dedup: documents are re-chunked
     into 8-token lines (the synthetic corpus has no newlines), then any
@@ -1659,6 +1668,59 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p29_gopher_quality": (
+        _p_gopher_quality,
+        # same rules: word bounds, mean word length, symbol ratio,
+        # bullet/ellipsis line fractions, alpha fraction, stopwords
+        """WITH base AS (
+             SELECT doc_id, text,
+                    list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '') AS toks,
+                    string_split(text, chr(10)) AS lines
+             FROM documents
+           ), sig AS (
+             SELECT doc_id,
+                    len(toks) AS n_words,
+                    CASE WHEN len(toks) > 0
+                         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                              / len(toks)
+                         ELSE 0.0 END AS mean_wl,
+                    (len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\\.\\.\\.'))
+                     + len(regexp_extract_all(text, '…'))) AS n_sym,
+                    len(lines) AS n_lines,
+                    len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS n_bullet,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ell,
+                    len(list_filter(toks,
+                        l -> regexp_matches(l, '[A-Za-z]'))) AS n_alpha,
+                    len(list_filter(toks,
+                        x -> list_contains(['the','be','to','of','and','that',
+                                            'have','with'], lower(x)))) AS n_stop
+             FROM base
+           )
+           SELECT doc_id,
+                  n_words::BIGINT AS n_words,
+                  round(mean_wl, 5) AS mean_word_len,
+                  round(CASE WHEN n_words > 0 THEN n_sym / n_words
+                             ELSE 0.0 END, 5) AS symbol_ratio,
+                  round(n_bullet / n_lines, 5) AS bullet_frac,
+                  round(n_ell / n_lines, 5) AS ellipsis_frac,
+                  round(CASE WHEN n_words > 0 THEN n_alpha / n_words
+                             ELSE 0.0 END, 5) AS alpha_frac,
+                  n_stop::BIGINT AS n_stopwords,
+                  (n_words BETWEEN 50 AND 100000
+                   AND mean_wl BETWEEN 3.0 AND 10.0
+                   AND (CASE WHEN n_words > 0 THEN n_sym / n_words
+                             ELSE 0.0 END) <= 0.1
+                   AND n_bullet / n_lines <= 0.9
+                   AND n_ell / n_lines <= 0.3
+                   AND (CASE WHEN n_words > 0 THEN n_alpha / n_words
+                             ELSE 0.0 END) >= 0.8
+                   AND n_stop >= 2) AS passes
+           FROM sig""",
+    ),
     "p27_line_dedup": (
         _p_line_dedup,
         # same 8-token re-chunking, then drop lines in >= 2 distinct docs

@@ -301,3 +301,86 @@ def lm_filter(
     ce = lm_cross_entropy(df, lm, id_col, text_col)
     bad = ce.where(F.col("cross_entropy") > max_cross_entropy).select(id_col)
     return df.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality heuristics as one row-local pass:
+    word-count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ellipses), bullet-line / ellipsis-line fractions, fraction
+    of words containing an alphabetic character, and a minimum stopword
+    count.  Returns every signal plus the combined ``passes`` flag so a
+    pipeline can either filter or audit rule-by-rule.
+
+    Every signal is a Catalyst expression over the row — no shuffle, no
+    UDF: at 100 TB this runs at parquet-scan speed and composes with
+    predicate pushdown when used as a filter.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+    mean_wl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.regexp_count(c, F.lit("#"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    )
+    sym_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]"))
+    ) / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ) / n_lines
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 5).alias("mean_word_len"),
+        F.round(sym_ratio, 5).alias("symbol_ratio"),
+        F.round(bullet_frac, 5).alias("bullet_frac"),
+        F.round(ellipsis_frac, 5).alias("ellipsis_frac"),
+        F.round(alpha_frac, 5).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        passes.alias("passes"),
+    )

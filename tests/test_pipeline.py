@@ -727,3 +727,27 @@ def test_quantized_topk_grid_and_ranking(spark):
     got = [(r["q_id"], r["vec_id"], r["rnk"]) for r in out]
     # nearest to e0 by dot product: itself, then e1
     assert got == [(0, 0, 1), (0, 1, 2)]
+
+
+def test_gopher_quality_rules(spark):
+    from bigdata_old_spark.pipeline.text import gopher_quality
+
+    good = "the quick brown fox " * 15 + "that have with of and be to"  # 67 words
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short of the"),                       # too few words
+            (3, ("#### " * 60) + "the of"),            # symbol ratio + no alpha
+            (4, "\n".join("• item the of be to and have with that ok" for _ in range(10))),
+            (5, "it ends...\nreally...\nso it goes on and on...\nyes the end of that"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, min_words=10).collect()}
+    assert out[1]["passes"] and out[1]["alpha_frac"] == 1.0 and out[1]["n_stopwords"] >= 2
+    assert not out[2]["passes"] and out[2]["n_words"] == 3
+    assert not out[3]["passes"] and out[3]["symbol_ratio"] > 0.1 and out[3]["alpha_frac"] < 0.8
+    # every line bullet-initial → bullet_frac 1.0 > 0.9
+    assert not out[4]["passes"] and out[4]["bullet_frac"] == 1.0
+    # 3 of 4 lines end with ellipsis → frac 0.75 > 0.3
+    assert not out[5]["passes"] and out[5]["ellipsis_frac"] == 0.75
