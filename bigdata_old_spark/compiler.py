@@ -2308,6 +2308,11 @@ class QueryCompiler:
         stmts = self.store.statements
         symmetric = mode in ("SymmetricOneStep", "SCBD")
         bnode_closure = mode in ("CBD", "SCBD")
+        # cutoff semantics (CBD.java:299-312, QueryHints.java:509-525):
+        # abort expansion iff BOTH the iteration limit AND the statement
+        # limit are exceeded; 0 means unlimited.  Defaults 5 / 5000.
+        iter_limit = int(self.hints.get("describeIterationLimit", 5)) or (1 << 31)
+        stmt_limit = int(self.hints.get("describeStatementLimit", 5000)) or (1 << 31)
 
         def step(ns: DataFrame) -> DataFrame:
             fwd = stmts.join(F.broadcast(ns), stmts["s"] == ns["__s"], "left_semi")
@@ -2329,7 +2334,18 @@ class QueryCompiler:
                 return res
             seen = ns
             frontier = ns
-            for _ in range(32):  # bnode chains are shallow in practice
+            nrounds = 0
+            while True:  # terminates: `seen` grows or frontier empties
+                if nrounds >= iter_limit:
+                    # rounds exceeded — cutoff only if statements also
+                    # exceeded (CBD.java:215-218 throws then)
+                    nstmts = res.count()
+                    if nstmts >= stmt_limit:
+                        raise RuntimeError(
+                            f"CBD cutoff: nrounds={nrounds + 1}, "
+                            f"nstatements={nstmts}."
+                        )
+                nrounds += 1
                 cur = step(frontier)
                 # bnodes reachable from the current slice: objects of
                 # forward statements, and (SCBD) subjects of reverse ones

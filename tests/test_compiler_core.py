@@ -257,3 +257,44 @@ def test_star_join_multivalued_predicate_cross_product(spark):
         ("http://e/x", "1", "4"),
         ("http://e/y", "5", "7"),
     ]
+
+
+def test_describe_cutoff_limits(spark):
+    """CBD cutoff (CBD.java:299-312): expansion aborts iff BOTH the
+    iteration limit AND the statement limit are exceeded; 0 = no limit
+    (QueryHints.DESCRIBE_ITERATION_LIMIT/DESCRIBE_STATEMENT_LIMIT)."""
+    import pytest as _pytest
+
+    from bigdata_old_spark.store import TripleStore
+
+    # :r -> _:b1 -> _:b2 -> ... -> _:b8 (deep bnode chain; CBD needs 8
+    # expansion rounds beyond the root)
+    ttl = "@prefix : <http://ex/> .\n:r :p _:b1 .\n" + "\n".join(
+        f"_:b{i} :p _:b{i + 1} ." for i in range(1, 8)
+    ) + "\n_:b8 :p :leaf ."
+    st = TripleStore.from_turtle(spark, ttl)
+    P = "PREFIX hint: <http://www.bigdata.com/queryHints#>\nPREFIX : <http://ex/>\n"
+
+    # both limits exceeded -> cutoff error (reference throws QueryEvaluationException)
+    with _pytest.raises(RuntimeError, match="CBD cutoff"):
+        st.query(P + """DESCRIBE :r WHERE {
+            hint:Query hint:describeMode "CBD" .
+            hint:Query hint:describeIterationLimit 2 .
+            hint:Query hint:describeStatementLimit 1 .
+            :r :p ?o . }""").collect()
+
+    # rounds exceeded but statements under the limit -> completes fully
+    full = st.query(P + """DESCRIBE :r WHERE {
+        hint:Query hint:describeMode "CBD" .
+        hint:Query hint:describeIterationLimit 2 .
+        hint:Query hint:describeStatementLimit 5000 .
+        :r :p ?o . }""")
+    assert full.count() == 9  # whole chain
+
+    # 0 disables a limit (ZERO implies MAX_INT, CBD.java:302-306)
+    unl = st.query(P + """DESCRIBE :r WHERE {
+        hint:Query hint:describeMode "CBD" .
+        hint:Query hint:describeIterationLimit 0 .
+        hint:Query hint:describeStatementLimit 1 .
+        :r :p ?o . }""")
+    assert unl.count() == 9
