@@ -858,6 +858,26 @@ def _p_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=64, overlap=8)
 
 
+def _p_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing over a skewed source split
+    (60/30/10): alpha=0.5 boosts the small source to its cap and trims
+    the big one; the oracle replays the same count/pow/round targets
+    and the (md5(id), id) per-source selection order."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import temperature_resample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "big")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("small")
+        .alias("src"),
+    )
+    out = temperature_resample(docs, alpha=0.5, source_col="src")
+    return out.select("doc_id", "src")
+
+
 def _p_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021 §A1.1) — every signal is a
     row-local Catalyst expression; the oracle replays the same regex
@@ -1668,6 +1688,34 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
+    "p30_temperature_resample": (
+        _p_temperature_resample,
+        # identical targets: round(N * n^0.5 / sum n^0.5) capped at n;
+        # identical per-source (md5(id), id) selection order
+        """WITH d AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 10 < 6 THEN 'big'
+                         WHEN doc_id % 10 < 9 THEN 'mid'
+                         ELSE 'small' END AS src
+             FROM documents
+           ), c AS (
+             SELECT src, count(*)::DOUBLE AS n FROM d GROUP BY src
+           ), tot AS (
+             SELECT sum(pow(n, 0.5)) AS wsum, sum(n) AS big_n FROM c
+           ), tg AS (
+             SELECT src,
+                    least(n, floor(big_n * pow(n, 0.5) / wsum + 0.5)) AS target
+             FROM c, tot
+           ), r AS (
+             SELECT doc_id, src,
+                    row_number() OVER (
+                      PARTITION BY src
+                      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+             FROM d
+           )
+           SELECT r.doc_id, r.src FROM r JOIN tg USING (src)
+           WHERE rn <= target""",
+    ),
     "p29_gopher_quality": (
         _p_gopher_quality,
         # same rules: word bounds, mean word length, symbol ratio,

@@ -161,3 +161,45 @@ def token_budget_mix(
         .where(F.col("__cum_before") < F.col("__target"))
     )
     return out.drop("__target", "__cum_before")
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    total: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual/multi-
+    corpus ``p_s ∝ n_s^alpha`` recipe): source ``s`` with ``n_s`` docs
+    gets a target of ``round(total * n_s^alpha / Σ n^alpha)`` docs
+    (capped at ``n_s`` — sampling is without replacement), rows chosen
+    per source in the stable (md5(id), id) order every rerun and the
+    SQL oracle reproduce.  ``alpha=1`` is natural proportions,
+    ``alpha=0`` uniform across sources.  ``total`` defaults to the
+    corpus size (pure re-balancing).
+
+    Scale shape: one tiny counts aggregation (#sources rows) drives the
+    targets, which ride as a broadcast literal map; selection is one
+    shuffle on the source key + per-source window, never a global sort.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    n_total = total if total is not None else sum(counts.values())
+    wsum = sum(n ** alpha for s, n in sorted(counts.items()))
+    targets = {
+        s: min(n, int(n_total * (n ** alpha) / wsum + 0.5))
+        for s, n in counts.items()
+    }
+    tmap = F.create_map(
+        *[x for s, t in sorted(targets.items()) for x in (F.lit(s), F.lit(t))]
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= tmap[F.col(source_col)])
+        .drop("__rn")
+    )

@@ -751,3 +751,22 @@ def test_gopher_quality_rules(spark):
     assert not out[4]["passes"] and out[4]["bullet_frac"] == 1.0
     # 3 of 4 lines end with ellipsis → frac 0.75 > 0.3
     assert not out[5]["passes"] and out[5]["ellipsis_frac"] == 0.75
+
+
+def test_temperature_resample(spark):
+    from bigdata_old_spark.pipeline.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=0.5: w_big=sqrt(90)=9.49, w_small=sqrt(10)=3.16 → shares
+    # .75/.25 of 100 → targets 75 and 25→capped at 10
+    out = temperature_resample(df, alpha=0.5)
+    by_src = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert by_src == {"big": 75, "small": 10}
+    # deterministic across reruns
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in temperature_resample(df, alpha=0.5).collect())
+    assert ids1 == ids2
+    # alpha=1 → natural proportions (identity when total = corpus size)
+    assert temperature_resample(df, alpha=1.0).count() == 100
