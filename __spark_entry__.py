@@ -391,6 +391,20 @@ def _q_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE (SymmetricOneStep default) over the triplified store:
+    the forward arcs of nation 0 plus every FK arc pointing at it —
+    the oracle enumerates the direct-mapping triples in SQL."""
+    from pyspark.sql import functions as F
+
+    df = _store(spark, sf_dir).query("DESCRIBE <urn:tpch:nation:0>")
+    return df.select(
+        F.col("s")["lex"].alias("s"),
+        F.col("p")["lex"].alias("p"),
+        F.col("o")["lex"].alias("o"),
+    )
+
+
 def _q_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _store(spark, sf_dir).query(PREFIXES + """
         ASK { ?c c:c_acctbal ?b . FILTER(?b > 9000.0) }""")
@@ -1314,6 +1328,34 @@ _FORM_QUERIES: dict[str, tuple] = {
         """SELECT DISTINCT 'urn:tpch:customer:' || c_custkey AS s,
                   'urn:tpch:viz#inNation' AS p, n_name AS o
            FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+    ),
+    "q33_describe": (
+        _q_describe,
+        # the direct-mapping triples of nation 0 + reverse FK arcs
+        """SELECT 'urn:tpch:nation:0' AS s,
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                  'urn:tpch:class:nation' AS o
+           UNION ALL
+           SELECT 'urn:tpch:nation:0', 'urn:tpch:nation#n_nationkey',
+                  n_nationkey::VARCHAR FROM nation WHERE n_nationkey = 0
+           UNION ALL
+           SELECT 'urn:tpch:nation:0', 'urn:tpch:nation#n_name', n_name
+           FROM nation WHERE n_nationkey = 0
+           UNION ALL
+           SELECT 'urn:tpch:nation:0', 'urn:tpch:nation#n_regionkey',
+                  n_regionkey::VARCHAR FROM nation WHERE n_nationkey = 0
+           UNION ALL
+           SELECT 'urn:tpch:nation:0', 'urn:tpch:nation#n_regionkey_ref',
+                  'urn:tpch:region:' || n_regionkey
+           FROM nation WHERE n_nationkey = 0
+           UNION ALL
+           SELECT 'urn:tpch:customer:' || c_custkey,
+                  'urn:tpch:customer#c_nationkey_ref', 'urn:tpch:nation:0'
+           FROM customer WHERE c_nationkey = 0
+           UNION ALL
+           SELECT 'urn:tpch:supplier:' || s_suppkey,
+                  'urn:tpch:supplier#s_nationkey_ref', 'urn:tpch:nation:0'
+           FROM supplier WHERE s_nationkey = 0""",
     ),
     "q21_ask": (
         _q_ask,
