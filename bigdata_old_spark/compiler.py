@@ -796,10 +796,14 @@ class QueryCompiler:
         # pipelines bindings into ArbitraryLengthPathOp — ticket739)
         path_ts = [t for t in rest if not isinstance(t.p, (A.Var, Term))]
         plain = [t for t in rest if isinstance(t.p, (A.Var, Term))]
-        units = search_units
+        # NB: build a NEW list — `units = search_units` + `+=` would
+        # mutate search_units through the alias and flip the reps guard
+        # below, silently pinning every BGP to syntactic join order
+        has_search = bool(search_units)
+        units = list(search_units)
         units += [self.compile_star(s_name, ts, graph) for s_name, ts in star_groups]
         units += [self.compile_triple(t, graph, ranges) for t in plain]
-        reps = ([ts[0] for _, ts in star_groups] + plain) if not search_units else None
+        reps = ([ts[0] for _, ts in star_groups] + plain) if not has_search else None
         acc = None
         if units:
             if reps is not None and len(reps) == len(units):
@@ -1166,6 +1170,8 @@ class QueryCompiler:
             for u in units[1:]:
                 acc = self.join(acc, u)
             return acc
+        if self.hints.get("optimizer") == "Runtime" and len(units) > 2:
+            return self._join_units_rto(units, triples)
         cards = [self._estimate_card(t) for t in triples]
         remaining = list(range(len(units)))
         remaining.sort(key=lambda i: cards[i])
@@ -1176,6 +1182,69 @@ class QueryCompiler:
             nxt = min(sharing, key=lambda i: cards[i]) if sharing else remaining[0]
             remaining.remove(nxt)
             acc = self.join(acc, units[nxt])
+        return acc
+
+    def _join_units_rto(self, units: list[Compiled], triples) -> Compiled:
+        """Runtime query optimizer — ``hint:optimizer "Runtime"`` (the
+        reference RTO: JoinGraph/JGraph cutoff-sampling join ordering,
+        bigdata/src/java/com/bigdata/bop/joinGraph/rto/JGraph.java;
+        vertex samples from SampleIndex.java; parameters
+        QueryHints.RTO_LIMIT default 100 / RTO-sampleType /
+        RTO-nedges, QueryHints.java:108-145).
+
+        Instead of trusting the static rangeCount heuristic, each
+        vertex (access path) is sampled by a LIMIT cutoff of its
+        already-pruned scan (the DENSE leading-tuples sample), and each
+        candidate edge is scored by running the partial chain's sample
+        against the candidate's FULL access path under a LIMIT cutoff —
+        measured selectivity, not an estimate ("cutoff join
+        evaluation").  Greedy chain growth = the reference's
+        nedges-seeded exploration with nedges=1.  The chosen order then
+        drives the real, unsampled joins; AQE still re-plans the
+        physical strategy (broadcast/skew) at runtime, which is why the
+        static optimizer remains the default — Runtime pays O(k²) tiny
+        sampling jobs at plan time, exactly the price the reference RTO
+        pays, and earns it only on queries whose static estimates
+        mislead."""
+        limit = int(self.hints.get("RTO-limit") or 100)
+        cutoff = max(limit * 10, 1000)
+        cards = [self._estimate_card(t) for t in triples]
+        samples = [
+            Compiled(u.df.limit(limit).localCheckpoint(eager=True), u.certain, u.flat)
+            for u in units
+        ]
+        counts = [s.df.count() for s in samples]
+        # a measured count below the cutoff is EXACT; saturated samples
+        # fall back to the static estimate for the seed choice
+        seeds = [
+            float(c) if c < limit else max(cards[i], float(limit))
+            for i, c in enumerate(counts)
+        ]
+        remaining = list(range(len(units)))
+        first = min(remaining, key=lambda i: (seeds[i], i))
+        remaining.remove(first)
+        acc = units[first]
+        acc_sample = samples[first]
+        while remaining:
+            sharing = [i for i in remaining if set(units[i].vars) & set(acc.vars)]
+            if not sharing:
+                nxt = min(remaining, key=lambda i: (seeds[i], i))
+            else:
+                score = {}
+                for i in sharing:
+                    # cutoff join: sampled chain ⋈ full access path,
+                    # stop counting at the cutoff
+                    probe = self.join(acc_sample, units[i])
+                    score[i] = probe.df.limit(cutoff).count()
+                nxt = min(sharing, key=lambda i: (score[i], cards[i], i))
+            remaining.remove(nxt)
+            acc = self.join(acc, units[nxt])
+            acc_sample = Compiled(
+                self.join(acc_sample, units[nxt]).df.limit(limit)
+                .localCheckpoint(eager=True),
+                acc.certain,
+                acc.flat,
+            )
         return acc
 
     def _estimate_card(self, t) -> float:

@@ -298,3 +298,42 @@ def test_describe_cutoff_limits(spark):
         hint:Query hint:describeStatementLimit 1 .
         :r :p ?o . }""")
     assert unl.count() == 9
+
+
+def test_rto_runtime_optimizer(spark, small_store):
+    """hint:optimizer "Runtime" routes ≥3-pattern BGPs through the
+    cutoff-sampling RTO (JGraph/SampleIndex analog) and returns the
+    same solutions as the static optimizer."""
+    from bigdata_old_spark.compiler import QueryCompiler
+
+    P = ("PREFIX hint: <http://www.bigdata.com/queryHints#>\n"
+         "PREFIX foaf: <http://xmlns.com/foaf/0.1/>\n"
+         "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>\n")
+    # a CHAIN (distinct subjects) so the BGP reaches the join orderer
+    # rather than the SPOStarJoin fast path
+    body = """SELECT ?x ?name WHERE {
+        %s
+        ?x foaf:knows ?y .
+        ?y foaf:knows ?z .
+        ?z rdfs:label ?name . }"""
+    static = {tuple(r) for r in small_store.query(P + body % "").collect()}
+
+    calls = []
+    orig = QueryCompiler._join_units_rto
+
+    def spy(self, units, triples):
+        calls.append(len(units))
+        return orig(self, units, triples)
+
+    QueryCompiler._join_units_rto = spy
+    try:
+        rto_q = P + body % (
+            'hint:Group hint:optimizer "Runtime" . '
+            'hint:Group hint:RTO-limit "2" . '  # saturated samples too
+            'hint:Group hint:RTO-sampleType "DENSE" .'
+        )
+        got = {tuple(r) for r in small_store.query(rto_q).collect()}
+    finally:
+        QueryCompiler._join_units_rto = orig
+    assert calls == [3]
+    assert got == static and len(got) > 0
