@@ -1,0 +1,62 @@
+"""Property-based checks (hypothesis) for the round-7 pipeline ops:
+line_dedup and temperature_resample invariants hold on random inputs —
+the whole-contract assertions a single fixture can't cover."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdata_old_spark.pipeline.dedup import line_dedup
+from bigdata_old_spark.pipeline.sampling import temperature_resample
+
+WORDS = ["alpha", "beta", "gamma", "delta"]
+line_st = st.lists(st.sampled_from(WORDS), min_size=1, max_size=3).map(" ".join)
+doc_st = st.lists(line_st, min_size=1, max_size=4).map("\n".join)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc_st, min_size=1, max_size=5))
+def test_line_dedup_matches_model(spark, texts):
+    """line_dedup ≡ the obvious driver-side model: drop every line
+    occurring in >= 2 distinct docs, preserve order, count removals."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+           for r in line_dedup(df, min_docs=2).collect()}
+
+    docs = {i: t.split("\n") for i, t in enumerate(texts)}
+    boiler = {l for l in {x for ls in docs.values() for x in ls}
+              if sum(1 for ls in docs.values() if l in ls) >= 2}
+    for i, lines in docs.items():
+        kept = [l for l in lines if l not in boiler]
+        assert got[i] == ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=4),
+    alpha=st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+)
+def test_temperature_resample_targets(spark, sizes, alpha):
+    """Per-source kept counts equal min(n_s, round(N * n^a / Σ n^a));
+    alpha=1 is the identity; output is always a subset of the input."""
+    rows = [(sum(sizes[:j]) + i, f"s{j}")
+            for j, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, alpha=alpha)
+    by_src = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+
+    total = sum(sizes)
+    wsum = sum(n ** alpha for n in sizes)
+    for j, n in enumerate(sizes):
+        want = min(n, int(total * (n ** alpha) / wsum + 0.5))
+        assert by_src.get(f"s{j}", 0) == want
+    if alpha == 1.0:
+        assert out.count() == total
+    got_ids = {r["doc_id"] for r in out.collect()}
+    assert got_ids <= {r[0] for r in rows}
