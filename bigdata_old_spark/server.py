@@ -103,12 +103,48 @@ class SparqlHandler(BaseHTTPRequestHandler):
             self._reply(200, store.explain(sparql), "text/plain")
             return
         fmt = _negotiate(self.headers.get("Accept"), sparql)
+        df = self._describe_via_cache(sparql)
+        if df is not None:
+            from bigdata_old_spark.serializers import serialize
+
+            self._reply(200, serialize(df, fmt), _FORMAT_MIME[fmt])
+            return
         body = store.serialize(sparql, fmt)
         self._reply(200, body, _FORMAT_MIME[fmt])
 
+    def _describe_via_cache(self, sparql: str):
+        """Single-constant DESCRIBE with no WHERE → served from the
+        server's DescribeCache when one is enabled (the reference's
+        DescribeServlet + DescribeCache fast path,
+        bigdata-rdf/.../ast/cache/DescribeServiceFactory.java); every
+        other query falls through to normal evaluation."""
+        cache = getattr(self.server, "describe_cache", None)
+        if cache is None:
+            return None
+        from bigdata_old_spark import algebra as A
+        from bigdata_old_spark.model import Term
+        from bigdata_old_spark.parser import parse_query
+
+        q = parse_query(sparql)
+        if (
+            isinstance(q, A.DescribeQuery)
+            and q.pattern is None
+            and getattr(q, "dataset", None) is None
+            and len(q.terms) == 1
+            and isinstance(q.terms[0], Term)
+        ):
+            with self.server.store_lock:
+                return cache.describe(q.terms[0].lex)
+        return None
+
     def _run_update(self, sparql_update: str) -> None:
         with self.server.store_lock:
-            self.server.store = self.server.store.update(sparql_update)
+            cache = getattr(self.server, "describe_cache", None)
+            self.server.store = self.server.store.update(
+                sparql_update, change_log=cache
+            )
+            if cache is not None:
+                cache.rebind(self.server.store)
         self._reply(200, "", "text/plain")
 
     # -- verbs --------------------------------------------------------------
@@ -167,20 +203,33 @@ class SparqlHandler(BaseHTTPRequestHandler):
             self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
 
 
-def make_server(store, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    store, host: str = "127.0.0.1", port: int = 0, describe_cache: bool = False
+) -> ThreadingHTTPServer:
     """Create (not start) the endpoint; ``port=0`` picks a free port.
-    ``server.store`` is the live store (replaced by UPDATEs)."""
+    ``server.store`` is the live store (replaced by UPDATEs).
+    ``describe_cache=True`` enables the materialized DESCRIBE cache
+    (QueryHints.CACHE_ENABLED analog — the reference ships it off by
+    default too, QueryHints.java:478): single-constant DESCRIBEs serve
+    from the cache and UPDATEs invalidate through the changeset hook."""
     srv = ThreadingHTTPServer((host, port), SparqlHandler)
     srv.store = store
     srv.store_lock = threading.Lock()
     srv.verbose = False
+    srv.describe_cache = None
+    if describe_cache:
+        from bigdata_old_spark.describe_cache import DescribeCache
+
+        srv.describe_cache = DescribeCache(store)
     return srv
 
 
-def serve_background(store, host: str = "127.0.0.1", port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:
+def serve_background(
+    store, host: str = "127.0.0.1", port: int = 0, describe_cache: bool = False
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the endpoint on a daemon thread; returns (server, thread).
     Shut down with ``server.shutdown()``."""
-    srv = make_server(store, host, port)
+    srv = make_server(store, host, port, describe_cache=describe_cache)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t

@@ -136,3 +136,37 @@ def test_conneg_rdfxml_construct(endpoint):
     code, ctype, body = _get(url, accept="application/rdf+xml")
     assert code == 200 and ctype == "application/rdf+xml"
     assert "<rdf:RDF" in body and "rdf:Description" in body
+
+
+def test_describe_cache_endpoint(spark):
+    """DescribeServlet + DescribeCache analog: repeated constant
+    DESCRIBEs serve from the cache; UPDATEs invalidate through the
+    changeset hook; non-describe queries are unaffected."""
+    import urllib.parse
+
+    store = TripleStore.from_turtle(spark, TTL).persist()
+    srv, _ = serve_background(store, describe_cache=True)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        q = urllib.parse.quote("DESCRIBE <http://example.org/a>")
+        _, _, body1 = _get(f"{base}?query={q}", accept="text/turtle")
+        assert (srv.describe_cache.misses, srv.describe_cache.hits) == (1, 0)
+        _, _, body2 = _get(f"{base}?query={q}", accept="text/turtle")
+        assert (srv.describe_cache.misses, srv.describe_cache.hits) == (1, 1)
+        assert body1 == body2 and '"1"' in body1
+
+        # update touching :a (object position) invalidates
+        _post(base, "INSERT DATA { <http://example.org/z> <http://example.org/r> <http://example.org/a> }",
+              "application/sparql-update")
+        assert srv.describe_cache.invalidations == 1
+        _, _, body3 = _get(f"{base}?query={q}", accept="text/turtle")
+        assert "http://example.org/z" in body3  # recomputed, sees the insert
+        assert srv.describe_cache.misses == 2
+
+        # a DESCRIBE with a WHERE pattern bypasses the cache
+        q2 = urllib.parse.quote("DESCRIBE ?s WHERE { ?s <http://example.org/q> ?o }")
+        status, _, _ = _get(f"{base}?query={q2}")
+        assert status == 200
+        assert srv.describe_cache.misses == 2  # untouched
+    finally:
+        srv.shutdown()
