@@ -1316,6 +1316,82 @@ WITH cn AS (
 SELECT v, round(r, 4) AS "rank" FROM allv ORDER BY round(r, 4) DESC, v LIMIT 30"""
 
 
+def _p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set (Abbas et al. 2023): k-means-clustered
+    embedding cosine dedup.  Same deterministic perturbed-twin
+    augmentation as p10 (the raw table has no near-dup pairs), and the
+    provably-exhaustive n_clusters=1 parameterization — one cluster
+    makes the cluster-confined self-join the all-pairs join, so the
+    DuckDB NOT EXISTS oracle value-checks the whole
+    cluster→pairs→min-id-keep machinery.  Production recall of the
+    clustered path is pytest-gated
+    (test_semantic_dedup_clustered_recall)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    nxt = emb.select((F.col("id") - 1).alias("id"), F.col("v").alias("nv"))
+    twins = (
+        emb.where(F.col("id") % 10 == 0)
+        .join(nxt, "id")
+        .select(
+            (F.col("id") + 100000).alias("id"),
+            F.zip_with("v", "nv", lambda x, y: x * F.lit(0.98) + y * F.lit(0.02)).alias("v"),
+        )
+    )
+    aug = emb.unionByName(twins)
+    kept = semantic_dedup(aug, n_clusters=1, threshold=0.98, id_col="id", vec_col="v")
+    return kept.select("id")
+
+
+def _p_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over the documents
+    corpus re-chunked into 8-token lines (same synthetic-line recipe as
+    p27); chunks starting at token s with s % 16 == 1 get a terminal
+    '.' so the terminal-punctuation line rule discriminates.  Line
+    rules drop short / unpunctuated lines, then doc rules (>= 3
+    sentences over the retained text) drop whole documents."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import c4_clean
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8)),
+                lambda s: F.concat(
+                    F.array_join(F.slice(toks, s, 8), " "),
+                    F.when(s % 16 == 1, F.lit(".")).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_clean(lined, min_line_words=5, min_sentences=3)
+
+
+def _p_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    bag-of-words log-likelihood ratio of every document against a
+    deterministic target slice (doc_id % 11 == 0 — 'the high-quality
+    sample').  md5-prefix feature hashing keeps Spark and the DuckDB
+    oracle on the same 256 buckets."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import dsir_logratio
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 11 == 0)
+    out = dsir_logratio(docs, target)
+    return out.select("doc_id", F.round(F.col("dsir_logratio"), 5).alias("dsir_logratio"))
+
+
 _FORM_QUERIES: dict[str, tuple] = {
     "q27_rdfs_inference": (
         _q_inference,
@@ -1757,6 +1833,104 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            )
            SELECT r.doc_id, r.src FROM r JOIN tg USING (src)
            WHERE rn <= target""",
+    ),
+    "p31_semantic_dedup": (
+        _p_semantic_dedup,
+        # same twin augmentation as p10; keep = no same-or-better
+        # (smaller-id) neighbor at cosine >= 0.98 anywhere (1 cluster)
+        """WITH base AS (
+             SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+           ),
+           aug AS (
+             SELECT id, v FROM base
+             UNION ALL
+             SELECT e.id + 100000,
+                    list_transform(range(1, 1 + len(e.v)),
+                                   i -> e.v[i] * 0.98 + n.v[i] * 0.02)
+             FROM base e JOIN base n ON n.id = e.id + 1
+             WHERE e.id % 10 = 0
+           )
+           SELECT a.id FROM aug a
+           WHERE NOT EXISTS (
+             SELECT 1 FROM aug b
+             WHERE b.id < a.id
+               AND list_cosine_similarity(a.v, b.v) >= 0.98)""",
+    ),
+    "p32_c4_clean": (
+        _p_c4_clean,
+        # same 8-token re-chunking with '.' on chunks at s % 16 == 1,
+        # then the C4 line rules (>= 5 words, terminal punct, no
+        # javascript) and doc rules (>= 3 sentences, no lorem ipsum /
+        # braces, anything retained)
+        """WITH base AS (
+             SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+             FROM documents
+           ), lined AS (
+             SELECT doc_id,
+                    array_to_string(
+                      list_transform(
+                        generate_series(1, greatest(len(toks), 1), 8),
+                        s -> array_to_string(toks[s:s+7], ' ') ||
+                             CASE WHEN s % 16 = 1 THEN '.' ELSE '' END),
+                      chr(10)) AS text
+             FROM base
+           ), cleaned AS (
+             SELECT doc_id,
+                    array_to_string(
+                      list_filter(string_split(text, chr(10)),
+                        l -> len(list_filter(
+                               regexp_split_to_array(trim(l), '\\s+'),
+                               x -> x <> '')) >= 5
+                             AND NOT contains(lower(l), 'javascript')
+                             AND regexp_matches(trim(l), '[.!?"]\\s*$')),
+                      chr(10)) AS clean_text
+             FROM lined
+           ), sig AS (
+             SELECT doc_id, clean_text,
+                    CASE WHEN clean_text = '' THEN 0
+                         ELSE len(string_split(clean_text, chr(10)))
+                    END AS n_lines_kept,
+                    len(regexp_extract_all(clean_text, '[.!?]+'))
+                      AS n_sentences
+             FROM cleaned
+           )
+           SELECT doc_id, clean_text, n_lines_kept, n_sentences,
+                  (n_lines_kept > 0 AND n_sentences >= 3
+                   AND NOT contains(lower(clean_text), 'lorem ipsum')
+                   AND NOT contains(clean_text, '{')
+                   AND NOT contains(clean_text, '}')) AS keep
+           FROM sig""",
+    ),
+    "p33_dsir_scores": (
+        _p_dsir_scores,
+        # hashed-unigram (2-hex md5 prefix, 256 buckets) Laplace-
+        # smoothed log-likelihood ratio, target = doc_id % 11 = 0
+        """WITH feat AS (
+             SELECT doc_id,
+                    substr(md5(unnest(list_filter(
+                      regexp_split_to_array(lower(text), '\\s+'),
+                      t -> t <> ''))), 1, 2) AS feat
+             FROM documents
+           ), tgt AS (
+             SELECT feat, count(*) AS c FROM feat
+             WHERE doc_id % 11 = 0 GROUP BY feat
+           ), ttot AS (
+             SELECT count(*)::DOUBLE AS n FROM feat WHERE doc_id % 11 = 0
+           ), raw AS (
+             SELECT feat, count(*) AS c FROM feat GROUP BY feat
+           ), rtot AS (
+             SELECT count(*)::DOUBLE AS n FROM feat
+           ), w AS (
+             SELECT coalesce(t.feat, r.feat) AS feat,
+                    ln((coalesce(t.c, 0) + 1.0) / (ttot.n + 256.0))
+                    - ln((coalesce(r.c, 0) + 1.0) / (rtot.n + 256.0)) AS lw
+             FROM tgt t FULL JOIN raw r ON t.feat = r.feat, ttot, rtot
+           ), sc AS (
+             SELECT f.doc_id, sum(w.lw) AS s
+             FROM feat f JOIN w USING (feat) GROUP BY f.doc_id
+           )
+           SELECT d.doc_id, round(coalesce(sc.s, 0.0), 5) AS dsir_logratio
+           FROM documents d LEFT JOIN sc USING (doc_id)""",
     ),
     "p29_gopher_quality": (
         _p_gopher_quality,

@@ -203,3 +203,107 @@ def temperature_resample(
         .where(F.col("__rn") <= tmap[F.col(source_col)])
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling",
+# arXiv:2302.03169) — hashed n-gram bag-of-words importance weights
+# ---------------------------------------------------------------------------
+
+def _dsir_feats(text_col: str) -> F.Column:
+    """Hashed unigram features: each whitespace token maps to one of
+    256 buckets by its 2-hex-char md5 prefix.  md5 is the portable hash
+    (identical builtin in Spark and DuckDB) so the driver oracle can
+    replay the bucketing; a production run at a larger feature space
+    just widens the prefix."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    return F.transform(toks, lambda t: F.substring(F.md5(t), 1, 2))
+
+
+def _dsir_logprob_table(df: DataFrame, text_col: str, alpha: float = 1.0) -> DataFrame:
+    """(feat, logp) with Laplace smoothing over the 256-bucket space."""
+    feats = df.select(F.explode(_dsir_feats(text_col)).alias("feat"))
+    counts = feats.groupBy("feat").agg(F.count("*").alias("cnt"))
+    total = feats.count()
+    denom = float(total) + alpha * 256.0
+    return counts.select(
+        "feat", F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom)).alias("logp")
+    ), denom
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weight: sum over the document's
+    hashed unigram features of ``log p_target(feat) - log p_raw(feat)``
+    — a bag-of-hashed-ngrams likelihood ratio between the TARGET
+    distribution (the high-quality / in-domain sample you want more of)
+    and the RAW corpus distribution.  High scores = raw documents that
+    look like the target.
+
+    Returns ``id_col | dsir_logratio``.
+
+    Scale shape: both feature tables are tiny (<= 256 rows) model-state
+    aggregates; the per-document score is an explode + BROADCAST join
+    against the 256-row weight table + one groupBy(id) re-aggregation —
+    the only full-width shuffle is on the document id, carrying a
+    single double.  The raw model uses ``df`` itself (the paper fits it
+    on a corpus sample; pass a sampled ``df`` to reproduce that).
+    """
+    tgt, t_denom = _dsir_logprob_table(target, target_text_col or text_col, alpha)
+    raw, r_denom = _dsir_logprob_table(df, text_col, alpha)
+    import math
+
+    # full outer: a feature absent from one side keeps its smoothed floor
+    w = (
+        tgt.withColumnRenamed("logp", "lt")
+        .join(raw.withColumnRenamed("logp", "lr"), "feat", "full_outer")
+        .select(
+            "feat",
+            (
+                F.coalesce(F.col("lt"), F.lit(math.log(alpha / t_denom)))
+                - F.coalesce(F.col("lr"), F.lit(math.log(alpha / r_denom)))
+            ).alias("lw"),
+        )
+    )
+    exploded = df.select(F.col(id_col), F.explode(_dsir_feats(text_col)).alias("feat"))
+    default_lw = math.log(alpha / t_denom) - math.log(alpha / r_denom)
+    scored = exploded.join(F.broadcast(w), "feat", "left").select(
+        id_col, F.coalesce(F.col("lw"), F.lit(default_lw)).alias("lw")
+    )
+    out = scored.groupBy(id_col).agg(F.sum("lw").alias("dsir_logratio"))
+    # empty documents (no tokens) score 0
+    return df.select(id_col).join(out, id_col, "left").select(
+        id_col, F.coalesce(F.col("dsir_logratio"), F.lit(0.0)).alias("dsir_logratio")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Top-``n`` raw documents by DSIR importance weight (deterministic
+    tie-break on id — the paper resamples with Gumbel noise; a seeded
+    rank keeps reruns and the oracle identical).
+
+    The top-``n`` is ``orderBy().limit()`` — Spark plans it as
+    TakeOrderedAndProject (per-partition heaps, no global sort, no
+    single-task window), so selection stays distributed at corpus
+    scale."""
+    scores = dsir_logratio(df, target, id_col, text_col, **kw)
+    picked = (
+        scores.orderBy(F.desc("dsir_logratio"), F.asc(id_col))
+        .limit(n)
+        .select(id_col)
+    )
+    return df.join(picked, id_col)

@@ -480,3 +480,71 @@ def quantized_topk(
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "qdot", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via k-means clusters (Abbas et al.
+# 2023, "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication", arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def semantic_pairs(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.98,
+    kmeans_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs by embedding cosine.
+
+    SemDeDup's trick: instead of an all-pairs O(n^2) cosine join, first
+    coarse-cluster with k-means, then compare ONLY within a cluster —
+    candidate generation becomes an equi-join on ``cid`` so the
+    comparison volume drops to sum(|cluster|^2), and each cluster's
+    pairs are an independent, shuffle-partitioned unit of work.  With
+    ``n_clusters=1`` the cluster join degenerates to all-pairs, which
+    is the exactness contract the driver oracle checks; production runs
+    use n_clusters ~ sqrt(n).
+
+    Returns: id_a | id_b | sim (id_a < id_b, sim >= threshold).
+    """
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_clusters, kmeans_iters, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+    a = e.select(F.col("cid"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("cid"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.98,
+    kmeans_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep-set: drop every embedding that has a semantic
+    near-duplicate (cosine >= threshold, same cluster) with a SMALLER
+    id; the min-id member of each duplicate group survives.  Keeping
+    by deterministic min-id (the paper keeps a random member, or the
+    lowest-quality one under a scorer) makes reruns and the oracle
+    agree.  The drop set is a left_anti join against the pair table —
+    no row ever widens past (id, vector)."""
+    pairs = semantic_pairs(
+        embeddings, n_clusters, threshold, kmeans_iters, centroids, id_col, vec_col
+    )
+    losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
+    return embeddings.join(
+        losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
+    )

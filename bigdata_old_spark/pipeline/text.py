@@ -384,3 +384,63 @@ def gopher_quality(
         n_stop.cast("long").alias("n_stopwords"),
         passes.alias("passes"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    require_terminal_punct: bool = True,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning with a Unified Text-to-Text Transformer",
+    §2.2) as one row-local pass: LINE rules drop individual lines
+    (fewer than ``min_line_words`` words; no terminal punctuation
+    unless ``require_terminal_punct=False``; any line mentioning
+    javascript), then DOC rules drop whole documents over the retained
+    text ("lorem ipsum" anywhere, any curly brace, fewer than
+    ``min_sentences`` sentences, or nothing retained).
+
+    Unlike :func:`gopher_quality` (doc-level flags only) this
+    RECONSTRUCTS the document from its surviving lines — the shape a
+    real C4-style ingest needs.  Returns ``id | clean_text |
+    n_lines_kept | n_sentences | keep``; filter on ``keep`` and select
+    ``clean_text`` downstream.
+
+    Every rule is a Catalyst array/regex expression over the row: no
+    shuffle, no UDF, runs at parquet-scan speed and composes with
+    predicate pushdown at 100 TB.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, line_sep, -1)
+
+    def line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+        ok = (words >= min_line_words) & ~F.lower(t).contains("javascript")
+        if require_terminal_punct:
+            ok = ok & t.rlike(r'[.!?"]\s*$')
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, line_sep)
+    n_kept = F.size(kept)
+    # sentence count over the RETAINED text: terminal-punct runs
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]+"), 0))
+    keep = (
+        (n_kept > 0)
+        & (n_sent >= min_sentences)
+        & ~F.lower(clean).contains("lorem ipsum")
+        & ~clean.contains("{")
+        & ~clean.contains("}")
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_kept.alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        keep.alias("keep"),
+    )

@@ -770,3 +770,98 @@ def test_temperature_resample(spark):
     assert ids1 == ids2
     # alpha=1 → natural proportions (identity when total = corpus size)
     assert temperature_resample(df, alpha=1.0).count() == 100
+
+
+def test_semantic_dedup_single_cluster_is_exact(spark):
+    """n_clusters=1 degenerates to the all-pairs cosine join — the
+    exactness contract the p31 oracle checks."""
+    from bigdata_old_spark.pipeline.similarity import cosine, semantic_dedup, semantic_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120).cache()
+    # plant an exact duplicate pair and a near-duplicate
+    dup = emb.where(F.col("vec_id") == 7).select(
+        F.lit(9007).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    pairs = semantic_pairs(corpus, n_clusters=1, threshold=0.999).collect()
+    assert (7, 9007) in {(r["id_a"], r["id_b"]) for r in pairs}
+    kept = semantic_dedup(corpus, n_clusters=1, threshold=0.999)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 7 in ids and 9007 not in ids  # min-id member survives
+    assert len(ids) == corpus.count() - len(pairs)
+
+
+def test_semantic_dedup_clustered_recall(spark):
+    """Clustered run must still catch planted exact duplicates (an
+    identical vector always lands in the same cluster) and never drop
+    more than the exact all-pairs pass."""
+    from bigdata_old_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(150).cache()
+    dups = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dups)
+    exact_kept = {r["vec_id"] for r in semantic_dedup(corpus, n_clusters=1, threshold=0.999).collect()}
+    clus_kept = {r["vec_id"] for r in semantic_dedup(corpus, n_clusters=6, threshold=0.999).collect()}
+    for i in range(5):
+        assert 9000 + i not in clus_kept  # planted dup caught despite clustering
+        assert i in clus_kept
+    # clustering can only MISS pairs, never invent them
+    assert clus_kept >= exact_kept
+
+
+def test_c4_clean_rules(spark):
+    from bigdata_old_spark.pipeline.text import c4_clean
+
+    rows = [
+        # survives: 3 good sentences
+        (1, "the quick brown fox jumps over the dog.\nanother long sentence follows right here.\na third sentence closes the document now."),
+        # line rules: short line + no terminal punct + javascript dropped,
+        # leaving < 3 sentences -> doc dropped
+        (2, "too short.\nthis line has no terminal punctuation at all\nplease enable javascript to view this page.\none good sentence survives here today."),
+        # lorem ipsum -> dropped even though lines pass
+        (3, "lorem ipsum dolor sit amet consectetur adipiscing.\nanother fine sentence lives right here today.\na third sentence closes the document now."),
+        # curly brace -> dropped
+        (4, "function f() { return 1; } is not prose text.\nanother fine sentence lives right here today.\na third sentence closes the document now."),
+        (5, ""),  # empty -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_clean(df, min_line_words=5, min_sentences=3).collect()}
+    assert out[1]["keep"] and out[1]["n_lines_kept"] == 3 and out[1]["n_sentences"] == 3
+    assert not out[2]["keep"] and out[2]["n_lines_kept"] == 1  # short+nopunct+js gone
+    assert "javascript" not in out[2]["clean_text"]
+    assert not out[3]["keep"]  # lorem ipsum
+    assert not out[4]["keep"]  # curly brace
+    assert not out[5]["keep"] and out[5]["n_lines_kept"] == 0
+    # reconstruction keeps original line order
+    assert out[1]["clean_text"].split("\n")[0].startswith("the quick brown fox")
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from bigdata_old_spark.pipeline.sampling import dsir_logratio, dsir_select
+
+    raw = spark.createDataFrame(
+        [
+            (1, "physics energy quantum field theory experiment"),
+            (2, "physics quantum particle energy measurement"),
+            (3, "recipe butter sugar flour oven bake"),
+            (4, "recipe oven flour sugar taste bake"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, "quantum physics energy field experiment particle")],
+        ["doc_id", "text"],
+    )
+    scored = {r["doc_id"]: r["dsir_logratio"] for r in dsir_logratio(raw, target).collect()}
+    assert len(scored) == 5 and scored[5] == 0.0  # empty doc scores 0
+    assert min(scored[1], scored[2]) > max(scored[3], scored[4])
+    # (with heavy Laplace smoothing over a tiny corpus every real doc can
+    # score slightly negative, so select among the non-empty docs)
+    picked = {r["doc_id"] for r in dsir_select(raw.where("text != ''"), target, n=2).collect()}
+    assert picked == {1, 2}
+    # deterministic across reruns
+    again = {r["doc_id"]: r["dsir_logratio"] for r in dsir_logratio(raw, target).collect()}
+    assert again == scored
