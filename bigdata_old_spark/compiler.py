@@ -531,16 +531,26 @@ class QueryCompiler:
         from bigdata_old_spark.model import BDS
         from bigdata_old_spark.registry import lookup_service
 
-        if node.iri.lex == BDS + "search":
+        if isinstance(node.iri, Term) and node.iri.lex == BDS + "search":
             # SERVICE bds:search { ?lit bds:search "q" . … } — the
             # SPARQL 1.1 SERVICE form of the search service
             # (SearchServiceFactory; TestSearch search-service-1)
             return self.compile_pattern(node.child, graph)
 
-        handler = lookup_service(node.iri.lex)
-        if handler is not None:
-            return handler(self.store, node.child, self)
+        if isinstance(node.iri, Term):
+            handler = lookup_service(node.iri.lex)
+            if handler is not None:
+                return handler(self.store, node.child, self)
         try:
+            if isinstance(node.iri, A.Var):
+                # SERVICE ?endpoint — resolved against the outer
+                # solutions' bindings of the variable (the reference
+                # groups solutions by ServiceCallUtility.getServiceURI
+                # and runs one call per distinct bound URI,
+                # ServiceCallJoin.java:401-414)
+                from bigdata_old_spark.service import remote_service_var
+
+                return remote_service_var(self.store, node, self, outer=outer)
             from bigdata_old_spark.service import remote_service
 
             return remote_service(self.store, node, self, outer=outer)

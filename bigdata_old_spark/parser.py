@@ -522,7 +522,12 @@ class _Parser:
                 add(A.GraphPat(g, inner))
             elif self.take_word("SERVICE"):
                 silent = self.take_word("SILENT")
-                iri = self.parse_iri()
+                # SPARQL 1.1 Federated Query: ServiceGraphPattern ::=
+                # 'SERVICE' 'SILENT'? VarOrIri GroupGraphPattern — a
+                # variable endpoint is resolved per outer binding at
+                # evaluation (ServiceCallJoin with a Var serviceRef)
+                k, _ = self.peek()
+                iri = self.parse_var() if k == "VAR" else self.parse_iri()
                 start = self.i
                 inner = self.parse_group()
                 raw = _detokenize(self.toks[start:self.i])

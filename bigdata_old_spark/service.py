@@ -258,3 +258,68 @@ def remote_service(store, node, compiler, outer=None):
     else:
         certain = frozenset()
     return Compiled(df, certain)
+
+
+def remote_service_var(store, node, compiler, outer=None):
+    """SERVICE ?var {…} — a VARIABLE endpoint, resolved against the
+    outer solutions: one remote call per DISTINCT endpoint URI the
+    outer side binds to ``?var`` (the reference groups its source
+    solutions by ``ServiceCallUtility.getServiceURI`` and runs one
+    ServiceCall per distinct service URI, ServiceCallJoin.java:401-414;
+    an unbound or non-URI serviceRef is an error, ibid:316-318).
+
+    Each per-endpoint result is tagged with ``?var = <endpoint>`` so
+    the ordinary join machinery correlates solutions back to the
+    endpoint that produced them; per-endpoint requests still vector the
+    outer bindings as VALUES chunks via :func:`remote_service`.  The
+    distinct-endpoint collect is model-state (a handful of service
+    URIs), not data."""
+    import dataclasses
+
+    from bigdata_old_spark.compiler import Compiled
+    from bigdata_old_spark.model import term_lit
+
+    vname = node.iri.name
+    if outer is None or vname not in set(outer.vars):
+        raise ValueError(
+            f"SERVICE ?{vname}: the endpoint variable is not bound by "
+            "the preceding patterns (the reference requires a bound "
+            "serviceRef, ServiceCallJoin.java:316)"
+        )
+    vals = [
+        r[vname]
+        for r in outer.df.select(vname).dropDuplicates().collect()
+        if r[vname] is not None
+    ]
+    endpoints = []
+    for v in vals:
+        if isinstance(v, str):  # flat resource string
+            if v.startswith("_:"):
+                raise ValueError(f"SERVICE ?{vname}: bound to a blank node")
+            endpoints.append(v)
+        elif v["kind"] == KIND_IRI:
+            endpoints.append(v["lex"])
+        else:
+            raise ValueError(f"SERVICE ?{vname}: bound to a non-URI term")
+    if not endpoints:
+        # no endpoint to call — no solutions (empty frame, no vars)
+        return Compiled(
+            store.spark.range(0).select(F.lit(1).alias("__unit")), frozenset()
+        )
+    parts = []
+    names: set[str] = set()
+    for ep in sorted(endpoints):
+        fixed = dataclasses.replace(node, iri=Term.iri(ep))
+        res = remote_service(store, fixed, compiler, outer=outer)
+        tagged = res.df.withColumn(vname, term_lit(Term.iri(ep)))
+        parts.append(Compiled(tagged, res.certain | {vname}))
+        names.update(tagged.columns)
+    df = parts[0].df
+    for p in parts[1:]:
+        df = df.unionByName(p.df, allowMissingColumns=True)
+    # a var is certain only if certain in EVERY endpoint's result AND
+    # present in every response head (absent column = null-padded)
+    certain = frozenset.intersection(
+        *[p.certain & frozenset(p.df.columns) for p in parts]
+    ) | {vname}
+    return Compiled(df, frozenset(c for c in certain if c in names))

@@ -340,3 +340,62 @@ def test_values_serialization_matrix(spark):
     assert '"12"^^<http://www.w3.org/2001/XMLSchema#int>' in q
     assert '^^<http://www.w3.org/2001/XMLSchema#boolean>' in q
     assert f"<{EX}book1>" in q
+
+
+def test_variable_endpoint_routes_per_binding(spark):
+    """SERVICE ?svc — one call per DISTINCT endpoint URI bound by the
+    outer side, results tagged with the producing endpoint
+    (ServiceCallJoin.java:401-414 getServiceURI grouping)."""
+    from bigdata_old_spark.store import TripleStore
+
+    store = TripleStore.from_turtle(spark, P + """
+        :p1 :ep <http://epA.example.org/sparql> .
+        :p2 :ep <http://epB.example.org/sparql> .
+        :p3 :ep <http://epA.example.org/sparql> .
+    """)
+    data = {
+        "http://epA.example.org/sparql": [{"w": _iri(EX + "a"), "name": _lit("from-A")}],
+        "http://epB.example.org/sparql": [{"w": _iri(EX + "b"), "name": _lit("from-B")}],
+    }
+    calls = []
+
+    def transport(endpoint, query):
+        calls.append(endpoint)
+        rows = data[endpoint]
+        return json.dumps(
+            {"head": {"vars": ["w", "name"]}, "results": {"bindings": rows}}
+        )
+
+    svc.set_transport(transport)
+    try:
+        got = sorted(
+            (r["p"]["lex"], r["name"]["lex"])
+            for r in store.query(P + """
+                SELECT ?p ?name WHERE {
+                  ?p :ep ?svc .
+                  SERVICE ?svc { ?w foaf:name ?name }
+                }""").collect()
+        )
+    finally:
+        svc.set_transport(None)
+    # one call per DISTINCT endpoint (p1 and p3 share epA)
+    assert sorted(calls) == sorted(data)
+    assert got == [
+        (EX + "p1", "from-A"),
+        (EX + "p2", "from-B"),
+        (EX + "p3", "from-A"),
+    ]
+
+
+def test_variable_endpoint_unbound_raises_and_silent_unit(spark):
+    from bigdata_old_spark.store import TripleStore
+
+    store = TripleStore.from_turtle(spark, P + ":p1 :ep :x .")
+    q = P + "SELECT ?w WHERE { SERVICE ?svc { ?w foaf:name ?n } }"
+    with pytest.raises(Exception, match="endpoint variable"):
+        store.query(q).collect()
+    # SILENT: failure → unit solution (empty result here, ?w unbound)
+    rows = store.query(
+        P + "SELECT ?w WHERE { SERVICE SILENT ?svc { ?w foaf:name ?n } }"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["w"] is None
