@@ -529,7 +529,7 @@ class QueryCompiler:
         bindings into the request when provided.  SILENT turns any
         failure into the unit solution per spec."""
         from bigdata_old_spark.model import BDS
-        from bigdata_old_spark.registry import lookup_service
+        from bigdata_old_spark.registry import lookup_service, resolve_service_alias
 
         if isinstance(node.iri, Term) and node.iri.lex == BDS + "search":
             # SERVICE bds:search { ?lit bds:search "q" . … } — the
@@ -538,7 +538,10 @@ class QueryCompiler:
             return self.compile_pattern(node.child, graph)
 
         if isinstance(node.iri, Term):
-            handler = lookup_service(node.iri.lex)
+            # aliases resolve before handler lookup AND before the
+            # remote client builds its request URL
+            # (ServiceRegistry.java:310,349)
+            handler = lookup_service(resolve_service_alias(node.iri.lex))
             if handler is not None:
                 return handler(self.store, node.child, self)
         try:

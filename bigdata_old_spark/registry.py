@@ -60,6 +60,50 @@ def lookup_service(iri: str) -> Callable | None:
     return _SERVICES.get(iri)
 
 
+_SERVICE_ALIASES: dict[str, str] = {}
+_SERVICE_OPTIONS: dict[str, dict] = {}
+
+
+def add_service_alias(service_iri: str, alias_iri: str) -> None:
+    """``ServiceRegistry.addAlias(serviceURI, aliasURI)`` analog
+    (ServiceRegistry.java:232-272): ``SERVICE <alias>`` thereafter
+    resolves to ``service_iri`` — both for registered handlers and for
+    the remote SPARQL client's request URL.  Like the reference, an
+    IRI that is already registered as a service may not become an
+    alias, and aliases may not chain."""
+    if alias_iri in _SERVICES:
+        raise ValueError(f"already registered as a service: {alias_iri}")
+    if service_iri in _SERVICE_ALIASES:
+        raise ValueError(f"aliases may not chain: {service_iri} is an alias")
+    _SERVICE_ALIASES[alias_iri] = service_iri
+
+
+def remove_service(iri: str) -> None:
+    """De-register a service, alias, or per-endpoint options
+    (ServiceRegistry.remove, ServiceRegistry.java:172-196)."""
+    _SERVICES.pop(iri, None)
+    _SERVICE_ALIASES.pop(iri, None)
+    _SERVICE_OPTIONS.pop(iri, None)
+
+
+def resolve_service_alias(iri: str) -> str:
+    return _SERVICE_ALIASES.get(iri, iri)
+
+
+def set_service_options(iri: str, *, sparql11: bool = True) -> None:
+    """Per-endpoint remote options — the RemoteServiceOptions analog
+    (RemoteServiceOptions.java:73-103).  ``sparql11=False`` marks an
+    endpoint that cannot evaluate a VALUES block, so the remote client
+    sends the UNCONSTRAINED service group instead of vectoring outer
+    bindings (RemoteSparqlBuilderFactory.java:136 picks the pre-1.1
+    query builder the same way)."""
+    _SERVICE_OPTIONS[iri] = {"sparql11": sparql11}
+
+
+def get_service_options(iri: str) -> dict:
+    return _SERVICE_OPTIONS.get(iri, {"sparql11": True})
+
+
 # ---------------------------------------------------------------------------
 # Built-in extension aggregates (additive, registered at import):
 # sketch-backed aggregates under the engine's own namespace.  These are

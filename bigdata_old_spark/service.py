@@ -227,16 +227,27 @@ def remote_service(store, node, compiler, outer=None):
     service group, their distinct bindings are pushed to the endpoint
     as chunked VALUES blocks (the vectored ServiceCallJoin)."""
     from bigdata_old_spark.compiler import Compiled
+    from bigdata_old_spark.registry import get_service_options, resolve_service_alias
 
+    # SERVICE <alias> sends to the aliased endpoint
+    # (ServiceRegistry.java:349 dealiasedServiceURI)
+    endpoint = resolve_service_alias(node.iri.lex)
     decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in node.prefixes)
     send = _transport or default_transport
-    queries = _vector_queries(decls, node, outer)
+    # an endpoint marked sparql11=False cannot evaluate VALUES — send
+    # the unconstrained group (RemoteSparqlBuilderFactory.java:136
+    # picks the pre-1.1 builder off RemoteServiceOptions the same way)
+    sparql11 = (
+        get_service_options(endpoint)["sparql11"]
+        and get_service_options(node.iri.lex)["sparql11"]
+    )
+    queries = _vector_queries(decls, node, outer) if sparql11 else None
     if queries is None:
         queries = [f"{decls}SELECT * WHERE {node.raw}"]
     names: list | None = None
     rows: list = []
     for q in queries:
-        ns, rs = _parse_results(send(node.iri.lex, q))
+        ns, rs = _parse_results(send(endpoint, q))
         if names is None:
             names = ns
         elif ns != names:

@@ -399,3 +399,99 @@ def test_variable_endpoint_unbound_raises_and_silent_unit(spark):
         P + "SELECT ?w WHERE { SERVICE SILENT ?svc { ?w foaf:name ?n } }"
     ).collect()
     assert len(rows) == 1 and rows[0]["w"] is None
+
+
+def test_service_alias_routes_remote_request(small_store):
+    """ServiceRegistry.addAlias analog: SERVICE <alias> sends the
+    request to the aliased endpoint (TestFederatedQuery.java:459-479
+    registers 18080 aliases for live repository URLs the same way)."""
+    from bigdata_old_spark import registry
+
+    small_store._plan_cache.clear()
+    endpoints = []
+
+    def transport(endpoint, query):
+        endpoints.append(endpoint)
+        return json.dumps(
+            {"head": {"vars": ["who", "name"]},
+             "results": {"bindings": REMOTE}}
+        )
+
+    registry.add_service_alias(
+        "http://real.example.org/sparql", "http://remote.example.org/sparql"
+    )
+    svc.set_transport(transport)
+    try:
+        got = _run(small_store, Q)
+    finally:
+        svc.set_transport(None)
+        registry.remove_service("http://remote.example.org/sparql")
+    assert endpoints == ["http://real.example.org/sparql"]
+    assert got == [(EX + "Bryan", EX + "Bryan"), (EX + "Mike", EX + "Mike")]
+
+
+def test_service_alias_resolves_registered_handler(small_store):
+    """An alias of a REGISTERED service URI dispatches the handler
+    (ServiceRegistry.java:310 consults aliases before services)."""
+    from bigdata_old_spark import registry
+    from bigdata_old_spark.compiler import Compiled
+    from bigdata_old_spark.model import Term
+
+    small_store._plan_cache.clear()
+    spark = small_store.spark
+
+    def handler(store, pattern, compiler):
+        from pyspark.sql import types as T
+
+        from bigdata_old_spark.model import TERM_TYPE
+
+        schema = T.StructType([T.StructField("who", TERM_TYPE)])
+        df = spark.createDataFrame([(Term.iri(EX + "handled").as_row(),)], schema)
+        return Compiled(df, frozenset({"who"}))
+
+    registry.register_service("urn:x-test:svc", handler)
+    registry.add_service_alias("urn:x-test:svc", "urn:x-test:svc-alias")
+    try:
+        rows = small_store.query(
+            P + "SELECT ?who WHERE { SERVICE <urn:x-test:svc-alias> { ?who ?p ?o } }"
+        ).collect()
+    finally:
+        registry.remove_service("urn:x-test:svc-alias")
+        registry.remove_service("urn:x-test:svc")
+    assert [r["who"]["lex"] for r in rows] == [EX + "handled"]
+
+
+def test_service_alias_guards(small_store):
+    from bigdata_old_spark import registry
+
+    registry.register_service("urn:x-test:taken", lambda *a: None)
+    try:
+        with pytest.raises(ValueError, match="already registered"):
+            registry.add_service_alias("urn:x-test:other", "urn:x-test:taken")
+    finally:
+        registry.remove_service("urn:x-test:taken")
+    registry.add_service_alias("urn:x-test:a", "urn:x-test:b")
+    try:
+        with pytest.raises(ValueError, match="chain"):
+            registry.add_service_alias("urn:x-test:b", "urn:x-test:c")
+    finally:
+        registry.remove_service("urn:x-test:b")
+
+
+def test_sparql10_endpoint_skips_values_pushdown(small_store):
+    """RemoteServiceOptions(isSparql11=false) analog: a pre-1.1
+    endpoint receives the UNCONSTRAINED group — no VALUES block — and
+    the local vectored join still produces identical results."""
+    from bigdata_old_spark import registry
+
+    small_store._plan_cache.clear()
+    calls = []
+    svc.set_transport(_mk_endpoint(REMOTE, calls))
+    registry.set_service_options("http://remote.example.org/sparql", sparql11=False)
+    try:
+        got = _run(small_store, Q)
+    finally:
+        svc.set_transport(None)
+        registry.remove_service("http://remote.example.org/sparql")
+    assert len(calls) == 1 and "VALUES" not in calls[0]
+    assert got == [(EX + "Bryan", EX + "Bryan"), (EX + "Mike", EX + "Mike")]
