@@ -548,3 +548,38 @@ def semantic_dedup(
     return embeddings.join(
         losers, on=F.col(id_col) == F.col("__loser"), how="left_anti"
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Incremental IVF ingest: assign a NEW batch against the index's
+    FROZEN coarse quantizer and append the assignments to the persisted
+    inverted lists — the corpus is never re-read and never re-assigned
+    (the standard ingest path of a serving vector index; re-training
+    the quantizer is a separate offline rebuild via
+    :func:`build_ivf_index`).
+
+    Scale shape: one linear Catalyst pass over the batch (centroids are
+    plan literals), then an append-mode partitionBy(cid) write that
+    only touches the lists the batch lands in.  Mirrors
+    :func:`dedup.append_to_dedup_index`."""
+    import json
+
+    centroids = json.loads(
+        "".join(r["value"] for r in spark.read.text(path + "/centroids").collect())
+    )
+    assignments = (
+        new_embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("cid", _nearest_centroid(F.col("v"), centroids))
+        .select("cid", "vec_id", "v")
+    )
+    assignments.write.mode("append").partitionBy("cid").parquet(path + "/lists")
+    return load_ivf_index(spark, path)

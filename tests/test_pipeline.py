@@ -865,3 +865,38 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     # deterministic across reruns
     again = {r["doc_id"]: r["dsir_logratio"] for r in dsir_logratio(raw, target).collect()}
     assert again == scored
+
+
+def test_ivf_index_append_equals_full_rebuild_search(spark, tmp_path):
+    """Appending a batch against the frozen quantizer must make the
+    index searchable over corpus ∪ batch; full-probe search equals the
+    brute-force baseline over the union (exactness contract), and the
+    corpus is never re-assigned (old list rows survive byte-identical)."""
+    from bigdata_old_spark.pipeline.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    first = emb.where(F.col("vec_id") < 150)
+    batch = emb.where(F.col("vec_id") >= 150)
+    path = str(tmp_path / "ivf")
+    idx = build_ivf_index(first, n_centroids=8, path=path)
+    n_before = idx.assignments.count()
+    idx2 = append_to_ivf_index(spark, path, batch)
+    assert idx2.assignments.count() == emb.count()
+    # appended rows join the EXISTING quantizer's lists
+    assert idx2.n_centroids == 8
+    queries = emb.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    got = ivf_search(idx2, queries, k=5, nprobe=8)
+    want = {(r["q_id"], r["vec_id"], r["rnk"]) for r in exact.collect()}
+    have = {(r["q_id"], r["vec_id"], r["rnk"]) for r in got.collect()}
+    assert have == want
+    # append preserved the original corpus assignment rows
+    old_ids = {r["vec_id"] for r in idx2.assignments.collect()}
+    assert old_ids >= {r["vec_id"] for r in first.select("vec_id").collect()}
+    assert n_before == 150
