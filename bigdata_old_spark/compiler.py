@@ -2420,8 +2420,12 @@ class QueryCompiler:
             while True:  # terminates: `seen` grows or frontier empties
                 if nrounds >= iter_limit:
                     # rounds exceeded — cutoff only if statements also
-                    # exceeded (CBD.java:215-218 throws then)
-                    nstmts = res.count()
+                    # exceeded (CBD.java:215-218 throws then).  Count
+                    # DISTINCT statements: `res` is a union of per-round
+                    # steps, and in SCBD mode a (s,p,bnode) arc reached
+                    # both forward and in reverse appears twice, which
+                    # would fire the cutoff below the real limit
+                    nstmts = res.dropDuplicates().count()
                     if nstmts >= stmt_limit:
                         raise RuntimeError(
                             f"CBD cutoff: nrounds={nrounds + 1}, "

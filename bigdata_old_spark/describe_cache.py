@@ -36,17 +36,6 @@ from pyspark.sql import functions as F
 from bigdata_old_spark.changesets import ChangeLog, ChangeSet
 
 
-def _node_lex(kind, lex) -> str | None:
-    """Flat node string matching the statements schema's subject column
-    (IRIs verbatim, bnodes '_:'-prefixed); literals are not resources
-    and never key an invalidation."""
-    if kind == 0:
-        return lex
-    if kind == 1:
-        return "_:" + lex
-    return None
-
-
 @dataclass
 class _Entry:
     df: DataFrame
@@ -112,26 +101,25 @@ class DescribeCache(ChangeLog):
         return mat
 
     def _collect_nodes(self, df: DataFrame, iri: str) -> set | None:
+        # count DISTINCT NODES (what max_nodes bounds — the reference's
+        # DescribeServiceFactory threshold is over described resources),
+        # not distinct statement rows: a wide description with few
+        # nodes must stay cacheable, and an accepted entry must never
+        # exceed max_nodes nodes
+        sn = df.select(
+            F.when(F.col("s.kind") == 1, F.concat(F.lit("_:"), F.col("s.lex")))
+            .otherwise(F.col("s.lex")).alias("n")
+        )
+        on = df.where(F.col("o.kind") != 2).select(
+            F.when(F.col("o.kind") == 1, F.concat(F.lit("_:"), F.col("o.lex")))
+            .otherwise(F.col("o.lex")).alias("n")
+        )
         rows = (
-            df.select(
-                F.when(F.col("s.kind") == 1, F.concat(F.lit("_:"), F.col("s.lex")))
-                .otherwise(F.col("s.lex")).alias("sn"),
-                F.col("o.kind").alias("ok"),
-                F.col("o.lex").alias("ol"),
-            )
-            .distinct()
-            .limit(self.max_nodes + 1)
-            .collect()
+            sn.unionByName(on).distinct().limit(self.max_nodes + 1).collect()
         )
         if len(rows) > self.max_nodes:
             return None
-        nodes = {iri}
-        for r in rows:
-            nodes.add(r["sn"])
-            on = _node_lex(r["ok"], r["ol"])
-            if on is not None:
-                nodes.add(on)
-        return nodes
+        return {iri} | {r["n"] for r in rows}
 
     # -- maintenance ---------------------------------------------------------
     def rebind(self, store) -> None:

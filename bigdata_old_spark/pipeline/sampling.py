@@ -221,8 +221,11 @@ def _dsir_feats(text_col: str) -> F.Column:
     return F.transform(toks, lambda t: F.substring(F.md5(t), 1, 2))
 
 
-def _dsir_logprob_table(df: DataFrame, text_col: str, alpha: float = 1.0) -> DataFrame:
-    """(feat, logp) with Laplace smoothing over the 256-bucket space."""
+def _dsir_logprob_table(
+    df: DataFrame, text_col: str, alpha: float = 1.0
+) -> tuple[DataFrame, float]:
+    """((feat, logp) table, smoothing denominator) with Laplace
+    smoothing over the 256-bucket space."""
     feats = df.select(F.explode(_dsir_feats(text_col)).alias("feat"))
     counts = feats.groupBy("feat").agg(F.count("*").alias("cnt"))
     total = feats.count()

@@ -75,6 +75,13 @@ def add_service_alias(service_iri: str, alias_iri: str) -> None:
         raise ValueError(f"already registered as a service: {alias_iri}")
     if service_iri in _SERVICE_ALIASES:
         raise ValueError(f"aliases may not chain: {service_iri} is an alias")
+    if alias_iri in _SERVICE_ALIASES.values():
+        # the reverse order would also build a chain (X→S exists, then
+        # S→T makes X resolve to the stale S): reject it too —
+        # resolution is deliberately single-hop
+        raise ValueError(
+            f"aliases may not chain: {alias_iri} is already an alias target"
+        )
     _SERVICE_ALIASES[alias_iri] = service_iri
 
 

@@ -121,6 +121,13 @@ class SparqlHandler(BaseHTTPRequestHandler):
         cache = getattr(self.server, "describe_cache", None)
         if cache is None:
             return None
+        import re as _re
+
+        # cheap pre-filter: don't pay a second parse_query on every
+        # SELECT/ASK/CONSTRUCT that comes through the endpoint's hot
+        # path — only texts that can possibly be a DESCRIBE qualify
+        if not _re.search(r"(?i)\bDESCRIBE\b", sparql):
+            return None
         from bigdata_old_spark import algebra as A
         from bigdata_old_spark.model import Term
         from bigdata_old_spark.parser import parse_query

@@ -190,9 +190,16 @@ def _vector_queries(decls: str, node, outer) -> list[str] | None:
     if not jvars:
         return None
     # the same outer plan is re-executed by the local join after the
-    # service returns — persist so the (possibly expensive) subtree is
-    # computed once, not twice
-    outer.df.persist()
+    # service returns — materialize so the (possibly expensive) subtree
+    # is computed once, not twice.  localCheckpoint (not persist): a
+    # persisted plan stays pinned in the CacheManager until an explicit
+    # unpersist nobody here can schedule (the join consuming it runs
+    # later, lazily), which leaks cached blocks for the session's
+    # lifetime on a long-running endpoint; checkpointed RDDs are
+    # reference-tracked and reclaimed by the ContextCleaner when this
+    # frame is garbage collected.  Mutating outer.df in place hands the
+    # materialized frame to the caller's final join too.
+    outer.df = outer.df.localCheckpoint(eager=True)
     rows = (
         outer.df.select(*[F.col(v) for v in jvars])
         .dropDuplicates()
@@ -281,9 +288,10 @@ def remote_service_var(store, node, compiler, outer=None):
 
     Each per-endpoint result is tagged with ``?var = <endpoint>`` so
     the ordinary join machinery correlates solutions back to the
-    endpoint that produced them; per-endpoint requests still vector the
-    outer bindings as VALUES chunks via :func:`remote_service`.  The
-    distinct-endpoint collect is model-state (a handful of service
+    endpoint that produced them; per-endpoint requests vector ONLY that
+    endpoint's own outer bindings as VALUES chunks (the reference's
+    per-service-URI solution grouping), via :func:`remote_service`.
+    The distinct-endpoint collect is model-state (a handful of service
     URIs), not data."""
     import dataclasses
 
@@ -297,13 +305,14 @@ def remote_service_var(store, node, compiler, outer=None):
             "the preceding patterns (the reference requires a bound "
             "serviceRef, ServiceCallJoin.java:316)"
         )
-    vals = [
-        r[vname]
-        for r in outer.df.select(vname).dropDuplicates().collect()
-        if r[vname] is not None
-    ]
+    vals = [r[vname] for r in outer.df.select(vname).dropDuplicates().collect()]
     endpoints = []
     for v in vals:
+        if v is None:
+            # an outer solution with the serviceRef unbound is an error,
+            # same as the reference (ServiceCallJoin.java:316-318) —
+            # NOT a silent drop of those solutions
+            raise ValueError(f"SERVICE ?{vname}: unbound in an outer solution")
         if isinstance(v, str):  # flat resource string
             if v.startswith("_:"):
                 raise ValueError(f"SERVICE ?{vname}: bound to a blank node")
@@ -317,12 +326,36 @@ def remote_service_var(store, node, compiler, outer=None):
         return Compiled(
             store.spark.range(0).select(F.lit(1).alias("__unit")), frozenset()
         )
+
+    def _eq_endpoint(col, ep):
+        if vname in outer.flat:
+            return col == F.lit(ep)
+        return (col["kind"] == KIND_IRI) & (col["lex"] == ep)
+
     parts = []
     names: set[str] = set()
     for ep in sorted(endpoints):
         fixed = dataclasses.replace(node, iri=Term.iri(ep))
-        res = remote_service(store, fixed, compiler, outer=outer)
-        tagged = res.df.withColumn(vname, term_lit(Term.iri(ep)))
+        # group the outer solutions by service URI: this endpoint only
+        # receives ITS rows' bindings (ServiceCallJoin.java:401-414) —
+        # N endpoints don't each get the full VALUES set, and one
+        # endpoint's share fitting under MAX_VECTOR is what matters
+        mine = Compiled(
+            outer.df.where(_eq_endpoint(outer.df[vname], ep)),
+            outer.certain,
+            outer.flat,
+        )
+        res = remote_service(store, fixed, compiler, outer=mine)
+        if vname in res.df.columns:
+            # the service group itself binds the endpoint variable —
+            # keep only remote solutions consistent with ?var = <ep>
+            # (unbound in the remote row unifies with the endpoint)
+            c = res.df[vname]
+            tagged = res.df.where(
+                c.isNull() | ((c["kind"] == KIND_IRI) & (c["lex"] == ep))
+            ).withColumn(vname, term_lit(Term.iri(ep)))
+        else:
+            tagged = res.df.withColumn(vname, term_lit(Term.iri(ep)))
         parts.append(Compiled(tagged, res.certain | {vname}))
         names.update(tagged.columns)
     df = parts[0].df

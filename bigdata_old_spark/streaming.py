@@ -346,6 +346,17 @@ def dedup_ingest_once(
     availableNow trigger = process pending files, then exit
     (rerunnable; the checkpoint tracks consumed files).  At 100 TB the
     same foreachBatch body runs unmodified under a continuous trigger.
+
+    Exactly-once output despite the two non-transactional writes:
+    survivors land in a ``__ingest_batch=<batch_id>`` partition written
+    with DYNAMIC partition overwrite, so a crash-and-retry of the same
+    micro-batch REPLACES its own partition instead of appending a
+    duplicate copy; and the survivor derivation ignores identity pairs
+    (id_a == id_b), so a retried batch whose signatures already reached
+    the index does not drop its own documents as "duplicates of the
+    corpus".  Duplicate signature rows in the index from a replayed
+    append are harmless — they can only re-produce the same candidate
+    pairs, which dedupe before use.
     """
     from bigdata_old_spark.pipeline.dedup import (
         append_to_dedup_index,
@@ -355,6 +366,15 @@ def dedup_ingest_once(
         load_dedup_index,
         minhash_lsh_pairs,
     )
+
+    def write_out(survivors: DataFrame, batch_id: int) -> None:
+        (
+            survivors.withColumn("__ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ingest_batch")
+            .parquet(out_dir)
+        )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -372,10 +392,14 @@ def dedup_ingest_once(
                 survivors, id_col, text_col, k=k, num_hashes=num_hashes,
                 bands=bands, path=index_path,
             )
-            survivors.write.mode("append").parquet(out_dir)
+            write_out(survivors, batch_id)
             return
         idx = load_dedup_index(sp, index_path, k=k, num_hashes=num_hashes, bands=bands)
-        pairs = dedup_against(idx, batch, id_col, text_col, min_jaccard=min_jaccard)
+        pairs = dedup_against(
+            idx, batch, id_col, text_col, min_jaccard=min_jaccard
+        ).where(F.col("id_a") != F.col("id_b"))  # retry-safety: a doc
+        # whose own signatures already reached the index (replayed
+        # batch) is not a duplicate of itself
         bids = batch.select(F.col(id_col).alias("__bid"))
         # drop a batch doc when it pairs with an already-ingested doc
         # (corpus wins) or with a smaller-id batch doc (greedy keep-min,
@@ -400,7 +424,7 @@ def dedup_ingest_once(
         )
         survivors = batch.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
         append_to_dedup_index(idx, index_path, survivors, id_col, text_col)
-        survivors.write.mode("append").parquet(out_dir)
+        write_out(survivors, batch_id)
 
     q = (
         spark.readStream.schema(f"{id_col} long, {text_col} string")

@@ -495,3 +495,15 @@ def test_sparql10_endpoint_skips_values_pushdown(small_store):
         registry.remove_service("http://remote.example.org/sparql")
     assert len(calls) == 1 and "VALUES" not in calls[0]
     assert got == [(EX + "Bryan", EX + "Bryan"), (EX + "Mike", EX + "Mike")]
+
+
+def test_service_alias_reverse_chain_rejected():
+    from bigdata_old_spark import registry
+
+    registry.add_service_alias("urn:x-test:S", "urn:x-test:X")  # X -> S
+    try:
+        with pytest.raises(ValueError, match="chain"):
+            # S -> T would leave X resolving to the stale S
+            registry.add_service_alias("urn:x-test:T", "urn:x-test:S")
+    finally:
+        registry.remove_service("urn:x-test:X")

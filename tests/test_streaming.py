@@ -195,3 +195,36 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     dedup_ingest_once(spark, str(src), index_path, out_dir, ckpt, min_jaccard=0.5)
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {1, 3, 11, 13}
+
+
+def test_streaming_dedup_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash-and-retry: same files, fresh
+    checkpoint) must neither duplicate output rows (batch-keyed dynamic
+    partition overwrite) nor drop its own documents as corpus
+    duplicates (identity pairs ignored even though the first attempt
+    already appended the batch's signatures to the index)."""
+    import json as _json
+
+    from bigdata_old_spark.streaming import dedup_ingest_once
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    index_path = str(tmp_path / "sigidx")
+    out_dir = str(tmp_path / "curated")
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight")
+    with open(src / "b1.json", "w") as fh:
+        for doc_id, text in [(1, base), (2, base.replace("lazy", "sleepy")),
+                             (3, "something else entirely about databases and engines")]:
+            fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    dedup_ingest_once(spark, str(src), index_path, out_dir,
+                      str(tmp_path / "ckpt1"), min_jaccard=0.5)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert first == [1, 3]
+    # replay: fresh checkpoint reprocesses the same file as batch 0
+    dedup_ingest_once(spark, str(src), index_path, out_dir,
+                      str(tmp_path / "ckpt2"), min_jaccard=0.5)
+    replayed = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert replayed == [1, 3]  # no duplicates, nothing self-deduped away
