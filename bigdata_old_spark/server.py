@@ -20,6 +20,19 @@ Protocol forms implemented (SPARQL 1.1 Protocol §2):
   * any of the above with ?explain — returns the formatted Spark
     physical plan as text/plain (QueryServlet ?explain analog).
 
+NanoSparqlServer REST API extensions beyond the W3C protocol
+(the reference's workbench/client surface):
+  * GET/POST ?ESTCARD&s=&p=&o=&c=  — access-path statement count
+    (`QueryServlet.doEstCard`, response `reportRangeCount` XML)
+  * GET/POST ?CONTEXTS             — named graphs in use
+    (`QueryServlet.doContexts`)
+  * GET ?uuid                      — server-minted UUID
+    (`QueryServlet.doUUID`)
+  * POST with an RDF document body (+ optional `context-uri`) — bulk
+    insert (`InsertServlet.doPostWithBody`)
+  * DELETE ?s=&p=&o=&c=            — access-path delete
+    (`DeleteServlet.doDeleteWithAccessPath`)
+
 UPDATE swaps the handler's store atomically (the engine's UPDATE is a
 batch statements-DF rewrite returning a new TripleStore).
 """
@@ -45,6 +58,20 @@ _FORMAT_MIME = {
 }
 
 _GRAPH_FORMS = ("CONSTRUCT", "DESCRIBE")
+
+#: RDF document content types accepted by POST-with-body bulk insert
+#: (InsertServlet.doPostWithBody)
+_RDF_INSERT_TYPES = frozenset(
+    {
+        "text/turtle",
+        "application/x-turtle",
+        "application/n-triples",
+        "text/plain",
+        "application/n-quads",
+        "application/trig",
+        "application/rdf+xml",
+    }
+)
 
 _QUERY_FORM_RE = re.compile(
     r"(?:\s|#[^\n]*\n?|(?:PREFIX\s+[^\s:]*:\s*<[^>]*>)|(?:BASE\s*<[^>]*>))*"
@@ -154,9 +181,203 @@ class SparqlHandler(BaseHTTPRequestHandler):
                 cache.rebind(self.server.store)
         self._reply(200, "", "text/plain")
 
+    # -- NanoSparqlServer REST extensions ------------------------------------
+    # (QueryServlet ESTCARD/CONTEXTS/uuid, InsertServlet POST-with-body,
+    #  DeleteServlet DELETE-with-access-path)
+
+    def _decode_term(self, txt: str):
+        """EncodeDecodeValue.decodeValue analog (webapp/client/
+        EncodeDecodeValue.java): ``<iri>`` | ``_:label`` |
+        ``"lex"[@lang|^^<dt>]`` → a matcher tag."""
+        if txt.startswith("<") and txt.endswith(">"):
+            return ("resource", txt[1:-1])
+        if txt.startswith("_:"):
+            return ("resource", txt)
+        m = re.fullmatch(r'"(.*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?', txt, re.S)
+        if m is None:
+            raise ValueError(f"cannot decode RDF value: {txt!r}")
+        return ("literal", m.group(1), m.group(3), m.group(2))
+
+    def _access_path(self, p: dict):
+        """s/p/o/c request params → statements-DF filter (the REST API's
+        access-path selector, QueryServlet.doEstCard /
+        DeleteServlet.doDeleteWithAccessPath)."""
+        from pyspark.sql import functions as F
+
+        df = self.server.store.statements
+        s = p.get("s", [None])[0]
+        pred = p.get("p", [None])[0]
+        o = p.get("o", [None])[0]
+        ctxs = p.get("c", [])
+        if s is not None:
+            kind, val = self._decode_term(s)
+            if kind != "resource":
+                raise ValueError("s must be a resource")
+            df = df.where(F.col("s") == val)
+        if pred is not None:
+            kind, val = self._decode_term(pred)
+            if kind != "resource" or val.startswith("_:"):
+                raise ValueError("p must be a URI")
+            df = df.where(F.col("p") == val)
+        if o is not None:
+            t = self._decode_term(o)
+            if t[0] == "resource":
+                if t[1].startswith("_:"):
+                    cond = (F.col("o_kind") == 1) & (F.col("o_lex") == t[1][2:])
+                else:
+                    cond = (F.col("o_kind") == 0) & (F.col("o_lex") == t[1])
+            else:
+                _, lex, dt, lang = t
+                if dt is None and lang is None:
+                    # RDF 1.1: a simple literal IS an xsd:string literal
+                    from bigdata_old_spark.model import XSD
+
+                    dt = XSD + "string"
+                cond = (
+                    (F.col("o_kind") == 2)
+                    & (F.col("o_lex") == lex)
+                    & F.col("o_dt").eqNullSafe(F.lit(dt))
+                    & F.col("o_lang").eqNullSafe(F.lit(lang))
+                )
+            df = df.where(cond)
+        if ctxs:
+            vals = []
+            for c in ctxs:
+                kind, val = self._decode_term(c)
+                if kind != "resource":
+                    raise ValueError("c must be a resource")
+                vals.append(val)
+            df = df.where(F.col("g").isin(vals))
+        return df
+
+    def _do_estcard(self, p: dict) -> None:
+        """GET/POST ?ESTCARD&s=&p=&o=&c= — statement count of an access
+        path (QueryServlet.doEstCard; response shape
+        BigdataRDFServlet.reportRangeCount).  The reference reports a
+        fast rangeCount estimate off its B+Tree; the parquet layout's
+        pruned-scan count is exact at comparable cost."""
+        import time as _time
+
+        t0 = _time.time()
+        try:
+            n = self._access_path(p).count()
+        except ValueError as e:
+            self._reply(400, str(e), "text/plain")
+            return
+        ms = int((_time.time() - t0) * 1000)
+        self._reply(
+            200,
+            f'<data rangeCount="{n}" milliseconds="{ms}"/>',
+            "application/xml",
+        )
+
+    def _do_contexts(self) -> None:
+        """GET/POST ?CONTEXTS — the named graphs in use
+        (QueryServlet.doContexts / reportContexts)."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.server.store.statements.where(F.col("g").isNotNull())
+            .select("g").distinct().collect()
+        )
+        body = "".join(f'<context uri="{r["g"]}"/>' for r in rows)
+        self._reply(200, f"<contexts>{body}</contexts>", "application/xml")
+
+    def _mutate_rest(self, added=None, removed=None) -> int:
+        """Apply a REST-API statements delta (swap the store, feed the
+        describe cache's change listener) and return nmodified."""
+        from bigdata_old_spark.changesets import ChangeSet
+
+        with self.server.store_lock:
+            store = self.server.store
+            n = 0
+            if removed is not None:
+                removed = removed.localCheckpoint(eager=True)
+                n += removed.count()
+                store = store.remove(removed)
+            if added is not None:
+                added = added.localCheckpoint(eager=True)
+                n += added.count()
+                store = store.add(added)
+            cache = getattr(self.server, "describe_cache", None)
+            if cache is not None:
+                cache.change_event(ChangeSet("rest", added=added, removed=removed))
+                cache.rebind(store)
+            self.server.store = store
+        return n
+
+    def _do_insert_body(self, p: dict, ctype: str, body: str) -> None:
+        """POST with an RDF document body — bulk load into the store
+        (InsertServlet.doPostWithBody; ``context-uri`` targets named
+        graphs, InsertServlet.java:204)."""
+        import time as _time
+
+        from bigdata_old_spark.model import statements_df_from_terms
+        from bigdata_old_spark import rio
+
+        t0 = _time.time()
+        try:
+            if ctype in ("text/turtle", "application/x-turtle"):
+                rows = [(None, s, pp, o) for s, pp, o in rio.parse_turtle(body)]
+            elif ctype in ("application/n-triples", "text/plain", "application/n-quads"):
+                rows = rio.parse_nquads(body)
+            elif ctype == "application/trig":
+                rows = rio.parse_trig(body)
+            elif ctype == "application/rdf+xml":
+                rows = [(None, s, pp, o) for s, pp, o in rio.parse_rdfxml(body)]
+            else:
+                self._reply(415, f"unsupported RDF content type: {ctype}", "text/plain")
+                return
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            return
+        graphs = p.get("context-uri", [])
+        if graphs:
+            # default context(s) for statements that don't carry their
+            # own (InsertServlet.java:204 — quads keep their context)
+            gs = [self._decode_term(g)[1] if g.startswith("<") else g for g in graphs]
+            rows = [
+                (g2, s, pp, o)
+                for (g, s, pp, o) in rows
+                for g2 in ([g] if g is not None else gs)
+            ]
+        df = statements_df_from_terms(rows, self.server.store.spark)
+        n = self._mutate_rest(added=df)
+        ms = int((_time.time() - t0) * 1000)
+        self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        """DELETE with an access path — remove every matching statement
+        (DeleteServlet.doDeleteWithAccessPath; response shape
+        reportModifiedCount)."""
+        import time as _time
+
+        p = self._params()
+        t0 = _time.time()
+        try:
+            doomed = self._access_path(p)
+        except ValueError as e:
+            self._reply(400, str(e), "text/plain")
+            return
+        n = self._mutate_rest(removed=doomed)
+        ms = int((_time.time() - t0) * 1000)
+        self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
+
     # -- verbs --------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         p = self._params()
+        if "ESTCARD" in p:
+            self._do_estcard(p)
+            return
+        if "CONTEXTS" in p:
+            self._do_contexts()
+            return
+        if "uuid" in p:
+            # QueryServlet.doUUID — server-minted UUID for JS clients
+            import uuid as _uuid
+
+            self._reply(200, str(_uuid.uuid4()), "text/plain")
+            return
         q = p.get("query", [None])[0]
         if q is None:
             self._reply(400, "missing query parameter", "text/plain")
@@ -168,6 +389,15 @@ class SparqlHandler(BaseHTTPRequestHandler):
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length).decode("utf-8") if length else ""
+        if "ESTCARD" in p:
+            self._do_estcard(p)
+            return
+        if "CONTEXTS" in p:
+            self._do_contexts()
+            return
+        if ctype in _RDF_INSERT_TYPES:
+            self._do_insert_body(p, ctype, body)
+            return
         query = p.get("query", [None])[0]
         update = p.get("update", [None])[0]
         if ctype == "application/x-www-form-urlencoded":

@@ -344,8 +344,23 @@ class TripleStore:
         return self.with_statements(self.statements.unionByName(other).dropDuplicates())
 
     def remove(self, other: DataFrame) -> "TripleStore":
-        keys = [c for c in self.statements.columns if c != "stype"]
-        return self.with_statements(self.statements.join(other.select(*keys).dropDuplicates(), keys, "left_anti"), has_named_graphs=self._has_ng and None)
+        # null-SAFE key equality: joining on bare column names uses
+        # SQL EqualTo, under which NULL != NULL — a statement with any
+        # NULL field (every literal's o_lang, g of the default graph…)
+        # would never match its own removal row
+        left = self.statements
+        right = other.select(
+            *[c for c in self.statements.columns if c != "stype"]
+        ).dropDuplicates().alias("__rm")
+        left = left.alias("__st")
+        cond = None
+        for c in right.columns:
+            e = F.col(f"__st.{c}").eqNullSafe(F.col(f"__rm.{c}"))
+            cond = e if cond is None else (cond & e)
+        return self.with_statements(
+            left.join(right, cond, "left_anti"),
+            has_named_graphs=self._has_ng and None,
+        )
 
     def persist(self) -> "TripleStore":
         self.statements = self.statements.persist()

@@ -2,6 +2,8 @@
 parity) — exercised over real localhost HTTP."""
 
 import json
+import re
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -168,5 +170,83 @@ def test_describe_cache_endpoint(spark):
         status, _, _ = _get(f"{base}?query={q2}")
         assert status == 200
         assert srv.describe_cache.misses == 2  # untouched
+    finally:
+        srv.shutdown()
+
+
+# -- NanoSparqlServer REST API extensions ------------------------------------
+
+def _delete(url):
+    req = urllib.request.Request(url, method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read().decode()
+
+
+def test_estcard_access_path(endpoint):
+    """GET ?ESTCARD&s/p/o — QueryServlet.doEstCard / reportRangeCount."""
+    base, _ = endpoint
+    code, ctype, body = _get(f"{base}?ESTCARD")
+    assert code == 200 and ctype == "application/xml"
+    m = re.search(r'rangeCount="(\d+)"', body)
+    total = int(m.group(1))
+    assert total >= 3
+    s = urllib.parse.quote("<http://example.org/a>")
+    _, _, body = _get(f"{base}?ESTCARD&s={s}")
+    assert 'rangeCount="2"' in body
+    o = urllib.parse.quote('"1"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    _, _, body = _get(f"{base}?ESTCARD&s={s}&o={o}")
+    assert 'rangeCount="1"' in body
+    # bad value encoding → 400
+    req = urllib.request.Request(f"{base}?ESTCARD&s=notaterm")
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
+def test_contexts_uuid(endpoint):
+    base, _ = endpoint
+    code, ctype, body = _get(f"{base}?CONTEXTS")
+    assert code == 200 and ctype == "application/xml"
+    assert body.startswith("<contexts>")  # triples-only store: no contexts
+    code, ctype, body = _get(f"{base}?uuid")
+    assert code == 200 and re.fullmatch(r"[0-9a-f-]{36}", body)
+
+
+def test_insert_body_and_access_path_delete(spark):
+    """POST an RDF body (InsertServlet), count it (ESTCARD), then
+    DELETE by access path (DeleteServlet) — full REST mutation loop."""
+    from bigdata_old_spark.server import serve_background
+    from bigdata_old_spark.store import TripleStore
+
+    store = TripleStore.from_turtle(spark, "@prefix : <http://example.org/> . :seed :p :o .")
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        ttl = "@prefix : <http://example.org/> . :n1 :tag \"x\" . :n2 :tag \"y\" ."
+        code, ctype, body = _post(base, ttl, "text/turtle")
+        assert code == 200 and 'modified="2"' in body
+        p = urllib.parse.quote("<http://example.org/tag>")
+        _, _, body = _get(f"{base}?ESTCARD&p={p}")
+        assert 'rangeCount="2"' in body
+        # insert into a named graph via context-uri
+        g = urllib.parse.quote("<http://example.org/g1>")
+        code, _, body = _post(f"{base}?context-uri={g}", ttl, "text/turtle")
+        assert code == 200 and 'modified="2"' in body
+        _, _, body = _get(f"{base}?CONTEXTS")
+        assert '<context uri="http://example.org/g1"/>' in body
+        # delete the default-graph :tag statements only
+        code, body = _delete(f"{base}?p={p}&o={urllib.parse.quote(chr(34) + 'x' + chr(34))}")
+        assert code == 200 and 'modified="2"' in body  # default + g1 copy
+        _, _, body = _get(f"{base}?ESTCARD&p={p}")
+        assert 'rangeCount="2"' in body  # the two "y" rows survive
+        # access-path delete with a context restriction (g1 now holds
+        # only its "y" row — its "x" went with the o-filtered delete)
+        code, body = _delete(f"{base}?c={g}")
+        assert code == 200 and 'modified="1"' in body
+        _, _, body = _get(f"{base}?CONTEXTS")
+        assert "g1" not in body
     finally:
         srv.shutdown()
