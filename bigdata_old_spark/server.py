@@ -380,9 +380,44 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return
         q = p.get("query", [None])[0]
         if q is None:
-            self._reply(400, "missing query parameter", "text/plain")
+            # SPARQL 1.1 Service Description at the bare endpoint URL
+            # (QueryServlet.doServiceDescription / SD.java:460-531)
+            self._do_service_description()
             return
         self._dispatch(q, None, "explain" in p)
+
+    def _do_service_description(self) -> None:
+        from pyspark.sql import functions as F
+
+        store = self.server.store
+        host = self.headers.get("Host") or "localhost"
+        uri = f"http://{host}{urlparse(self.path).path}"
+        ntriples = store.statements.count()
+        graphs = (
+            store.statements.where(F.col("g").isNotNull()).select("g").distinct().count()
+            if store.has_named_graphs else 0
+        )
+        langs = "".join(
+            f"  sd:supportedLanguage sd:{l} ;\n"
+            for l in ("SPARQL10Query", "SPARQL11Query", "SPARQL11Update")
+        )
+        fmts = "".join(
+            f"  sd:inputFormat <http://www.w3.org/ns/formats/{f}> ;\n"
+            for f in ("RDF_XML", "N-Triples", "N-Quads", "Turtle", "TriG")
+        )
+        body = (
+            "@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .\n"
+            "@prefix void: <http://rdfs.org/ns/void#> .\n\n"
+            "[] a sd:Service ;\n"
+            f"  sd:endpoint <{uri}> ;\n"
+            f"{langs}{fmts}"
+            "  sd:defaultDataset [\n"
+            "    a sd:Dataset, void:Dataset ;\n"
+            f"    void:triples {ntriples}"
+            + (f" ;\n    void:graphs {graphs}" if graphs else "")
+            + "\n  ] .\n"
+        )
+        self._reply(200, body, "text/turtle")
 
     def do_POST(self) -> None:  # noqa: N802
         p = self._params()

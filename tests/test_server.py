@@ -250,3 +250,20 @@ def test_insert_body_and_access_path_delete(spark):
         assert "g1" not in body
     finally:
         srv.shutdown()
+
+
+def test_service_description_at_bare_endpoint(endpoint):
+    """GET with no parameters → SPARQL 1.1 Service Description
+    (QueryServlet.doServiceDescription / SD.java), round-trippable
+    through our own Turtle parser."""
+    from bigdata_old_spark.rio import parse_turtle
+
+    base, _ = endpoint
+    code, ctype, body = _get(base)
+    assert code == 200 and ctype == "text/turtle"
+    triples = parse_turtle(body)
+    sd = "http://www.w3.org/ns/sparql-service-description#"
+    preds = {p for _, p, _ in triples}
+    assert sd + "endpoint" in preds and sd + "supportedLanguage" in preds
+    void_triples = [o for _, p, o in triples if p == "http://rdfs.org/ns/void#triples"]
+    assert len(void_triples) == 1 and int(void_triples[0].lex) >= 3
