@@ -102,6 +102,10 @@ def _negotiate(accept: str | None, sparql: str) -> str:
     return "turtle" if _query_form(sparql) in _GRAPH_FORMS else "json"
 
 
+class _NoSuchNamespace(KeyError):
+    pass
+
+
 class SparqlHandler(BaseHTTPRequestHandler):
     """One request = one query/update against ``server.store``."""
 
@@ -124,8 +128,39 @@ class SparqlHandler(BaseHTTPRequestHandler):
         # keep_blank_values: `?explain` (no value) must survive parsing
         return parse_qs(urlparse(self.path).query, keep_blank_values=True)
 
+
+    # -- multi-tenancy routing (MultiTenancyServlet analog) -------------------
+    def _route_ns(self) -> str | None:
+        """Path → namespace: ``/namespace/NS/sparql`` selects KB ``NS``;
+        any other path is the default namespace (the reference's
+        ``.../namespace/NAMESPACE/sparql`` effective-namespace rule,
+        MultiTenancyServlet.java:79)."""
+        m = re.fullmatch(r"/namespace/([^/]+)/sparql/?",
+                         urlparse(self.path).path)
+        return m.group(1) if m else None
+
+    def _is_namespace_admin(self) -> bool:
+        return urlparse(self.path).path.rstrip("/") == "/namespace"
+
+    def _get_store(self):
+        ns = getattr(self, "_ns", None)
+        if ns is None or ns == self.server.default_namespace:
+            return self.server.store
+        store = self.server.namespaces.get(ns)
+        if store is None:
+            raise _NoSuchNamespace(ns)
+        return store
+
+    def _set_store(self, store) -> None:
+        ns = getattr(self, "_ns", None)
+        if ns is None or ns == self.server.default_namespace:
+            self.server.store = store
+            self.server.namespaces[self.server.default_namespace] = store
+        else:
+            self.server.namespaces[ns] = store
+
     def _run_query(self, sparql: str, explain: bool) -> None:
-        store = self.server.store
+        store = self._get_store()
         if explain:
             self._reply(200, store.explain(sparql), "text/plain")
             return
@@ -146,8 +181,10 @@ class SparqlHandler(BaseHTTPRequestHandler):
         bigdata-rdf/.../ast/cache/DescribeServiceFactory.java); every
         other query falls through to normal evaluation."""
         cache = getattr(self.server, "describe_cache", None)
-        if cache is None:
-            return None
+        if cache is None or getattr(self, "_ns", None) not in (
+            None, self.server.default_namespace
+        ):
+            return None  # the cache is bound to the default KB
         import re as _re
 
         # cheap pre-filter: don't pay a second parse_query on every
@@ -174,11 +211,12 @@ class SparqlHandler(BaseHTTPRequestHandler):
     def _run_update(self, sparql_update: str) -> None:
         with self.server.store_lock:
             cache = getattr(self.server, "describe_cache", None)
-            self.server.store = self.server.store.update(
-                sparql_update, change_log=cache
-            )
+            if getattr(self, "_ns", None) not in (None, self.server.default_namespace):
+                cache = None  # the cache is bound to the default KB
+            new_store = self._get_store().update(sparql_update, change_log=cache)
+            self._set_store(new_store)
             if cache is not None:
-                cache.rebind(self.server.store)
+                cache.rebind(new_store)
         self._reply(200, "", "text/plain")
 
     # -- NanoSparqlServer REST extensions ------------------------------------
@@ -204,7 +242,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         DeleteServlet.doDeleteWithAccessPath)."""
         from pyspark.sql import functions as F
 
-        df = self.server.store.statements
+        df = self._get_store().statements
         s = p.get("s", [None])[0]
         pred = p.get("p", [None])[0]
         o = p.get("o", [None])[0]
@@ -277,7 +315,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         from pyspark.sql import functions as F
 
         rows = (
-            self.server.store.statements.where(F.col("g").isNotNull())
+            self._get_store().statements.where(F.col("g").isNotNull())
             .select("g").distinct().collect()
         )
         body = "".join(f'<context uri="{r["g"]}"/>' for r in rows)
@@ -289,7 +327,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         from bigdata_old_spark.changesets import ChangeSet
 
         with self.server.store_lock:
-            store = self.server.store
+            store = self._get_store()
             n = 0
             if removed is not None:
                 removed = removed.localCheckpoint(eager=True)
@@ -300,10 +338,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
                 n += added.count()
                 store = store.add(added)
             cache = getattr(self.server, "describe_cache", None)
-            if cache is not None:
+            if getattr(self, "_ns", None) in (None, self.server.default_namespace) \
+                    and cache is not None:
                 cache.change_event(ChangeSet("rest", added=added, removed=removed))
                 cache.rebind(store)
-            self.server.store = store
+            self._set_store(store)
         return n
 
     def _do_insert_body(self, p: dict, ctype: str, body: str) -> None:
@@ -341,7 +380,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
                 for (g, s, pp, o) in rows
                 for g2 in ([g] if g is not None else gs)
             ]
-        df = statements_df_from_terms(rows, self.server.store.spark)
+        df = statements_df_from_terms(rows, self._get_store().spark)
         n = self._mutate_rest(added=df)
         ms = int((_time.time() - t0) * 1000)
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
@@ -349,9 +388,21 @@ class SparqlHandler(BaseHTTPRequestHandler):
     def do_DELETE(self) -> None:  # noqa: N802
         """DELETE with an access path — remove every matching statement
         (DeleteServlet.doDeleteWithAccessPath; response shape
-        reportModifiedCount)."""
+        reportModifiedCount) — or destroy a namespace
+        (/namespace/NS)."""
         import time as _time
 
+        path = urlparse(self.path).path
+        m = re.fullmatch(r"/namespace/([^/]+)/?", path)
+        if m:
+            self._do_namespace_delete(m.group(1))
+            return
+        self._ns = self._route_ns()
+        try:
+            self._get_store()
+        except _NoSuchNamespace as e:
+            self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
+            return
         p = self._params()
         t0 = _time.time()
         try:
@@ -363,8 +414,86 @@ class SparqlHandler(BaseHTTPRequestHandler):
         ms = int((_time.time() - t0) * 1000)
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
 
+
+    # -- namespace administration (MultiTenancyServlet) ----------------------
+    def _do_namespace_list(self) -> None:
+        """GET /namespace — describe all KBs (VoID per namespace with its
+        sparqlEndpoint; MultiTenancyServlet.doGet 'Describe all
+        namespaces')."""
+        host = self.headers.get("Host") or "localhost"
+        out = [
+            "@prefix void: <http://rdfs.org/ns/void#> .",
+            "@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .",
+            "",
+        ]
+        with self.server.store_lock:
+            for ns, store in sorted(self.server.namespaces.items()):
+                url = f"http://{host}/namespace/{ns}/sparql"
+                out.append(
+                    f'<{url}> a sd:Service, void:Dataset ;\n'
+                    f'  void:sparqlEndpoint <{url}> ;\n'
+                    f'  void:triples {store.statements.count()} .'
+                )
+        self._reply(200, "\n".join(out) + "\n", "text/turtle")
+
+    def _do_namespace_create(self, body: str) -> None:
+        """POST /namespace — create a KB.  Body is Java-properties text
+        carrying ``com.bigdata.rdf.sail.namespace=NAME``
+        (MultiTenancyServlet.doPost → createTenant; 201 + Location)."""
+        ns = None
+        for line in body.splitlines():
+            line = line.strip()
+            if line.startswith("com.bigdata.rdf.sail.namespace"):
+                ns = line.split("=", 1)[1].strip()
+        if not ns:
+            self._reply(400, "missing com.bigdata.rdf.sail.namespace", "text/plain")
+            return
+        from bigdata_old_spark.model import STATEMENTS_SCHEMA
+        from bigdata_old_spark.store import TripleStore
+
+        with self.server.store_lock:
+            if ns in self.server.namespaces:
+                self._reply(409, f"EXISTS: {ns}", "text/plain")
+                return
+            spark = self.server.store.spark
+            self.server.namespaces[ns] = TripleStore(
+                spark, spark.createDataFrame([], STATEMENTS_SCHEMA),
+                has_named_graphs=False,
+            )
+        host = self.headers.get("Host") or "localhost"
+        loc = f"http://{host}/namespace/{ns}/sparql"
+        data = f"CREATED: {ns}".encode()
+        self.send_response(201)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Location", loc)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _do_namespace_delete(self, ns: str) -> None:
+        """DELETE /namespace/NS — destroy that KB
+        (MultiTenancyServlet.doDeleteNamespace).  The default namespace
+        is the server's primary store and cannot be destroyed."""
+        with self.server.store_lock:
+            if ns == self.server.default_namespace:
+                self._reply(409, "cannot delete the default namespace", "text/plain")
+                return
+            if self.server.namespaces.pop(ns, None) is None:
+                self._reply(404, f"no such namespace: {ns}", "text/plain")
+                return
+        self._reply(200, f"DELETED: {ns}", "text/plain")
+
     # -- verbs --------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if self._is_namespace_admin():
+            self._do_namespace_list()
+            return
+        self._ns = self._route_ns()
+        try:
+            self._get_store()
+        except _NoSuchNamespace as e:
+            self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
+            return
         p = self._params()
         if "ESTCARD" in p:
             self._do_estcard(p)
@@ -389,7 +518,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
     def _do_service_description(self) -> None:
         from pyspark.sql import functions as F
 
-        store = self.server.store
+        store = self._get_store()
         host = self.headers.get("Host") or "localhost"
         uri = f"http://{host}{urlparse(self.path).path}"
         ntriples = store.statements.count()
@@ -424,6 +553,16 @@ class SparqlHandler(BaseHTTPRequestHandler):
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length).decode("utf-8") if length else ""
+        if self._is_namespace_admin():
+            self._do_namespace_create(body)
+            return
+        self._ns = self._route_ns()
+        try:
+            self._get_store()
+        except _NoSuchNamespace as e:
+            self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
+            return
+
         if "ESTCARD" in p:
             self._do_estcard(p)
             return
@@ -471,6 +610,8 @@ class SparqlHandler(BaseHTTPRequestHandler):
                 self._run_update(update)
             else:
                 self._run_query(query, explain)
+        except _NoSuchNamespace as e:
+            self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
         except Exception as e:
             self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
 
@@ -486,6 +627,8 @@ def make_server(
     from the cache and UPDATEs invalidate through the changeset hook."""
     srv = ThreadingHTTPServer((host, port), SparqlHandler)
     srv.store = store
+    srv.default_namespace = "kb"  # the reference's default KB namespace
+    srv.namespaces = {"kb": store}
     srv.store_lock = threading.Lock()
     srv.verbose = False
     srv.describe_cache = None

@@ -267,3 +267,72 @@ def test_service_description_at_bare_endpoint(endpoint):
     assert sd + "endpoint" in preds and sd + "supportedLanguage" in preds
     void_triples = [o for _, p, o in triples if p == "http://rdfs.org/ns/void#triples"]
     assert len(void_triples) == 1 and int(void_triples[0].lex) >= 3
+
+
+def test_multitenancy_lifecycle(spark):
+    """MultiTenancyServlet analog: create a namespace, use its own
+    /namespace/NS/sparql endpoint (isolated from the default KB),
+    list all namespaces, destroy it."""
+    store = TripleStore.from_turtle(spark, TTL).persist()
+    srv, _ = serve_background(store)
+    root = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # create
+        props = "com.bigdata.rdf.sail.namespace=tenant1\n"
+        req = urllib.request.Request(
+            f"{root}/namespace", data=props.encode(),
+            headers={"Content-Type": "text/plain"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 201
+            assert r.headers["Location"].endswith("/namespace/tenant1/sparql")
+        # duplicate create → 409
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{root}/namespace", data=props.encode(),
+                headers={"Content-Type": "text/plain"}))
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # the new KB is empty and isolated from the default
+        t1 = f"{root}/namespace/tenant1/sparql"
+        _, _, body = _get(f"{t1}?ESTCARD")
+        assert 'rangeCount="0"' in body
+        ttl = '@prefix : <http://example.org/> . :t :only "tenant" .'
+        code, _, body = _post(t1, ttl, "text/turtle")
+        assert code == 200 and 'modified="1"' in body
+        _, _, body = _get(f"{t1}?ESTCARD")
+        assert 'rangeCount="1"' in body
+        _, _, body = _get(f"{root}/sparql?ESTCARD")
+        assert 'rangeCount="3"' in body  # default KB untouched
+        # SPARQL against the tenant endpoint
+        q = urllib.parse.quote("SELECT ?o WHERE { ?s ?p ?o }")
+        _, _, body = _get(f"{t1}?query={q}")
+        assert json.loads(body)["results"]["bindings"][0]["o"]["value"] == "tenant"
+        # list
+        _, ctype, body = _get(f"{root}/namespace")
+        assert ctype == "text/turtle"
+        assert "/namespace/kb/sparql" in body and "/namespace/tenant1/sparql" in body
+        # unknown namespace → 404
+        try:
+            _get(f"{root}/namespace/ghost/sparql?ESTCARD")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # destroy
+        req = urllib.request.Request(f"{root}/namespace/tenant1", method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        try:
+            _get(f"{t1}?ESTCARD")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # the default namespace is protected
+        req = urllib.request.Request(f"{root}/namespace/kb", method="DELETE")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+    finally:
+        srv.shutdown()
