@@ -171,7 +171,21 @@ class SparqlHandler(BaseHTTPRequestHandler):
 
             self._reply(200, serialize(df, fmt), _FORMAT_MIME[fmt])
             return
-        body = store.serialize(sparql, fmt)
+        # register as a running query in a Spark job group so /status
+        # can show AND cancel it (StatusServlet showQueries/cancelQuery;
+        # the job group is thread-local, i.e. per request thread)
+        import time as _time
+        import uuid as _uuid
+
+        qid = str(_uuid.uuid4())
+        sc = store.spark.sparkContext
+        sc.setJobGroup(qid, sparql[:200], interruptOnCancel=True)
+        self.server.running_queries[qid] = (sparql, _time.time())
+        try:
+            body = store.serialize(sparql, fmt)
+        finally:
+            self.server.running_queries.pop(qid, None)
+            sc.setJobGroup(None, None)
         self._reply(200, body, _FORMAT_MIME[fmt])
 
     def _describe_via_cache(self, sparql: str):
@@ -415,6 +429,41 @@ class SparqlHandler(BaseHTTPRequestHandler):
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
 
 
+    # -- status page (StatusServlet analog) ----------------------------------
+    def _do_status(self, p: dict) -> None:
+        """GET /status — uptime, namespaces, running queries
+        (StatusServlet showQueries surface); POST/GET
+        /status?cancelQuery&queryId=<id> cancels the query's Spark job
+        group (StatusServlet.java:156 CANCEL_QUERY)."""
+        import time as _time
+
+        if "cancelQuery" in p:
+            ids = p.get("queryId", [])
+            sc = self.server.store.spark.sparkContext
+            n = 0
+            for qid in ids:
+                if qid in self.server.running_queries:
+                    sc.cancelJobGroup(qid)
+                    n += 1
+            self._reply(200, f"cancelled: {n}", "text/plain")
+            return
+        lines = [
+            f"uptime_sec: {int(_time.time() - self.server.started_at)}",
+            f"namespaces: {', '.join(sorted(self.server.namespaces))}",
+            "running_queries:",
+        ]
+        now = _time.time()
+        for qid, (sparql, t0) in list(self.server.running_queries.items()):
+            one = " ".join(sparql.split())[:120]
+            lines.append(f"  {qid}  elapsed={now - t0:.1f}s  {one}")
+        cache = getattr(self.server, "describe_cache", None)
+        if cache is not None:
+            lines.append(
+                f"describe_cache: hits={cache.hits} misses={cache.misses} "
+                f"invalidations={cache.invalidations}"
+            )
+        self._reply(200, "\n".join(lines) + "\n", "text/plain")
+
     # -- namespace administration (MultiTenancyServlet) ----------------------
     def _do_namespace_list(self) -> None:
         """GET /namespace — describe all KBs (VoID per namespace with its
@@ -485,6 +534,9 @@ class SparqlHandler(BaseHTTPRequestHandler):
 
     # -- verbs --------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if urlparse(self.path).path.rstrip("/") == "/status":
+            self._do_status(self._params())
+            return
         if self._is_namespace_admin():
             self._do_namespace_list()
             return
@@ -553,6 +605,9 @@ class SparqlHandler(BaseHTTPRequestHandler):
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length).decode("utf-8") if length else ""
+        if urlparse(self.path).path.rstrip("/") == "/status":
+            self._do_status(self._params())
+            return
         if self._is_namespace_admin():
             self._do_namespace_create(body)
             return
@@ -629,6 +684,10 @@ def make_server(
     srv.store = store
     srv.default_namespace = "kb"  # the reference's default KB namespace
     srv.namespaces = {"kb": store}
+    srv.running_queries = {}
+    import time as _time
+
+    srv.started_at = _time.time()
     srv.store_lock = threading.Lock()
     srv.verbose = False
     srv.describe_cache = None

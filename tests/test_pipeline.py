@@ -900,3 +900,36 @@ def test_ivf_index_append_equals_full_rebuild_search(spark, tmp_path):
     old_ids = {r["vec_id"] for r in idx2.assignments.collect()}
     assert old_ids >= {r["vec_id"] for r in first.select("vec_id").collect()}
     assert n_before == 150
+
+
+def test_dsir_self_target_scores_zero(spark):
+    """Identity property: when the target IS the raw corpus, every
+    per-feature log-ratio is exactly 0, so every document scores 0."""
+    from bigdata_old_spark.pipeline.sampling import dsir_logratio
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    out = dsir_logratio(docs, docs).collect()
+    assert len(out) == 50 and all(r["dsir_logratio"] == 0.0 for r in out)
+
+
+def test_c4_clean_reconstruction_is_line_subset(spark):
+    """Invariant: clean_text's lines are a subsequence of the input's
+    lines, and every kept line satisfies the line rules."""
+    from bigdata_old_spark.pipeline.text import c4_clean
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((\S+\s+){7}\S+) ", "$1\n").alias("text"),
+    )
+    inp = {r["doc_id"]: r["text"] for r in lined.collect()}
+    out = c4_clean(lined, require_terminal_punct=False, min_line_words=5,
+                   min_sentences=1)
+    for r in out.collect():
+        orig = inp[r["doc_id"]].split("\n")
+        kept = r["clean_text"].split("\n") if r["clean_text"] else []
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept), "not a subsequence"
+        for k in kept:
+            assert len(k.split()) >= 5 and "javascript" not in k.lower()
+        assert r["n_lines_kept"] == len(kept)

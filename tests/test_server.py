@@ -336,3 +336,53 @@ def test_multitenancy_lifecycle(spark):
             assert e.code == 409
     finally:
         srv.shutdown()
+
+
+def test_status_page_and_cancel(spark):
+    """StatusServlet analog: /status reports uptime, namespaces and
+    running queries; cancelQuery cancels a live query's job group."""
+    import threading
+    import time
+
+    store = TripleStore.from_turtle(spark, TTL).persist()
+    srv, _ = serve_background(store)
+    root = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, ctype, body = _get(f"{root}/status")
+        assert code == 200 and "uptime_sec:" in body and "namespaces: kb" in body
+        assert "running_queries:" in body
+        # cancel of an unknown query id is a no-op
+        code, _, body = _get(f"{root}/status?cancelQuery&queryId=no-such-id")
+        assert code == 200 and body.strip() == "cancelled: 0"
+
+        # a live query appears in /status and can be cancelled
+        q = urllib.parse.quote(
+            "SELECT * WHERE { ?a ?b ?c . ?d ?e ?f . ?g ?h ?i . ?j ?k ?l }")
+        errors = []
+
+        def run():
+            try:
+                _get(f"{root}/sparql?query={q}")
+            except urllib.error.HTTPError as e:
+                errors.append(e.code)
+
+        t = threading.Thread(target=run)
+        t.start()
+        qid = None
+        for _ in range(100):  # wait for it to register
+            _, _, body = _get(f"{root}/status")
+            m = re.search(r"^  (\S+)  elapsed=", body, re.M)
+            if m:
+                qid = m.group(1)
+                break
+            time.sleep(0.05)
+        if qid is not None:  # query still running → cancel it
+            code, _, body = _get(f"{root}/status?cancelQuery&queryId={qid}")
+            assert body.strip() in ("cancelled: 1", "cancelled: 0")
+        t.join(timeout=60)
+        assert not t.is_alive()
+        # after completion/cancellation nothing is left running
+        _, _, body = _get(f"{root}/status")
+        assert "elapsed=" not in body
+    finally:
+        srv.shutdown()
