@@ -179,11 +179,54 @@ class SparqlHandler(BaseHTTPRequestHandler):
 
         qid = str(_uuid.uuid4())
         sc = store.spark.sparkContext
-        sc.setJobGroup(qid, sparql[:200], interruptOnCancel=True)
+        # interruptOnCancel stays False: cooperative task kill.  A real
+        # Thread.interrupt can poison a shared executor JVM (Spark's own
+        # docs warn about HDFS-client deadlocks; in local mode it can
+        # wedge the scheduler for EVERY later query) — the kill flag is
+        # checked at the next record boundary, which is prompt enough.
+        sc.setJobGroup(qid, sparql[:200])
         self.server.running_queries[qid] = (sparql, _time.time())
+        # server-level query deadline (ConfigParams.QUERY_TIMEOUT /
+        # BigdataRDFContext.java:1023-1029 setTimeout analog).  One
+        # cancelJobGroup is NOT enough: it only kills jobs running at
+        # that instant, and a query spends driver time planning between
+        # jobs — so once the deadline passes, keep cancelling until the
+        # request thread finishes.
+        expired = threading.Event()
+        timer = None
+        if self.server.query_timeout:
+
+            def _expire():
+                expired.set()
+                # NB: a politely-spaced cancel loop — job cancellation
+                # is routine on a real cluster, but in a shared
+                # single-JVM local session a cancel storm can
+                # transiently destabilize the next collect (Spark
+                # local-mode artifact); 0.5 s spacing is prompt enough
+                while qid in self.server.running_queries:
+                    sc.cancelJobGroup(qid)
+                    _time.sleep(0.5)
+
+            timer = threading.Timer(self.server.query_timeout, _expire)
+            timer.daemon = True
+            timer.start()
         try:
             body = store.serialize(sparql, fmt)
+            if expired.is_set():
+                raise TimeoutError(
+                    f"query deadline expired ({self.server.query_timeout}s)"
+                )
+        except TimeoutError:
+            raise
+        except Exception as e:
+            if expired.is_set():
+                raise TimeoutError(
+                    f"query deadline expired ({self.server.query_timeout}s)"
+                ) from e
+            raise
         finally:
+            if timer is not None:
+                timer.cancel()
             self.server.running_queries.pop(qid, None)
             sc.setJobGroup(None, None)
         self._reply(200, body, _FORMAT_MIME[fmt])
@@ -672,7 +715,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    store, host: str = "127.0.0.1", port: int = 0, describe_cache: bool = False
+    store,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    describe_cache: bool = False,
+    query_timeout: float | None = None,
 ) -> ThreadingHTTPServer:
     """Create (not start) the endpoint; ``port=0`` picks a free port.
     ``server.store`` is the live store (replaced by UPDATEs).
@@ -685,6 +732,7 @@ def make_server(
     srv.default_namespace = "kb"  # the reference's default KB namespace
     srv.namespaces = {"kb": store}
     srv.running_queries = {}
+    srv.query_timeout = query_timeout  # seconds; None/0 = unlimited
     import time as _time
 
     srv.started_at = _time.time()
@@ -699,11 +747,16 @@ def make_server(
 
 
 def serve_background(
-    store, host: str = "127.0.0.1", port: int = 0, describe_cache: bool = False
+    store,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    describe_cache: bool = False,
+    query_timeout: float | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the endpoint on a daemon thread; returns (server, thread).
     Shut down with ``server.shutdown()``."""
-    srv = make_server(store, host, port, describe_cache=describe_cache)
+    srv = make_server(store, host, port, describe_cache=describe_cache,
+                      query_timeout=query_timeout)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t
