@@ -402,6 +402,20 @@ class SparqlHandler(BaseHTTPRequestHandler):
             self._set_store(store)
         return n
 
+    @staticmethod
+    def _parse_rdf(ctype: str, body: str) -> list[tuple]:
+        from bigdata_old_spark import rio
+
+        if ctype in ("text/turtle", "application/x-turtle"):
+            return [(None, s, pp, o) for s, pp, o in rio.parse_turtle(body)]
+        if ctype in ("application/n-triples", "text/plain", "application/n-quads"):
+            return rio.parse_nquads(body)
+        if ctype == "application/trig":
+            return rio.parse_trig(body)
+        if ctype == "application/rdf+xml":
+            return [(None, s, pp, o) for s, pp, o in rio.parse_rdfxml(body)]
+        raise LookupError(ctype)
+
     def _do_insert_body(self, p: dict, ctype: str, body: str) -> None:
         """POST with an RDF document body — bulk load into the store
         (InsertServlet.doPostWithBody; ``context-uri`` targets named
@@ -409,21 +423,13 @@ class SparqlHandler(BaseHTTPRequestHandler):
         import time as _time
 
         from bigdata_old_spark.model import statements_df_from_terms
-        from bigdata_old_spark import rio
 
         t0 = _time.time()
         try:
-            if ctype in ("text/turtle", "application/x-turtle"):
-                rows = [(None, s, pp, o) for s, pp, o in rio.parse_turtle(body)]
-            elif ctype in ("application/n-triples", "text/plain", "application/n-quads"):
-                rows = rio.parse_nquads(body)
-            elif ctype == "application/trig":
-                rows = rio.parse_trig(body)
-            elif ctype == "application/rdf+xml":
-                rows = [(None, s, pp, o) for s, pp, o in rio.parse_rdfxml(body)]
-            else:
-                self._reply(415, f"unsupported RDF content type: {ctype}", "text/plain")
-                return
+            rows = self._parse_rdf(ctype, body)
+        except LookupError:
+            self._reply(415, f"unsupported RDF content type: {ctype}", "text/plain")
+            return
         except Exception as e:
             self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
             return
@@ -431,6 +437,61 @@ class SparqlHandler(BaseHTTPRequestHandler):
         if graphs:
             # default context(s) for statements that don't carry their
             # own (InsertServlet.java:204 — quads keep their context)
+            gs = [self._decode_term(g)[1] if g.startswith("<") else g for g in graphs]
+            rows = [
+                (g2, s, pp, o)
+                for (g, s, pp, o) in rows
+                for g2 in ([g] if g is not None else gs)
+            ]
+        df = statements_df_from_terms(rows, self._get_store().spark)
+        n = self._mutate_rest(added=df)
+        ms = int((_time.time() - t0) * 1000)
+        self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
+
+    _URI_EXT_TYPES = {
+        ".ttl": "text/turtle",
+        ".nt": "application/n-triples",
+        ".nq": "application/n-quads",
+        ".trig": "application/trig",
+        ".rdf": "application/rdf+xml",
+        ".xml": "application/rdf+xml",
+    }
+
+    def _do_insert_uris(self, p: dict) -> None:
+        """POST ?uri=… — fetch each document and bulk load it
+        (InsertServlet.doPostWithURIs).  Only ``file://`` URLs are
+        dereferenced here (this engine ships without an outbound-HTTP
+        fetcher for data; the reference uses its HTTP client); format
+        sniffs from the file extension."""
+        import time as _time
+        from urllib.parse import unquote
+        from urllib.request import url2pathname
+
+        from bigdata_old_spark.model import statements_df_from_terms
+
+        t0 = _time.time()
+        rows: list[tuple] = []
+        for uri in p.get("uri", []):
+            if not uri.startswith("file://"):
+                self._reply(400, f"only file:// URIs are dereferenced: {uri}", "text/plain")
+                return
+            path = url2pathname(unquote(uri[len("file://"):]))
+            ext = "." + path.rsplit(".", 1)[-1].lower() if "." in path else ""
+            ctype = self._URI_EXT_TYPES.get(ext)
+            if ctype is None:
+                self._reply(415, f"cannot infer RDF format from {uri}", "text/plain")
+                return
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    rows.extend(self._parse_rdf(ctype, fh.read()))
+            except OSError as e:
+                self._reply(400, f"cannot read {uri}: {e}", "text/plain")
+                return
+            except Exception as e:
+                self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+                return
+        graphs = p.get("context-uri", [])
+        if graphs:
             gs = [self._decode_term(g)[1] if g.startswith("<") else g for g in graphs]
             rows = [
                 (g2, s, pp, o)
@@ -666,6 +727,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return
         if "CONTEXTS" in p:
             self._do_contexts()
+            return
+        if "uri" in p and not body:
+            # InsertServlet.doPostWithURIs (dispatch rule
+            # InsertServlet.java:106-118: uri param wins over body)
+            self._do_insert_uris(p)
             return
         if ctype in _RDF_INSERT_TYPES:
             self._do_insert_body(p, ctype, body)

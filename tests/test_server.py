@@ -427,3 +427,34 @@ def test_query_timeout_deadline(spark):
         assert code == 200 and json.loads(body)["boolean"] is True
     finally:
         srv2.shutdown()
+
+
+def test_insert_from_file_uris(spark, tmp_path):
+    """InsertServlet.doPostWithURIs analog: POST ?uri=file://… loads
+    each document (format sniffed from extension)."""
+    f1 = tmp_path / "d1.ttl"
+    f1.write_text('@prefix : <http://example.org/> . :u1 :src "file1" .')
+    f2 = tmp_path / "d2.nt"
+    f2.write_text('<http://example.org/u2> <http://example.org/src> "file2" .\n')
+    store = TripleStore.from_turtle(spark, TTL).persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        u1 = urllib.parse.quote(f"file://{f1}", safe="")
+        u2 = urllib.parse.quote(f"file://{f2}", safe="")
+        req = urllib.request.Request(f"{base}?uri={u1}&uri={u2}", data=b"", method="POST")
+        with urllib.request.urlopen(req) as r:
+            body = r.read().decode()
+            assert r.status == 200 and 'modified="2"' in body
+        p = urllib.parse.quote("<http://example.org/src>")
+        _, _, body = _get(f"{base}?ESTCARD&p={p}")
+        assert 'rangeCount="2"' in body
+        # non-file URI refused
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}?uri=http%3A%2F%2Fexample.org%2Fx.ttl", data=b"", method="POST"))
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
