@@ -338,97 +338,6 @@ def test_multitenancy_lifecycle(spark):
         srv.shutdown()
 
 
-def test_status_page_and_cancel(spark):
-    """StatusServlet analog: /status reports uptime, namespaces and
-    running queries; cancelQuery cancels a live query's job group."""
-    import threading
-    import time
-
-    store = TripleStore.from_turtle(spark, TTL).persist()
-    srv, _ = serve_background(store)
-    root = f"http://127.0.0.1:{srv.server_address[1]}"
-    try:
-        code, ctype, body = _get(f"{root}/status")
-        assert code == 200 and "uptime_sec:" in body and "namespaces: kb" in body
-        assert "running_queries:" in body
-        # cancel of an unknown query id is a no-op
-        code, _, body = _get(f"{root}/status?cancelQuery&queryId=no-such-id")
-        assert code == 200 and body.strip() == "cancelled: 0"
-
-        # a live query appears in /status and can be cancelled
-        q = urllib.parse.quote(
-            "SELECT * WHERE { ?a ?b ?c . ?d ?e ?f . ?g ?h ?i . ?j ?k ?l }")
-        errors = []
-
-        def run():
-            try:
-                _get(f"{root}/sparql?query={q}")
-            except urllib.error.HTTPError as e:
-                errors.append(e.code)
-
-        t = threading.Thread(target=run)
-        t.start()
-        qid = None
-        for _ in range(100):  # wait for it to register
-            _, _, body = _get(f"{root}/status")
-            m = re.search(r"^  (\S+)  elapsed=", body, re.M)
-            if m:
-                qid = m.group(1)
-                break
-            time.sleep(0.05)
-        if qid is not None:  # query still running → cancel it
-            code, _, body = _get(f"{root}/status?cancelQuery&queryId={qid}")
-            assert body.strip() in ("cancelled: 1", "cancelled: 0")
-        t.join(timeout=60)
-        assert not t.is_alive()
-        # after completion/cancellation nothing is left running
-        _, _, body = _get(f"{root}/status")
-        assert "elapsed=" not in body
-    finally:
-        srv.shutdown()
-
-
-def test_query_timeout_deadline(spark):
-    """ConfigParams.QUERY_TIMEOUT analog: a query exceeding the
-    server's deadline is cancelled and reported as an error; fast
-    queries are untouched."""
-    import time
-    store = TripleStore.from_turtle(spark, TTL).persist()
-    srv, _ = serve_background(store, query_timeout=0.05)
-    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
-    try:
-        heavy = urllib.parse.quote(
-            "SELECT * WHERE { ?a ?b ?c . ?d ?e ?f . ?g ?h ?i . ?j ?k ?l . ?m ?n ?o }")
-        try:
-            _get(f"{base}?query={heavy}")
-            timed_out = False
-        except urllib.error.HTTPError as e:
-            timed_out = e.code == 500 and "deadline" in e.read().decode()
-        assert timed_out
-    finally:
-        srv.shutdown()
-    srv2, _ = serve_background(store, query_timeout=300)
-    base2 = f"http://127.0.0.1:{srv2.server_address[1]}/sparql"
-    try:
-        q = urllib.parse.quote("PREFIX : <http://example.org/> ASK { :b :q :a }")
-        # the shared local-mode JVM can be transiently turbulent right
-        # after a job-group cancel (upstream Spark local artifact, not
-        # a server bug — cluster-mode cancellation is routine): retry
-        last = None
-        for _ in range(5):
-            try:
-                code, _, body = _get(f"{base2}?query={q}")
-                break
-            except urllib.error.HTTPError as e:
-                last = f"{e.code} {e.read().decode()[:300]}"
-                time.sleep(2)
-        else:
-            raise AssertionError(f"fast query kept failing: {last}")
-        assert code == 200 and json.loads(body)["boolean"] is True
-    finally:
-        srv2.shutdown()
-
-
 def test_insert_from_file_uris(spark, tmp_path):
     """InsertServlet.doPostWithURIs analog: POST ?uri=file://… loads
     each document (format sniffed from extension)."""
@@ -458,3 +367,119 @@ def test_insert_from_file_uris(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+# -- cancellation tests run ISOLATED -----------------------------------------
+# Job-group cancellation is routine on a cluster, but in a shared
+# single-JVM local session a cancel can wedge the scheduler for every
+# later collect (Spark local-mode artifact, observed as cascading
+# [INTERNAL_ERROR] collectToPython).  The status-cancel and
+# query-deadline tests therefore run in their OWN interpreter + Spark
+# session, so the suite's shared session is never exposed to a cancel.
+
+_ISOLATED_PRELUDE = """
+import json, re, sys, threading, time, urllib.error, urllib.parse, urllib.request
+sys.path.insert(0, "/root/repo")
+from bigdata_old_spark.session import get_spark
+from bigdata_old_spark.server import serve_background
+from bigdata_old_spark.store import TripleStore
+spark = get_spark("isolated-cancel-test", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+TTL = \'\'\'%s\'\'\'
+store = TripleStore.from_turtle(spark, TTL).persist()
+def GET(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read().decode()
+""" % TTL
+
+
+_STATUS_SCRIPT = _ISOLATED_PRELUDE + """
+srv, _ = serve_background(store)
+root = "http://127.0.0.1:%d" % srv.server_address[1]
+code, body = GET(root + "/status")
+assert code == 200 and "uptime_sec:" in body and "namespaces: kb" in body
+assert "running_queries:" in body
+code, body = GET(root + "/status?cancelQuery&queryId=no-such-id")
+assert code == 200 and body.strip() == "cancelled: 0"
+q = urllib.parse.quote("SELECT * WHERE { ?a ?b ?c . ?d ?e ?f . ?g ?h ?i . ?j ?k ?l }")
+def run():
+    try:
+        GET(root + "/sparql?query=" + q)
+    except urllib.error.HTTPError:
+        pass
+t = threading.Thread(target=run); t.start()
+qid = None
+for _ in range(100):
+    _, body = GET(root + "/status")
+    m = re.search(r"^  (\\S+)  elapsed=", body, re.M)
+    if m:
+        qid = m.group(1); break
+    time.sleep(0.05)
+if qid is not None:
+    code, body = GET(root + "/status?cancelQuery&queryId=" + qid)
+    assert body.strip() in ("cancelled: 1", "cancelled: 0")
+t.join(timeout=120)
+assert not t.is_alive()
+_, body = GET(root + "/status")
+assert "elapsed=" not in body
+print("ALL_OK")
+"""
+
+
+_DEADLINE_SCRIPT = _ISOLATED_PRELUDE + """
+srv, _ = serve_background(store, query_timeout=0.05)
+base = "http://127.0.0.1:%d/sparql" % srv.server_address[1]
+heavy = urllib.parse.quote(
+    "SELECT * WHERE { ?a ?b ?c . ?d ?e ?f . ?g ?h ?i . ?j ?k ?l }")
+try:
+    GET(base + "?query=" + heavy)
+    raise AssertionError("expected deadline error")
+except urllib.error.HTTPError as e:
+    body = e.read().decode()
+    assert e.code == 500 and "deadline" in body, (e.code, body[:200])
+srv.shutdown()
+srv2, _ = serve_background(store, query_timeout=300)
+base2 = "http://127.0.0.1:%d/sparql" % srv2.server_address[1]
+q = urllib.parse.quote("PREFIX : <http://example.org/> ASK { :b :q :a }")
+last = None
+for _ in range(5):
+    try:
+        code, body = GET(base2 + "?query=" + q)
+        break
+    except urllib.error.HTTPError as e:
+        last = "%d %s" % (e.code, e.read().decode()[:300])
+        time.sleep(2)
+else:
+    raise AssertionError("fast query kept failing: " + str(last))
+assert code == 200 and json.loads(body)["boolean"] is True
+print("ALL_OK")
+"""
+
+
+def _run_isolated(script: str):
+    import os
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=900, env=dict(os.environ),
+    )
+    assert r.returncode == 0 and "ALL_OK" in r.stdout, (
+        f"isolated test failed\nstdout: {r.stdout[-1500:]}\n"
+        f"stderr: {r.stderr[-1500:]}"
+    )
+
+
+def test_status_page_and_cancel():
+    """StatusServlet analog: /status reports uptime, namespaces and
+    running queries; cancelQuery cancels a live query's job group.
+    Runs isolated — see the comment above."""
+    _run_isolated(_STATUS_SCRIPT)
+
+
+def test_query_timeout_deadline():
+    """ConfigParams.QUERY_TIMEOUT analog: a query exceeding the
+    server's deadline is cancelled and reported as an error; fast
+    queries are untouched.  Runs isolated — see the comment above."""
+    _run_isolated(_DEADLINE_SCRIPT)
