@@ -1376,6 +1376,35 @@ def _p_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(lined, min_line_words=5, min_sentences=3)
 
 
+def _p_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment (Broder's |A∩B|/|A|): every
+    doc_id % 10 == 0 document gets a synthetic superset twin
+    (id+100000, its text concatenated with the next doc's), so real
+    embedded-document pairs exist for the inverted-index containment
+    join to find; the DuckDB all-ordered-pairs oracle value-checks it
+    exactly (the operator is exact — no blocking to parameterize
+    away)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("nt"))
+    twins = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", "text", "nt").alias("text"),
+        )
+    )
+    aug = docs.unionByName(twins)
+    out = containment_pairs(aug, min_containment=0.9)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("containment"), 5).alias("containment")
+    )
+
+
 def _p_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed-unigram
     bag-of-words log-likelihood ratio of every document against a
@@ -1931,6 +1960,35 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            )
            SELECT d.doc_id, round(coalesce(sc.s, 0.0), 5) AS dsir_logratio
            FROM documents d LEFT JOIN sc USING (doc_id)""",
+    ),
+    "p34_containment_pairs": (
+        _p_containment,
+        # same superset-twin augmentation; containment over DISTINCT
+        # 3-token shingles, all ordered pairs, both directions
+        f"""WITH d AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT a.doc_id + 100000, a.text || ' ' || b.text
+             FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             WHERE a.doc_id % 10 = 0
+           ), base AS (
+             SELECT doc_id, {_TOKS} AS toks FROM d
+           ), sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 3
+                         THEN list_distinct(list_transform(
+                                generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' ')))
+                         ELSE [array_to_string(toks, ' ')] END AS sh
+             FROM base
+           ), pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS c
+             FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             WHERE len(a.sh) >= 1
+           )
+           SELECT id_a, id_b, round(c, 5) AS containment
+           FROM pairs WHERE c >= 0.9""",
     ),
     "p29_gopher_quality": (
         _p_gopher_quality,

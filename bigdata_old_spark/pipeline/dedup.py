@@ -531,3 +531,60 @@ def line_dedup(
         F.col("n_lines"),
         (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment detection (asymmetric near-dup: one document included in
+# another — Broder 1997's containment measure |A∩B| / |A|)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_containment: float = 0.8,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """Directed containment pairs: (id_a, id_b) where at least
+    ``min_containment`` of A's distinct k-shingles also occur in B —
+    the signal Jaccard misses when a short document (a quote, an
+    excerpt, a syndicated snippet) is embedded inside a much longer
+    one, since the union in Jaccard's denominator drowns it.
+
+    Scale shape: NO all-pairs join — documents explode to DISTINCT
+    (shingle, id) rows, candidate pairs materialize only where a
+    shingle is actually shared (an equi-join on the shingle), and the
+    per-pair intersection count is one groupBy.  Comparison volume is
+    sum over shingles of doc-frequency², the same bound as the
+    boilerplate-aware inverted-index joins in IR engines; drop
+    ultra-common shingles (a ``line_dedup``-style boilerplate pass)
+    before calling at corpus scale if a crawl has mega-frequency
+    shingles.  ``min_shingles`` filters trivially short documents whose
+    containment is noise.
+
+    Returns: id_a | id_b | containment (round to taste downstream);
+    both directions are reported independently (A-in-B and B-in-A are
+    different facts).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    ).where(F.size("sh") >= min_shingles)
+    sizes = base.select("id", F.size("sh").alias("n"))
+    toks = base.select("id", F.explode("sh").alias("s"))
+    pair_counts = (
+        toks.alias("a")
+        .join(toks.alias("b"), "s")
+        .where(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pair_counts.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .select(
+            "id_a", "id_b",
+            (F.col("shared") / F.col("n")).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )

@@ -933,3 +933,28 @@ def test_c4_clean_reconstruction_is_line_subset(spark):
         for k in kept:
             assert len(k.split()) >= 5 and "javascript" not in k.lower()
         assert r["n_lines_kept"] == len(kept)
+
+
+def test_containment_pairs_detects_embedded_docs(spark):
+    """Containment (Broder's |A∩B|/|A|) catches a short doc embedded in
+    a long one where Jaccard stays far below any dedup threshold."""
+    from bigdata_old_spark.pipeline.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    filler = ("many unrelated words about query engines partitions shuffles "
+              "caches joins aggregates windows sorts spills metrics plans "
+              "buckets statistics estimates broadcasts exchanges")
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler),  # 1 embedded in 2
+        (3, "completely different content having nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(df, min_containment=0.9).collect()}
+    assert got.get((1, 2)) == 1.0          # every shingle of 1 occurs in 2
+    assert (2, 1) not in got               # asymmetric: 2 is NOT inside 1
+    assert not any(3 in p for p in got)
+    # Jaccard misses it entirely at any usable threshold
+    j = ngram_jaccard_pairs(df, min_jaccard=0.3).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in j)
