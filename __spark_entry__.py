@@ -1421,7 +1421,116 @@ def _p_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(F.col("dsir_logratio"), 5).alias("dsir_logratio"))
 
 
+def _p_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN statistics (Lee et al. 2021 ExactSubstr
+    dedup re-expressed as rolling 8-token window hashing): a token
+    position counts as duplicated iff some 8-token window covering it
+    occurs >= 2 times corpus-wide.  md5 window keys keep the oracle on
+    the same hash."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=8).select(
+        "doc_id", "n_tokens", "n_dup_tokens", F.round("dup_frac", 5).alias("dup_frac")
+    )
+
+
+def _p_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram logistic-regression quality classifier (the
+    fastText-style GPT-3/CCNet filter): positives = doc_id % 11 == 0
+    (the 'reference corpus' slice), negatives = the rest; ONE full-batch
+    GD step from zero init — with w0=0 the gradient is a closed-form
+    aggregate (sigmoid(0)=1/2), so the SQL oracle replays training AND
+    scoring exactly.  More iterations just repeat the verified unit."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import classifier_score, train_ngram_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    pos = docs.where(F.col("doc_id") % 11 == 0)
+    neg = docs.where(F.col("doc_id") % 11 != 0)
+    model = train_ngram_classifier(pos, neg, iters=1, lr=1.0)
+    return classifier_score(docs, model).select(
+        "doc_id", F.round("quality_prob", 5).alias("quality_prob")
+    )
+
+
+def _p_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a bag-of-tokens query (Lucene idf variant,
+    k1=1.2 b=0.75) — posting rows materialize only for query tokens,
+    df/avgdl ride as broadcast scalars, top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import bm25_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["spark", "query", "join"], top=20).select(
+        "doc_id", F.round("score", 5).alias("score"), "rank"
+    )
+
+
+def _p_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the events table:
+    greedy earliest completion, each step strictly after the previous
+    — one shuffle on the user key, then a row-local fold over the
+    time-sorted event array."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.streaming import funnel_stages
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"]).select(
+        "user_id", "stage", F.col("stage_ts").cast("long").alias("stage_ts")
+    )
+
+
+def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (analytics.weighted_sssp — the link-weight
+    generalization of the reference's unit-weight GAS SSSP) over a
+    two-layer lineitem graph: source order → its parts (weight =
+    l_linenumber) → every supplier shipping that part (weight =
+    (partkey+suppkey)%7+1).  Parallel edges and competing paths make
+    the min-relaxation non-trivial; the oracle replays the layered
+    mins."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.analytics import weighted_sssp
+
+    li = _read(spark, sf_dir, "lineitem")
+    src_key = li.agg(F.min("l_orderkey")).collect()[0][0]
+    e1 = li.where(F.col("l_orderkey") == src_key).select(
+        F.concat(F.lit("O:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("dst"),
+        F.col("l_linenumber").cast("double").alias("weight"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("dst"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 7 + 1).cast("double").alias("weight"),
+    )
+    out = weighted_sssp(e1.unionByName(e2), f"O:{src_key}")
+    return out.select("v", F.round("dist", 5).alias("dist"))
+
+
 _FORM_QUERIES: dict[str, tuple] = {
+    "q34_weighted_sssp": (
+        _q_weighted_sssp,
+        """WITH src AS (SELECT min(l_orderkey) AS k FROM lineitem),
+           e1 AS (SELECT 'O:' || l_orderkey AS src, 'P:' || l_partkey AS dst,
+                         l_linenumber::DOUBLE AS w
+                  FROM lineitem WHERE l_orderkey = (SELECT k FROM src)),
+           e2 AS (SELECT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst,
+                         ((l_partkey + l_suppkey) % 7 + 1)::DOUBLE AS w FROM lineitem),
+           dp AS (SELECT dst AS v, min(w) AS d FROM e1 GROUP BY 1),
+           ds AS (SELECT e2.dst AS v, min(dp.d + e2.w) AS d
+                  FROM e2 JOIN dp ON e2.src = dp.v GROUP BY 1)
+           SELECT 'O:' || (SELECT k FROM src) AS v, 0.0 AS dist
+           UNION ALL SELECT v, round(d, 5) FROM dp
+           UNION ALL SELECT v, round(d, 5) FROM ds""",
+    ),
     "q27_rdfs_inference": (
         _q_inference,
         """SELECT (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS n_party""",
@@ -1544,6 +1653,90 @@ _FORM_QUERIES: dict[str, tuple] = {
 
 _PIPELINE_QUERIES: dict[str, tuple] = {
     # name: (callable, oracle sql | None)
+    "p35_duplicate_spans": (
+        _p_duplicate_spans,
+        """WITH t AS (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> x <> '') AS toks
+                      FROM documents),
+           w AS (SELECT doc_id, unnest(range(1, len(toks)-8+2)) AS i, toks
+                 FROM t WHERE len(toks) >= 8),
+           wk AS (SELECT doc_id, i,
+                         md5(array_to_string(toks[i:i+7], ' ')) AS wkey FROM w),
+           dup AS (SELECT wkey FROM wk GROUP BY wkey HAVING count(*) >= 2),
+           cov AS (SELECT DISTINCT doc_id, p FROM (
+                     SELECT doc_id, unnest(range(i, i+8)) AS p
+                     FROM wk WHERE wkey IN (SELECT wkey FROM dup))),
+           agg AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1)
+           SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                  coalesce(agg.n_dup, 0)::BIGINT AS n_dup_tokens,
+                  round(coalesce(agg.n_dup, 0) / greatest(len(t.toks), 1), 5) AS dup_frac
+           FROM t LEFT JOIN agg USING (doc_id)""",
+    ),
+    "p36_quality_classifier": (
+        _p_quality_classifier,
+        # one GD step from w=0: sigmoid(0)=1/2 makes the gradient a
+        # closed-form aggregate, so training replays as plain SQL
+        """WITH lab AS (SELECT doc_id,
+                               CASE WHEN doc_id % 11 = 0 THEN 1.0 ELSE 0.0 END AS y,
+                               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                           x -> x <> '') AS toks
+                        FROM documents),
+           feats AS (SELECT doc_id, y, substr(md5(unnest(toks)), 1, 2) AS feat FROM lab),
+           per AS (SELECT doc_id, y, feat, count(*)::DOUBLE AS cnt FROM feats GROUP BY ALL),
+           tot AS (SELECT doc_id, count(*)::DOUBLE AS tot FROM feats GROUP BY 1),
+           x AS (SELECT p.doc_id, p.y, p.feat, p.cnt / t.tot AS x
+                 FROM per p JOIN tot t USING (doc_id)),
+           nd AS (SELECT count(*)::DOUBLE AS n FROM lab),
+           w AS (SELECT feat, -sum((0.5 - y) * x) / (SELECT n FROM nd) AS w
+                 FROM x GROUP BY 1),
+           bias AS (SELECT -sum(0.5 - y) / (SELECT n FROM nd) AS b FROM lab),
+           z AS (SELECT l.doc_id,
+                        coalesce(sum(xx.x * w.w), 0) + (SELECT b FROM bias) AS z
+                 FROM lab l LEFT JOIN x xx ON xx.doc_id = l.doc_id
+                            LEFT JOIN w ON w.feat = xx.feat
+                 GROUP BY 1)
+           SELECT doc_id, round(1 / (1 + exp(-z)), 5) AS quality_prob FROM z""",
+    ),
+    "p37_bm25_topk": (
+        _p_bm25,
+        """WITH base AS (SELECT doc_id,
+                                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                            x -> x <> '') AS toks
+                         FROM documents),
+           lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM base),
+           stats AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM lens),
+           post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM (
+                      SELECT doc_id, unnest(toks) AS tok FROM base)
+                    WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+           dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+           scored AS (SELECT p.doc_id,
+                             sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                                 * (p.tf * 2.2)
+                                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+                      FROM post p JOIN dfreq d USING (tok)
+                                  JOIN lens l USING (doc_id) CROSS JOIN stats s
+                      GROUP BY 1)
+           SELECT doc_id, round(score, 5) AS score, rank FROM (
+             SELECT doc_id, score,
+                    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM scored)
+           WHERE rank <= 20""",
+    ),
+    "p38_event_funnel": (
+        _p_funnel,
+        """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+           t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+           t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1)
+           SELECT t1.user_id,
+                  CASE WHEN ts3 IS NOT NULL THEN 3
+                       WHEN ts2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+                  floor(epoch(coalesce(ts3, ts2, ts1)))::BIGINT AS stage_ts
+           FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""",
+    ),
     "p01_dedup_exact": (
         _p_dedup_exact,
         """SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,

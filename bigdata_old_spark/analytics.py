@@ -164,3 +164,53 @@ def gas_iterate(state: DataFrame, edges: DataFrame, round_fn, max_iter: int = 50
         if done:
             break
     return state
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    source: str,
+    directed: bool = True,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Single-source shortest paths with PER-EDGE weights — the
+    generalization of :func:`sssp` (the reference's GAS SSSP ships unit
+    weights, SSSP.java:53; link-weight support is its documented TODO).
+    Bellman-Ford-style frontier relaxation: each round relaxes only
+    edges out of vertices whose distance improved last round, so work
+    is proportional to the changing frontier, not the graph.  Requires
+    non-negative weights (checked lazily: a negative-weight edge makes
+    the fixpoint unsound with a frontier cut at ``max_iter``).
+
+    ``edges``: src | dst | weight (parallel edges fine — min applies).
+    Returns: v | dist.
+    """
+    spark = edges.sparkSession
+    if not directed:
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    edges = edges.localCheckpoint(eager=True)
+    dist = spark.createDataFrame([(source, 0.0)], "v string, dist double")
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "od").withColumnRenamed("v", "v2"),
+                      cand["v"] == F.col("v2"), "left")
+            .where(F.col("od").isNull() | (F.col("nd") < F.col("od")))
+            .select("v", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select(F.col("v").alias("iv")), dist["v"] == F.col("iv"), "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

@@ -534,6 +534,140 @@ def line_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Exact duplicate-SPAN detection (substring-level dedup — Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better":
+# repeated ≥k-token substrings, not just whole-document duplicates)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+    window_hash: str = "md5",
+) -> DataFrame:
+    """Per-document duplicated-token statistics from EXACT repeated
+    spans: a token position is "duplicated" iff it lies inside some
+    k-token window whose exact text occurs >= ``min_count`` times in
+    the corpus (counting every occurrence, including repeats within one
+    document — the suffix-array dedup criterion of Lee et al. 2021
+    re-expressed as rolling-window hashing: a repeated substring of
+    length >= k is exactly a run of repeated k-windows, so the covered
+    positions coincide with the suffix-array answer for spans >= k).
+
+    Returns: id_col | n_tokens | n_dup_tokens | dup_frac.
+
+    Scale shape (the reason this is windows, not suffix arrays): a
+    distributed suffix array needs a global sort of every suffix;
+    rolling windows need (1) a map-side posexplode to slim
+    (id, pos, window_hash) rows, (2) ONE count shuffle on the window
+    hash (map-side combine collapses per-partition repeats first), and
+    (3) one groupBy(id) to merge covered positions per document —
+    all linear, no global order.  ``window_hash='md5'`` keeps the key
+    replayable by an external SQL oracle; 'xxhash64' is the cheaper
+    8-byte production key (2^-64 collisions mark a span duplicated
+    spuriously; acceptable for corpus hygiene, not for the gate).
+    Documents shorter than k tokens have no windows and report 0.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n = F.size("toks")
+    # window start positions 1..n-k+1 (1-based to match SQL slicing)
+    wins = base.where(n >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+            )
+        ).alias("pos0", "wtext"),
+    )
+    keyed = wins.select(
+        "id",
+        (F.col("pos0") + 1).alias("i"),  # 1-based window start
+        (F.md5("wtext") if window_hash == "md5" else F.xxhash64("wtext").cast("string")).alias("wkey"),
+    )
+    dup_keys = (
+        keyed.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("wkey")
+    )
+    covered = (
+        keyed.join(dup_keys, "wkey", "left_semi")
+        .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + k - 1)).alias("p"))
+        .dropDuplicates(["id", "p"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            (
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each document keeping only tokens OUTSIDE duplicated
+    spans (the destructive half of Lee et al.'s ExactSubstr dedup).
+    Lowercased tokens — span identity is case-folded, and the rebuilt
+    text is the case-folded token stream (byte-exact reconstruction
+    would carry the original offsets; the training-data consumer
+    tokenizes anyway).  Returns: id_col | text_stripped | n_tokens |
+    n_dup_tokens."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n = F.size("toks")
+    wins = base.where(n >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+            )
+        ).alias("pos0", "wtext"),
+    )
+    keyed = wins.select("id", (F.col("pos0") + 1).alias("i"), F.md5("wtext").alias("wkey"))
+    dup_keys = (
+        keyed.groupBy("wkey").agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count).select("wkey")
+    )
+    covered = (
+        keyed.join(dup_keys, "wkey", "left_semi")
+        .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + k - 1)).alias("p"))
+        .groupBy("id")
+        .agg(F.collect_set("p").alias("dup_pos"))
+    )
+    joined = base.join(covered, "id", "left")
+    dup_pos = F.coalesce(F.col("dup_pos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(F.col("toks"), lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))),
+        lambda s: ~F.array_contains(dup_pos, s["p"]),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_stripped"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(dup_pos).cast("long").alias("n_dup_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Containment detection (asymmetric near-dup: one document included in
 # another — Broder 1997's containment measure |A∩B| / |A|)
 # ---------------------------------------------------------------------------

@@ -444,3 +444,243 @@ def c4_clean(
         n_sent.alias("n_sentences"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-n-gram logistic-regression quality classifier (the fastText-
+# style "does this look like the reference corpus?" filter used by the
+# GPT-3 / CCNet / LLaMA data pipelines: train a linear classifier on a
+# positive sample vs the raw crawl, keep high-scoring documents)
+# ---------------------------------------------------------------------------
+
+_N_CLS_BUCKETS = 256
+
+
+def _cls_feats(text_col: str) -> Column:
+    """Hashed unigram features: md5-prefix bucketing (2 hex chars →
+    256 buckets), the same portable convention as the DSIR weights so
+    an external SQL engine replays the hashing bit-for-bit."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    return F.transform(toks, lambda t: F.substring(F.md5(t), 1, 2))
+
+
+class NgramClassifier:
+    """Trained model state: 256 hashed-feature weights + bias.  Small
+    enough to ride as plan literals — scoring never shuffles the model."""
+
+    def __init__(self, weights: dict[str, float], bias: float,
+                 n_buckets: int = _N_CLS_BUCKETS) -> None:
+        self.weights = weights
+        self.bias = bias
+        self.n_buckets = n_buckets
+
+
+def _cls_doc_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, feat, x) rows — x = bucket count / doc token count (tf),
+    so document length does not dominate the gradient."""
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_cls_feats(text_col)).alias("feat"),
+    )
+    per = feats.groupBy("id", "feat").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = feats.groupBy("id").agg(F.count(F.lit(1)).alias("tot"))
+    return per.join(tot, "id").select(
+        "id", "feat", (F.col("cnt") / F.col("tot")).alias("x")
+    )
+
+
+def train_ngram_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iters: int = 8,
+    lr: float = 1.0,
+) -> NgramClassifier:
+    """Batch-gradient-descent logistic regression on hashed unigram
+    tf features: ``pos`` = the high-quality reference sample (label 1),
+    ``neg`` = the raw corpus sample (label 0).
+
+    Scale shape: the feature table is built ONCE (two shuffles:
+    (id, feat) counts + doc totals) and cached; each GD iteration is
+    (a) a broadcast join of the ≤256-row weight table to score every
+    doc, (b) one groupBy(feat) to aggregate the gradient back to ≤256
+    rows collected on the driver.  Iterations move ≤256 numbers — the
+    model never shuffles with the data.  Deterministic: full-batch
+    gradient, no sampling, no random init (w=0).
+    """
+    import math
+
+    spark = pos.sparkSession
+    labeled = pos.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")) \
+        .withColumn("y", F.lit(1.0)) \
+        .unionByName(
+            neg.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+            .withColumn("y", F.lit(0.0))
+        ) \
+        .withColumn("id", F.concat(F.col("y").cast("int").cast("string"), F.lit(":"), F.col("id").cast("string")))
+    xdf = _cls_doc_features(labeled, "id", "__t").join(
+        labeled.select("id", "y").dropDuplicates(["id"]), "id"
+    )
+    xdf = xdf.persist()
+    try:
+        n_docs = labeled.count()
+        w: dict[str, float] = {}
+        b = 0.0
+        for _ in range(iters):
+            if w:
+                wdf = spark.createDataFrame(
+                    [(k, v) for k, v in w.items()], ["feat", "w"]
+                )
+                scored = xdf.join(F.broadcast(wdf), "feat", "left").select(
+                    "id", "feat", "x", "y",
+                    (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).alias("wx"),
+                )
+            else:
+                scored = xdf.select("id", "feat", "x", "y", F.lit(0.0).alias("wx"))
+            z = scored.groupBy("id").agg(F.sum("wx").alias("z"))
+            # left join so zero-token docs (no feature rows) still push
+            # the bias gradient with z = 0
+            err = (
+                labeled.select("id", "y").dropDuplicates(["id"])
+                .join(z, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0)) + F.lit(b))))
+                        - F.col("y")
+                    ).alias("err"),
+                )
+            )
+            grad = (
+                xdf.join(err, "id")
+                .groupBy("feat")
+                .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
+                .collect()
+            )
+            gb = err.agg(F.sum("err")).collect()[0][0] or 0.0
+            for row in grad:
+                w[row["feat"]] = w.get(row["feat"], 0.0) - lr * row["g"] / n_docs
+            b -= lr * gb / n_docs
+        return NgramClassifier(w, b)
+    finally:
+        xdf.unpersist()
+
+
+def classifier_score(
+    df: DataFrame,
+    model: NgramClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """sigmoid(bias + Σ w[feat]·tf[feat]) per document — the model is a
+    plan-literal map, so scoring is one row-local pass (explode-free:
+    the per-bucket tf aggregation folds inside a single aggregate
+    expression over the token array).  Returns id_col | quality_prob."""
+    feats = _cls_feats(text_col)
+    if model.weights:
+        ks, vs = zip(*sorted(model.weights.items()))
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in ks]),
+            F.array(*[F.lit(float(v)) for v in vs]),
+        )
+    else:
+        wmap = F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<double>"))
+    n = F.size(feats)
+    wsum = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)),
+    )
+    z = F.lit(float(model.bias)) + F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_prob"),
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    model: NgramClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep documents the classifier scores >= threshold (the GPT-3
+    pipeline additionally Pareto-samples near the boundary; a
+    deterministic cut keeps the op oracle-checkable)."""
+    scores = classifier_score(df, model, id_col, text_col)
+    keep = scores.where(F.col("quality_prob") >= threshold).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking over the document corpus (Robertson-Spärck Jones;
+# the "retrieve supporting documents for a query" primitive — distinct
+# from the engine's bds: Lucene-parity cosine in search.py)
+# ---------------------------------------------------------------------------
+
+def bm25_rank(
+    df: DataFrame,
+    query_tokens: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int | None = 20,
+) -> DataFrame:
+    """BM25 document ranking for a bag-of-tokens query.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene's variant —
+    always positive), tf normalized by doc length against the corpus
+    average.  Returns id_col | score | rank (rank ties broken by id;
+    only documents matching >= 1 query token appear).
+
+    Scale shape: the posting rows are (id, token) for QUERY tokens only
+    (the filter pushes into the explode), df/avgdl are two tiny
+    aggregates that ride as broadcast scalars via crossJoin(literal
+    frame), and the score is one groupBy(id).  Top-k is
+    TakeOrderedAndProject, no global sort.
+    """
+    import math  # noqa: F401  (documenting the ln() base parity)
+
+    q = [t.lower() for t in dict.fromkeys(query_tokens)]
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    lens = base.select("id", F.size("toks").cast("double").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+    post = (
+        base.select("id", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(q))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        post.join(F.broadcast(dfreq), "tok")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    if top is not None:
+        # TakeOrderedAndProject first; the single-partition rank window
+        # then sees only `top` rows, never the corpus
+        scored = scored.orderBy(F.desc("score"), F.col("id")).limit(top)
+    return scored.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col("id"))),
+    ).select(F.col("id").alias(id_col), "score", "rank")

@@ -435,3 +435,64 @@ def dedup_ingest_once(
         .start()
     )
     q.awaitTermination()
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, how far through the
+    ``steps`` sequence they progressed, where step i+1 must occur
+    STRICTLY after the (earliest possible) completion of step i.  The
+    greedy earliest-completion walk is optimal for reachability, so
+    "stage" is a well-defined function of the event set.
+
+    Returns: user_col | stage (1..len(steps)) | stage_ts (event time of
+    the furthest step reached) — users who never performed step 1 are
+    omitted (stage 0 carries no timestamp and bloats the output at
+    corpus scale).
+
+    Scale shape: events filter to the step types at the scan (predicate
+    pushdown), ONE shuffle on the user key, and the walk itself is a
+    row-local fold over each user's time-sorted event array — no
+    window-function global sort, no UDF.  Skew bound = the hottest
+    single user's event count.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    evs = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col),
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")).alias("e"),
+        )
+    )
+    per_user = evs.groupBy(user_col).agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    n_steps = len(steps)
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last_ts")
+    )
+
+    def advance(acc, e):
+        eligible = (
+            (acc["stage"] < n_steps)
+            & (e["et"] == F.element_at(step_arr, acc["stage"] + 1))
+            & ((acc["stage"] == 0) | (e["ts"] > acc["last_ts"]))
+        )
+        return F.when(
+            eligible,
+            F.struct((acc["stage"] + 1).alias("stage"), e["ts"].alias("last_ts")),
+        ).otherwise(acc)
+
+    res = per_user.select(
+        F.col(user_col), F.aggregate("evs", init, advance).alias("r")
+    )
+    return res.where(F.col("r.stage") >= 1).select(
+        user_col,
+        F.col("r.stage").alias("stage"),
+        F.col("r.last_ts").alias("stage_ts"),
+    )

@@ -298,3 +298,37 @@ def test_connected_components_probe_reads_checkpoint(spark, monkeypatch):
     assert probed  # one probe per round
     for plan in probed:
         assert "Join" not in plan and "LogicalRDD" in plan
+
+
+def test_weighted_sssp_picks_lighter_path(spark):
+    from bigdata_old_spark.analytics import weighted_sssp
+
+    # a→b→d costs 1+1=2; direct a→d costs 5; parallel a→b edges take min
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "b", 3.0), ("b", "d", 1.0), ("a", "d", 5.0),
+         ("d", "e", 2.0)],
+        ["src", "dst", "weight"],
+    )
+    out = {r["v"]: r["dist"] for r in weighted_sssp(edges, "a").collect()}
+    assert out == {"a": 0.0, "b": 1.0, "d": 2.0, "e": 4.0}
+
+
+def test_weighted_sssp_relaxation_crosses_rounds(spark):
+    from bigdata_old_spark.analytics import weighted_sssp
+
+    # the cheap route to d arrives a round LATER than the direct edge:
+    # round 1 sets d=10 via a→d; the a→b→c→d chain must still improve it
+    edges = spark.createDataFrame(
+        [("a", "d", 10.0), ("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    out = {r["v"]: r["dist"] for r in weighted_sssp(edges, "a").collect()}
+    assert out["d"] == 3.0
+
+
+def test_weighted_sssp_undirected(spark):
+    from bigdata_old_spark.analytics import weighted_sssp
+
+    edges = spark.createDataFrame([("b", "a", 2.0)], ["src", "dst", "weight"])
+    out = {r["v"]: r["dist"] for r in weighted_sssp(edges, "a", directed=False).collect()}
+    assert out == {"a": 0.0, "b": 2.0}

@@ -958,3 +958,171 @@ def test_containment_pairs_detects_embedded_docs(spark):
     # Jaccard misses it entirely at any usable threshold
     j = ngram_jaccard_pairs(df, min_jaccard=0.3).collect()
     assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in j)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (Lee et al. 2021 ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_marks_repeated_window(spark):
+    from bigdata_old_spark.pipeline.dedup import duplicate_spans
+
+    span = "alpha bravo charlie delta echo"  # 5 tokens, shared verbatim
+    rows = [
+        (1, f"{span} unique tail one two"),            # tokens 1-5 duplicated
+        (2, f"prefix words here {span} and more"),     # tokens 4-8 duplicated
+        (3, "completely different text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in duplicate_spans(df, k=5).collect()}
+    assert out[1]["n_dup_tokens"] == 5 and out[1]["n_tokens"] == 9
+    assert out[2]["n_dup_tokens"] == 5 and out[2]["n_tokens"] == 10
+    assert out[3]["n_dup_tokens"] == 0
+    assert abs(out[1]["dup_frac"] - 5 / 9) < 1e-9
+
+
+def test_duplicate_spans_within_one_document(spark):
+    # Lee et al. count within-document repetition too: the same window
+    # twice in ONE doc is a duplicate span
+    from bigdata_old_spark.pipeline.dedup import duplicate_spans
+
+    text = "x y z w v " * 2 + "ending tokens differ"
+    df = spark.createDataFrame([(1, text.strip())], ["doc_id", "text"])
+    out = duplicate_spans(df, k=5).collect()[0]
+    assert out["n_dup_tokens"] == 10  # both copies of the 5-token run
+
+
+def test_duplicate_spans_short_doc_has_no_windows(spark):
+    from bigdata_old_spark.pipeline.dedup import duplicate_spans
+
+    df = spark.createDataFrame([(1, "too short"), (2, "too short")], ["doc_id", "text"])
+    for r in duplicate_spans(df, k=5).collect():
+        assert r["n_dup_tokens"] == 0 and r["n_tokens"] == 2
+
+
+def test_strip_duplicate_spans_removes_only_covered_tokens(spark):
+    from bigdata_old_spark.pipeline.dedup import strip_duplicate_spans
+
+    span = "alpha bravo charlie delta echo"
+    rows = [(1, f"{span} keep these words"), (2, f"start {span} end")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, k=5).collect()}
+    assert out[1]["text_stripped"] == "keep these words"
+    assert out[2]["text_stripped"] == "start end"
+    assert out[1]["n_dup_tokens"] == 5
+
+
+# ---------------------------------------------------------------------------
+# Hashed-n-gram logistic quality classifier
+# ---------------------------------------------------------------------------
+
+def test_classifier_separates_vocabularies(spark):
+    from bigdata_old_spark.pipeline.text import (
+        classifier_filter, classifier_score, train_ngram_classifier)
+
+    pos_rows = [(i, "excellent prose coherent paragraphs thoughtful analysis") for i in range(8)]
+    neg_rows = [(100 + i, "buy cheap viagra click here spam casino") for i in range(8)]
+    pos = spark.createDataFrame(pos_rows, ["doc_id", "text"])
+    neg = spark.createDataFrame(neg_rows, ["doc_id", "text"])
+    model = train_ngram_classifier(pos, neg, iters=12, lr=2.0)
+    test = spark.createDataFrame(
+        [(1, "thoughtful coherent analysis of excellent prose"),
+         (2, "click here cheap casino spam")],
+        ["doc_id", "text"],
+    )
+    scores = {r["doc_id"]: r["quality_prob"] for r in classifier_score(test, model).collect()}
+    assert scores[1] > scores[2]
+    assert scores[1] > 0.5 > scores[2]
+    kept = classifier_filter(test, model, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_classifier_zero_token_doc_scores_at_bias(spark):
+    import math
+
+    from bigdata_old_spark.pipeline.text import classifier_score, train_ngram_classifier
+
+    pos = spark.createDataFrame([(1, "good text here")], ["doc_id", "text"])
+    neg = spark.createDataFrame([(2, "bad junk words")], ["doc_id", "text"])
+    model = train_ngram_classifier(pos, neg, iters=3)
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    got = classifier_score(empty, model).collect()[0]["quality_prob"]
+    assert abs(got - 1 / (1 + math.exp(-model.bias))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_bm25_prefers_matching_and_rare_terms(spark):
+    from bigdata_old_spark.pipeline.text import bm25_rank
+
+    rows = [
+        (1, "spark runs distributed joins on clusters"),
+        (2, "spark spark spark spark spark spark spark spark"),
+        (3, "databases use indexes and transactions"),
+        (4, "gardening tips for spring flowers"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_rank(df, ["spark", "joins"], top=10).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 1 matches both terms (and 'joins' is rarer) → ranked first;
+    # non-matching docs 3,4 are absent
+    assert ids[0] == 1
+    assert set(ids) == {1, 2}
+    # tf saturation: eight 'spark's must not dwarf the two-term match
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] > scores[2]
+
+
+def test_bm25_no_top_returns_all_matches_ranked(spark):
+    from bigdata_old_spark.pipeline.text import bm25_rank
+
+    rows = [(i, "common token text") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_rank(df, ["token"], top=None).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Event funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_strict_ordering_and_stages(spark):
+    import datetime as dt
+
+    from bigdata_old_spark.streaming import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # u1 completes the funnel in order
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(20), "purchase"),
+        # u2: purchase BEFORE click → stage 2 only
+        (2, s(0), "view"), (2, s(5), "purchase"), (2, s(10), "click"),
+        # u3: click at the SAME timestamp as view → strictly-after fails
+        (3, s(0), "view"), (3, s(0), "click"),
+        # u4: no view at all → omitted
+        (4, s(0), "click"), (4, s(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["stage"] == 3 and out[1]["stage_ts"] == s(20)
+    assert out[2]["stage"] == 2 and out[2]["stage_ts"] == s(10)
+    assert out[3]["stage"] == 1
+    assert 4 not in out
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    import datetime as dt
+
+    from bigdata_old_spark.streaming import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    # a LATER view also precedes the click; greedy earliest view must
+    # not block the click from counting
+    rows = [(1, s(0), "view"), (1, s(50), "view"), (1, s(60), "click")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel_stages(ev, ["view", "click"]).collect()[0]
+    assert out["stage"] == 2
