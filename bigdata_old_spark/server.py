@@ -641,6 +641,9 @@ class SparqlHandler(BaseHTTPRequestHandler):
         if urlparse(self.path).path.rstrip("/") == "/status":
             self._do_status(self._params())
             return
+        if urlparse(self.path).path.rstrip("/") == "/counters":
+            self._do_counters(self._params())
+            return
         if self._is_namespace_admin():
             self._do_namespace_list()
             return
@@ -767,17 +770,80 @@ class SparqlHandler(BaseHTTPRequestHandler):
             else:
                 parse_query(query)
         except Exception as e:
+            self.server.counters["queryErrorCount"] += 1
             self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
             return
         try:
             if update is not None:
                 self._run_update(update)
+                self.server.counters["updatesExecuted"] += 1
             else:
                 self._run_query(query, explain)
+                self.server.counters["queriesExecuted"] += 1
         except _NoSuchNamespace as e:
             self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
         except Exception as e:
+            self.server.counters["queryErrorCount"] += 1
             self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
+
+    def _do_counters(self, p: dict) -> None:
+        """GET /counters — performance counters as the reference's
+        counter-set XML: ``<counters><cs path="..."><c name=".."
+        type=".." time=".." value=".."/></cs></counters>``
+        (CountersServlet.java:64; element/attribute names per
+        counters/XMLUtility.java:326-382).  ``?filter=`` applies the
+        reference's regex filter against the full counter path."""
+        import re as _re
+        import time as _time
+        from xml.sax.saxutils import quoteattr
+
+        now_ms = int(_time.time() * 1000)
+        c = self.server.counters
+        sets: dict[str, list[tuple[str, object, str]]] = {
+            "/Query Engine": [
+                ("queriesExecuted", c.get("queriesExecuted", 0), "Long"),
+                ("updatesExecuted", c.get("updatesExecuted", 0), "Long"),
+                ("queryErrorCount", c.get("queryErrorCount", 0), "Long"),
+                ("runningQueriesCount", len(self.server.running_queries), "Long"),
+                ("elapsedSec", int(_time.time() - self.server.started_at), "Long"),
+            ],
+        }
+        with self.server.store_lock:
+            for ns, store in sorted(self.server.namespaces.items()):
+                sets[f"/Journal/{ns}"] = [
+                    ("statementCount", store.statements.count(), "Long"),
+                ]
+        cache = getattr(self.server, "describe_cache", None)
+        if cache is not None:
+            sets["/DescribeCache"] = [
+                ("hits", cache.hits, "Long"),
+                ("misses", cache.misses, "Long"),
+                ("invalidations", cache.invalidations, "Long"),
+            ]
+        filt = None
+        if p.get("filter"):
+            try:
+                filt = _re.compile(p["filter"][0])
+            except _re.error as e:
+                self._reply(400, f"bad filter: {e}", "text/plain")
+                return
+        out = ['<?xml version="1.0" encoding="UTF-8"?>', "<counters>"]
+        for path, items in sets.items():
+            kept = [
+                (n, v, t) for n, v, t in items
+                if filt is None or filt.search(f"{path}/{n}")
+            ]
+            if not kept:
+                continue
+            out.append(f"<cs path={quoteattr(path)}>")
+            for name, value, typ in kept:
+                out.append(
+                    f"<c name={quoteattr(name)} type={quoteattr(typ)} "
+                    f'time="{now_ms}" value={quoteattr(str(value))}/>'
+                )
+            out.append("</cs>")
+        out.append("</counters>")
+        self._reply(200, "\n".join(out) + "\n", "application/xml")
 
 
 def make_server(
@@ -799,6 +865,9 @@ def make_server(
     srv.namespaces = {"kb": store}
     srv.running_queries = {}
     srv.query_timeout = query_timeout  # seconds; None/0 = unlimited
+    from collections import Counter as _Counter
+
+    srv.counters = _Counter()  # /counters performance counters
     import time as _time
 
     srv.started_at = _time.time()

@@ -483,3 +483,47 @@ def test_query_timeout_deadline():
     server's deadline is cancelled and reported as an error; fast
     queries are untouched.  Runs isolated — see the comment above."""
     _run_isolated(_DEADLINE_SCRIPT)
+
+
+def test_counters_endpoint(endpoint):
+    """CountersServlet analog: /counters renders the reference's
+    counter-set XML (cs path / c name-type-time-value attributes,
+    XMLUtility.java:326-382) and counts executed queries/updates;
+    ?filter= prunes by counter-path regex."""
+    import xml.etree.ElementTree as ET
+
+    base, srv = endpoint
+    root_url = base.rsplit("/sparql", 1)[0]
+    # run one query so queriesExecuted advances
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1")
+    _get(f"{base}?query={q}")
+    status, ctype, body = _get(f"{root_url}/counters")
+    assert status == 200 and ctype == "application/xml"
+    tree = ET.fromstring(body)
+    assert tree.tag == "counters"
+    paths = {cs.get("path"): {c.get("name"): c for c in cs} for cs in tree}
+    qe = paths["/Query Engine"]
+    assert int(qe["queriesExecuted"].get("value")) >= 1
+    assert qe["queriesExecuted"].get("type") == "Long"
+    assert qe["queriesExecuted"].get("time") is not None
+    # per-namespace statement counts (the TTL fixture has 3 triples)
+    assert int(paths["/Journal/kb"]["statementCount"].get("value")) == 3
+    # update counter advances through the UPDATE path
+    _post(base, "update=" + urllib.parse.quote(
+        "INSERT DATA { <http://example.org/x> <http://example.org/y> 1 }"),
+        "application/x-www-form-urlencoded")
+    _, _, body2 = _get(f"{root_url}/counters")
+    t2 = ET.fromstring(body2)
+    p2 = {cs.get("path"): {c.get("name"): c for c in cs} for cs in t2}
+    assert int(p2["/Query Engine"]["updatesExecuted"].get("value")) >= 1
+    assert int(p2["/Journal/kb"]["statementCount"].get("value")) == 4
+    # filter: only Journal counters survive
+    _, _, fbody = _get(f"{root_url}/counters?filter=" + urllib.parse.quote("^/Journal"))
+    ft = ET.fromstring(fbody)
+    assert {cs.get("path") for cs in ft} == {"/Journal/kb"}
+    # bad regex → 400
+    try:
+        _get(f"{root_url}/counters?filter=" + urllib.parse.quote("(unclosed"))
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
