@@ -964,6 +964,24 @@ def _p_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
+def _p_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epochs-capped uniform mixing (Chung et al. 2023): three
+    synthetic sources (doc_id % 3), 5000-token budget, ≤2 epochs per
+    source — ascending water-filling allocation replayed by the oracle
+    as an unrolled 3-step CTE chain (the allocation is driver-side
+    model state, like the IVF centroids)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import unimax_mix
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "source", F.element_at(F.array(F.lit("web"), F.lit("code"), F.lit("books")),
+                               (F.col("doc_id") % 3 + 1).cast("int"))
+    )
+    out = unimax_mix(docs, total_tokens=5000, max_epochs=2)
+    return out.select("doc_id", "source", "n_tokens", "n_epochs")
+
+
 def _p_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (CCNet-style perplexity
     quality signal), model trained on the same corpus — pure count
@@ -2338,6 +2356,44 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
              FROM d
            )
            SELECT doc_id, source, n_tokens FROM t WHERE cum_before < target""",
+    ),
+    "p39_unimax_mix": (
+        _p_unimax_mix,
+        # ascending water-filling unrolled over the three sources; the
+        # same double math as the driver-side allocation loop
+        f"""WITH d AS (
+             SELECT doc_id,
+                    ['web','code','books'][(doc_id % 3 + 1)::INT] AS source,
+                    len({_TOKS})::BIGINT AS n_tokens
+             FROM documents
+           ),
+           srcs AS (SELECT source, sum(n_tokens)::DOUBLE AS ns FROM d GROUP BY 1),
+           ord AS (SELECT source, ns,
+                          row_number() OVER (ORDER BY ns, source) AS r FROM srcs),
+           a1 AS (SELECT source, ns, least(ns * 2, 5000.0 / 3) AS alloc
+                  FROM ord WHERE r = 1),
+           a2 AS (SELECT o.source, o.ns,
+                         least(o.ns * 2, (5000.0 - a1.alloc) / 2) AS alloc
+                  FROM ord o, a1 WHERE o.r = 2),
+           a3 AS (SELECT o.source, o.ns,
+                         least(o.ns * 2, 5000.0 - a1.alloc - a2.alloc) AS alloc
+                  FROM ord o, a1, a2 WHERE o.r = 3),
+           alloc AS (SELECT source, ns, floor(alloc / ns) AS fe,
+                            alloc - floor(alloc / ns) * ns AS pt
+                     FROM (SELECT * FROM a1 UNION ALL
+                           SELECT * FROM a2 UNION ALL
+                           SELECT * FROM a3)),
+           t AS (SELECT d.doc_id, d.source, d.n_tokens, a.fe, a.pt,
+                        COALESCE(SUM(d.n_tokens) OVER (
+                          PARTITION BY d.source
+                          ORDER BY md5(d.doc_id::VARCHAR), d.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) AS cum_before
+                 FROM d JOIN alloc a USING (source))
+           SELECT doc_id, source, n_tokens,
+                  (fe + CASE WHEN cum_before < pt THEN 1 ELSE 0 END)::INT AS n_epochs
+           FROM t
+           WHERE fe + CASE WHEN cum_before < pt THEN 1 ELSE 0 END >= 1""",
     ),
     "p23_lm_perplexity": (
         _p_lm_perplexity,

@@ -310,3 +310,82 @@ def dsir_select(
         .select(id_col)
     )
     return df.join(picked, id_col)
+
+
+def unimax_mix(
+    df: DataFrame,
+    total_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax source mixing (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget as UNIFORMLY as possible
+    across sources while capping any source at ``max_epochs`` passes
+    over its data — the repetition-bounded alternative to temperature
+    sampling.
+
+    Water-filling allocation: visit sources in ascending token-count
+    order; each gets ``min(n_s * max_epochs, remaining_budget /
+    remaining_sources)`` tokens.  A source's allocation turns into
+    ``floor(alloc/n_s)`` full epochs plus a partial epoch of documents
+    taken in the stable (md5(id), id) order while the running token
+    count BEFORE the doc is under the partial target (the
+    :func:`token_budget_mix` convention — overshoot ≤ 1 doc/source).
+
+    Returns the per-source-kept rows with ``n_tokens`` and
+    ``n_epochs`` (how many times the doc repeats in the mixed corpus;
+    only rows with n_epochs >= 1 appear).
+
+    Scale shape: per-source totals are one tiny aggregate collected to
+    drive the water-filling (#sources numbers — model state, like the
+    IVF centroids); the selection itself is one shuffle on the source
+    key and a per-source window cumsum, never a global sort.
+    """
+    from bigdata_old_spark.pipeline.text import token_count
+
+    sized = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    counts = sorted(
+        (
+            (r[source_col], r["ns"])
+            for r in sized.groupBy(source_col).agg(F.sum("n_tokens").alias("ns")).collect()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    remaining = float(total_tokens)
+    plans: list[tuple[str, int, float]] = []  # (source, full_epochs, partial_tokens)
+    for i, (src, ns) in enumerate(counts):
+        quota = remaining / (len(counts) - i)
+        alloc = min(float(ns) * max_epochs, quota)
+        remaining -= alloc
+        full = int(alloc // ns) if ns else 0
+        plans.append((src, full, alloc - full * ns))
+    full_map = F.create_map(
+        *[x for s, fe, _ in sorted(plans) for x in (F.lit(s), F.lit(fe))]
+    )
+    part_map = F.create_map(
+        *[x for s, _, pt in sorted(plans) for x in (F.lit(s), F.lit(pt))]
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = (
+        sized.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "n_epochs",
+            (
+                full_map[F.col(source_col)]
+                + F.when(F.col("__cum_before") < part_map[F.col(source_col)], 1).otherwise(0)
+            ).cast("int"),
+        )
+        .where(F.col("n_epochs") >= 1)
+    )
+    return out.drop("__cum_before")

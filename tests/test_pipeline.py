@@ -1126,3 +1126,48 @@ def test_funnel_greedy_earliest_is_optimal(spark):
     ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
     out = funnel_stages(ev, ["view", "click"]).collect()[0]
     assert out["stage"] == 2
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixing
+# ---------------------------------------------------------------------------
+
+def test_unimax_caps_small_source_epochs(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.sampling import unimax_mix
+
+    rows = (
+        # tiny source: 2 docs x 5 tokens = 10 tokens
+        [(i, "tok " * 5, "tiny") for i in range(2)]
+        # big source: 50 docs x 10 tokens = 500 tokens
+        + [(100 + i, "word " * 10, "big") for i in range(50)]
+    )
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "source"]
+    )
+    out = unimax_mix(df, total_tokens=200, max_epochs=3)
+    rows_out = out.collect()
+    by_src = {}
+    for r in rows_out:
+        by_src.setdefault(r["source"], []).append(r)
+    # tiny source saturates its epoch cap (3 passes x 10 tokens = 30),
+    # never its uniform share (100)
+    assert all(r["n_epochs"] == 3 for r in by_src["tiny"])
+    tiny_tokens = sum(r["n_tokens"] * r["n_epochs"] for r in by_src["tiny"])
+    assert tiny_tokens == 30
+    # big source gets the remaining 170 tokens (one partial epoch),
+    # overshoot bounded by one document
+    big_tokens = sum(r["n_tokens"] * r["n_epochs"] for r in by_src["big"])
+    assert 170 <= big_tokens < 170 + 10
+    assert all(r["n_epochs"] == 1 for r in by_src["big"])
+
+
+def test_unimax_is_deterministic(spark):
+    from bigdata_old_spark.pipeline.sampling import unimax_mix
+
+    rows = [(i, "alpha beta gamma delta", ["a", "b"][i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted((r["doc_id"], r["n_epochs"]) for r in unimax_mix(df, 100, 2).collect())
+    b = sorted((r["doc_id"], r["n_epochs"]) for r in unimax_mix(df, 100, 2).collect())
+    assert a == b and len(a) > 0
