@@ -1,0 +1,338 @@
+"""Generic Object Model (GOM) — the reference's object-graph API over
+the triple store (bigdata-gom: om/ObjectManager.java, om/ObjectMgrModel.java,
+gpo/GPO.java, gpo/IGPO.java, gpo/LinkSet.java).
+
+A ``GPO`` (Generic Persistent Object) wraps one resource and exposes
+its forward properties (``get_value``/``get_values``), link sets in
+both directions (``get_links_out``/``get_links_in`` —
+IGPO.java:137-146), membership tests, and mutation
+(``set_value``/``add_value``/``remove_value``/``remove``).  The
+``ObjectManager`` interns GPOs per resource (one in-memory object per
+id — ObjectMgrModel's GPO dictionary), evaluates SPARQL
+(IObjectManager.evaluate/execute), and batches mutations through
+native transactions (INativeTransaction.java:
+begin/commit/rollbackNativeTransaction — the reference buffers the
+statement delta per transaction and flushes it on the OUTERMOST
+commit, ObjectMgrModel.java flush logic).
+
+Object materialization is driver-side BY DESIGN — this is the
+object-at-a-time navigation API, not the bulk path.  The scale story
+is (a) ``materialize_many`` — one filtered scan (subject/object key
+pushdown) materializes a whole working set in a single Spark job, the
+IObjectManager.initGPOs analog — and (b) every mutation flushes as one
+batched statements-DataFrame add/remove, never a statement at a time.
+
+GOM binds to a TRIPLES-mode store (the reference stacks GOM on a
+plain Sail connection); a quads store is rejected up front.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import functions as F
+
+from bigdata_old_spark.model import (
+    KIND_BNODE,
+    KIND_IRI,
+    Term,
+    statements_df_from_terms,
+)
+
+
+def _resource_term(rid: str) -> Term:
+    return Term.bnode(rid[2:]) if rid.startswith("_:") else Term.iri(rid)
+
+
+def _o_is_resource(rid: str):
+    """Column predicate: object position holds this resource id."""
+    if rid.startswith("_:"):
+        return (F.col("o_kind") == KIND_BNODE) & (F.col("o_lex") == rid[2:])
+    return (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == rid)
+
+
+class GPO:
+    """Generic Persistent Object (gpo/GPO.java) — one resource, its
+    forward property values and reverse links, lazily materialized."""
+
+    def __init__(self, om: "ObjectManager", rid: str) -> None:
+        self._om = om
+        self._id = rid
+        self._materialized = False
+        self._fwd: dict[str, list[Term]] = {}
+        self._rev: dict[str, list[str]] = {}
+
+    # -- identity ------------------------------------------------------------
+    @property
+    def id(self) -> str:  # noqa: A003 (IGPO.getId)
+        return self._id
+
+    def object_manager(self) -> "ObjectManager":
+        return self._om
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"GPO({self._id})"
+
+    # -- materialization -------------------------------------------------
+    def materialize(self) -> "GPO":
+        """Load this object's statements (both directions) if not
+        already in memory (IGPO.materialize).  Use
+        ``ObjectManager.materialize_many`` to batch a working set into
+        one Spark job."""
+        if not self._materialized:
+            self._om.materialize_many([self._id])
+        return self
+
+    def invalidate(self) -> None:
+        """Drop the in-memory state; next access re-reads the store."""
+        self._materialized = False
+        self._fwd = {}
+        self._rev = {}
+
+    def _ensure(self) -> None:
+        if not self._materialized:
+            self.materialize()
+
+    # -- reads (IGPO) ------------------------------------------------------
+    def get_value(self, predicate: str) -> Term | None:
+        """First value for the property, in a deterministic (sorted)
+        order — IGPO.getValue's 'one value' accessor."""
+        vals = self.get_values(predicate)
+        return vals[0] if vals else None
+
+    def get_values(self, predicate: str) -> list[Term]:
+        self._ensure()
+        return list(self._fwd.get(predicate, []))
+
+    def is_bound(self, predicate: str) -> bool:
+        self._ensure()
+        return bool(self._fwd.get(predicate))
+
+    def get_links_out(self, predicate: str | None = None) -> list["GPO"]:
+        """GPOs this object links TO (resource-valued properties);
+        with ``predicate`` only that link set (IGPO.getLinksOut)."""
+        self._ensure()
+        preds = [predicate] if predicate is not None else sorted(self._fwd)
+        out: list[GPO] = []
+        seen: set[str] = set()
+        for p in preds:
+            for t in self._fwd.get(p, []):
+                if t.kind in (KIND_IRI, KIND_BNODE):
+                    rid = f"_:{t.lex}" if t.kind == KIND_BNODE else t.lex
+                    if rid not in seen:
+                        seen.add(rid)
+                        out.append(self._om.get_gpo(rid))
+        return out
+
+    def get_links_in(self, predicate: str | None = None) -> list["GPO"]:
+        """GPOs linking TO this object (IGPO.getLinksIn)."""
+        self._ensure()
+        preds = [predicate] if predicate is not None else sorted(self._rev)
+        out: list[GPO] = []
+        seen: set[str] = set()
+        for p in preds:
+            for s in self._rev.get(p, []):
+                if s not in seen:
+                    seen.add(s)
+                    out.append(self._om.get_gpo(s))
+        return out
+
+    def get_reverse_link_properties(self) -> dict[str, int]:
+        """property → #incoming links (IGPO.getReverseLinkProperties)."""
+        self._ensure()
+        return {p: len(ss) for p, ss in sorted(self._rev.items())}
+
+    def get_statements(self) -> list[tuple[str, str, Term]]:
+        """This object's forward statements (IGPO.getStatements)."""
+        self._ensure()
+        return [
+            (self._id, p, t) for p in sorted(self._fwd) for t in self._fwd[p]
+        ]
+
+    # -- mutation (buffered through the OM's native transaction) -----------
+    def add_value(self, predicate: str, value) -> None:
+        t = Term.from_python(value)
+        self._ensure()
+        if t not in self._fwd.get(predicate, []):
+            self._fwd.setdefault(predicate, []).append(t)
+            self._fwd[predicate].sort(key=lambda x: (x.kind, x.lex, x.dt or "", x.lang or ""))
+        self._om._buffer_add(self._id, predicate, t)
+
+    def set_value(self, predicate: str, value) -> None:
+        """Replace ALL values of the property (IGPO.setValue)."""
+        self.remove_values(predicate)
+        self.add_value(predicate, value)
+
+    def remove_value(self, predicate: str, value) -> None:
+        t = Term.from_python(value)
+        self._ensure()
+        vals = self._fwd.get(predicate, [])
+        if t in vals:
+            vals.remove(t)
+            if not vals:
+                self._fwd.pop(predicate, None)
+        self._om._buffer_remove(self._id, predicate, t)
+
+    def remove_values(self, predicate: str) -> None:
+        self._ensure()
+        for t in self._fwd.pop(predicate, []):
+            self._om._buffer_remove(self._id, predicate, t)
+
+    def remove(self) -> None:
+        """Remove the object: every forward statement AND every
+        incoming link (IGPO.remove retracts both directions)."""
+        self._ensure()
+        for p in list(self._fwd):
+            self.remove_values(p)
+        me = _resource_term(self._id)
+        for p, subjects in list(self._rev.items()):
+            for s in subjects:
+                self._om._buffer_remove(s, p, me)
+                other = self._om._gpos.get(s)
+                if other is not None and other._materialized:
+                    vals = other._fwd.get(p, [])
+                    if me in vals:
+                        vals.remove(me)
+                        if not vals:
+                            other._fwd.pop(p, None)
+        self._rev = {}
+
+
+class ObjectManager:
+    """om/ObjectManager.java analog: interned GPOs, SPARQL access, and
+    buffered native transactions over a TripleStore."""
+
+    def __init__(self, store) -> None:
+        if store.has_named_graphs:
+            raise ValueError(
+                "GOM binds to a triples-mode store (the reference stacks "
+                "GOM on a plain Sail connection, not a quads KB)"
+            )
+        self._store = store
+        self._gpos: dict[str, GPO] = {}
+        self._tx_depth = 0
+        self._adds: list[tuple] = []
+        self._removes: list[tuple] = []
+
+    # -- store access --------------------------------------------------------
+    @property
+    def store(self):
+        return self._store
+
+    def get_gpo(self, rid: str) -> GPO:
+        """Interned GPO for the resource (IObjectManager.getGPO) —
+        repeated calls return the SAME object."""
+        gpo = self._gpos.get(rid)
+        if gpo is None:
+            gpo = self._gpos[rid] = GPO(self, rid)
+        return gpo
+
+    def evaluate(self, sparql: str):
+        """Run a SPARQL query against the current store
+        (IObjectManager.evaluate)."""
+        return self._store.query(sparql)
+
+    def execute(self, sparql_update: str) -> None:
+        """Run a SPARQL UPDATE (IObjectManager.execute); all interned
+        GPOs are invalidated — their next access re-reads the store."""
+        self._store = self._store.update(sparql_update)
+        for gpo in self._gpos.values():
+            gpo.invalidate()
+
+    # -- batched materialization ----------------------------------------
+    def materialize_many(self, rids: Iterable[str]) -> dict[str, GPO]:
+        """Materialize a working set in ONE filtered scan + collect —
+        the IObjectManager.initGPOs analog.  Subject/object id sets
+        push into the scan as IN-filters; only matching rows ship to
+        the driver."""
+        rids = list(dict.fromkeys(rids))
+        if not rids:
+            return {}
+        st = self._store.statements
+        iri_ids = [r for r in rids if not r.startswith("_:")]
+        bn_ids = [r[2:] for r in rids if r.startswith("_:")]
+        o_hit = F.lit(False)
+        if iri_ids:
+            o_hit = o_hit | ((F.col("o_kind") == KIND_IRI) & F.col("o_lex").isin(iri_ids))
+        if bn_ids:
+            o_hit = o_hit | ((F.col("o_kind") == KIND_BNODE) & F.col("o_lex").isin(bn_ids))
+        rows = st.where(F.col("s").isin(rids) | o_hit).collect()
+        out: dict[str, GPO] = {}
+        for rid in rids:
+            gpo = self.get_gpo(rid)
+            gpo._fwd, gpo._rev = {}, {}
+            gpo._materialized = True
+            out[rid] = gpo
+        targets = set(rids)
+        for r in rows:
+            t = Term(
+                kind=r["o_kind"], lex=r["o_lex"],
+                dt=r["o_dt"], lang=r["o_lang"],
+            )
+            if r["s"] in targets:
+                out[r["s"]]._fwd.setdefault(r["p"], []).append(t)
+            if t.kind in (KIND_IRI, KIND_BNODE):
+                orid = f"_:{t.lex}" if t.kind == KIND_BNODE else t.lex
+                if orid in targets:
+                    out[orid]._rev.setdefault(r["p"], []).append(r["s"])
+        for gpo in out.values():
+            for vals in gpo._fwd.values():
+                vals.sort(key=lambda x: (x.kind, x.lex, x.dt or "", x.lang or ""))
+            for ss in gpo._rev.values():
+                ss.sort()
+        return out
+
+    # -- native transactions (INativeTransaction) -------------------------
+    def begin_native_transaction(self) -> int:
+        self._tx_depth += 1
+        return self._tx_depth
+
+    def commit_native_transaction(self, expected_depth: int | None = None) -> None:
+        """Pop one transaction level; the OUTERMOST commit flushes the
+        buffered statement delta as one batched remove + add."""
+        if self._tx_depth <= 0:
+            raise RuntimeError("no active native transaction")
+        if expected_depth is not None and expected_depth != self._tx_depth:
+            raise RuntimeError(
+                f"transaction depth mismatch: expected {expected_depth}, at {self._tx_depth}"
+            )
+        self._tx_depth -= 1
+        if self._tx_depth == 0:
+            self._flush()
+
+    def rollback_native_transaction(self) -> None:
+        """Discard the buffered delta and invalidate interned GPOs
+        (their optimistic in-memory edits are dropped too)."""
+        self._tx_depth = 0
+        self._adds = []
+        self._removes = []
+        for gpo in self._gpos.values():
+            gpo.invalidate()
+
+    # -- buffering ---------------------------------------------------------
+    def _buffer_add(self, s: str, p: str, t: Term) -> None:
+        row = (None, s, p, t)
+        self._removes = [r for r in self._removes if r != row]
+        self._adds.append(row)
+        if self._tx_depth == 0:
+            self._flush()
+
+    def _buffer_remove(self, s: str, p: str, t: Term) -> None:
+        row = (None, s, p, t)
+        self._adds = [r for r in self._adds if r != row]
+        self._removes.append(row)
+        if self._tx_depth == 0:
+            self._flush()
+
+    def _flush(self) -> None:
+        spark = self._store.spark
+        if self._removes:
+            self._store = self._store.remove(
+                statements_df_from_terms(self._removes, spark)
+            )
+            self._removes = []
+        if self._adds:
+            self._store = self._store.add(
+                statements_df_from_terms(self._adds, spark)
+            )
+            self._adds = []
