@@ -982,6 +982,56 @@ def _p_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "n_epochs")
 
 
+def _p_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data-card profile: doc/token/char totals,
+    token mean, distinct heuristic languages, length extrema, exact
+    duplicate count — one hash aggregation on the source key."""
+    from bigdata_old_spark.pipeline.text import corpus_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_profile(docs, group_col="source")
+
+
+def _corpus_profile_oracle() -> str:
+    """Replays corpus_profile including the lang_id argmax heuristic
+    (same fragment as the p06 oracle) grouped by source."""
+    stop = "['the','and','of','to','is','in','that','it','with','a']"
+    es = "['el','la','de','que','y','los','en','un','por','una']"
+    fr = "['le','la','de','et','les','des','est','un','une','dans']"
+    de = "['der','die','und','das','ist','ein','nicht','mit','den','von']"
+    raw_toks = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+    g4 = "greatest(h_en, h_es, h_fr, h_de)"
+    return f"""
+WITH f AS (
+  SELECT source, doc_id, text, {raw_toks} AS toks,
+         greatest(length(text), 1)::DOUBLE AS total,
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::DOUBLE AS cjk
+  FROM documents
+), h AS (
+  SELECT *,
+         len(list_intersect(list_transform(toks, t -> lower(t)), {stop})) AS h_en,
+         len(list_intersect(list_transform(toks, t -> lower(t)), {es})) AS h_es,
+         len(list_intersect(list_transform(toks, t -> lower(t)), {fr})) AS h_fr,
+         len(list_intersect(list_transform(toks, t -> lower(t)), {de})) AS h_de
+  FROM f
+), l AS (
+  SELECT source, doc_id, len(toks)::BIGINT AS nt, length(text)::BIGINT AS nc,
+         CASE WHEN cjk / total > 0.25 THEN 'zh'
+              WHEN h_en = {g4} THEN 'en'
+              WHEN h_es = {g4} THEN 'es'
+              WHEN h_fr = {g4} THEN 'fr'
+              ELSE 'de' END AS lang_pred,
+         md5(text) AS h
+  FROM h
+)
+SELECT source AS "group", count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+       round(avg(nt), 5) AS avg_tokens, sum(nc)::BIGINT AS n_chars,
+       min(nc) AS min_chars, max(nc) AS max_chars,
+       count(DISTINCT lang_pred) AS n_langs,
+       count(*) - count(DISTINCT h) AS n_exact_dups
+FROM l GROUP BY 1"""
+
+
 def _p_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (CCNet-style perplexity
     quality signal), model trained on the same corpus — pure count
@@ -2395,6 +2445,7 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            FROM t
            WHERE fe + CASE WHEN cum_before < pt THEN 1 ELSE 0 END >= 1""",
     ),
+    "p40_corpus_profile": (_p_corpus_profile, _corpus_profile_oracle()),
     "p23_lm_perplexity": (
         _p_lm_perplexity,
         # add-one-smoothed bigram cross-entropy, identical math

@@ -684,3 +684,44 @@ def bm25_rank(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("score"), F.col("id"))),
     ).select(F.col("id").alias(id_col), "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling (the "data card" aggregate a curation pipeline
+# publishes with every corpus release)
+# ---------------------------------------------------------------------------
+
+def corpus_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus statistics: document/token/char totals, token
+    mean, distinct-language count, char-length extrema, and the exact
+    duplicate-content count (docs minus distinct md5(text)).  One
+    hash aggregation on the group key — every input is a row-local
+    expression, so the profile runs at scan speed at any corpus size.
+
+    Returns: group | n_docs | n_tokens | avg_tokens | n_chars |
+    min_chars | max_chars | n_langs | n_exact_dups.
+    """
+    c = F.col(text_col)
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col),
+        token_count(c).cast("long").alias("__nt"),
+        F.length(c).cast("long").alias("__nc"),
+        lang_id(c).alias("__lang"),
+        F.md5(c).alias("__h"),
+    )
+    return base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.round(F.avg("__nt"), 5).alias("avg_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        F.min("__nc").alias("min_chars"),
+        F.max("__nc").alias("max_chars"),
+        F.count_distinct(F.col("__lang")).alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("__h"))).alias("n_exact_dups"),
+    )

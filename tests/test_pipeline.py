@@ -1171,3 +1171,22 @@ def test_unimax_is_deterministic(spark):
     a = sorted((r["doc_id"], r["n_epochs"]) for r in unimax_mix(df, 100, 2).collect())
     b = sorted((r["doc_id"], r["n_epochs"]) for r in unimax_mix(df, 100, 2).collect())
     assert a == b and len(a) > 0
+
+
+def test_corpus_profile(spark):
+    from bigdata_old_spark.pipeline.text import corpus_profile
+
+    rows = [
+        (1, "the cat sat on the mat", "web"),
+        (2, "the cat sat on the mat", "web"),   # exact dup of 1
+        (3, "el perro que la casa de los", "web"),
+        (4, "one two", "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["group"]: r for r in corpus_profile(df).collect()}
+    web = out["web"]
+    assert web["n_docs"] == 3 and web["n_exact_dups"] == 1
+    assert web["n_tokens"] == 6 + 6 + 7
+    assert web["n_langs"] == 2  # en + es heuristics
+    assert out["books"]["n_docs"] == 1 and out["books"]["n_exact_dups"] == 0
+    assert out["books"]["min_chars"] == out["books"]["max_chars"] == 7
