@@ -60,3 +60,43 @@ def test_temperature_resample_targets(spark, sizes, alpha):
         assert out.count() == total
     got_ids = {r["doc_id"] for r in out.collect()}
     assert got_ids <= {r[0] for r in rows}
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_spans_matches_model(spark, texts, k):
+    """duplicate_spans ≡ the driver-side model: a token position is
+    duplicated iff covered by a k-window whose text occurs >= 2 times
+    corpus-wide (within- and cross-document occurrences both count);
+    strip_duplicate_spans keeps exactly the uncovered tokens in order."""
+    from collections import Counter
+
+    from bigdata_old_spark.pipeline.dedup import duplicate_spans, strip_duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_spans(df, k=k).collect()}
+    got_strip = {r["doc_id"]: r for r in strip_duplicate_spans(df, k=k).collect()}
+
+    toks = {i: [t for t in t_.split(" ") if t] for i, t_ in enumerate(texts)}
+    wins: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            wins[" ".join(ts[i:i + k])] += 1
+    for d, ts in toks.items():
+        covered = set()
+        for i in range(len(ts) - k + 1):
+            if wins[" ".join(ts[i:i + k])] >= 2:
+                covered.update(range(i, i + k))
+        assert got[d]["n_tokens"] == len(ts)
+        assert got[d]["n_dup_tokens"] == len(covered)
+        expect_kept = " ".join(t for i, t in enumerate(ts) if i not in covered)
+        assert got_strip[d]["text_stripped"] == expect_kept
