@@ -637,42 +637,55 @@ def bm25_rank(
     average.  Returns id_col | score | rank (rank ties broken by id;
     only documents matching >= 1 query token appear).
 
-    Scale shape: the posting rows are (id, token) for QUERY tokens only
-    (the filter pushes into the explode), df/avgdl are two tiny
-    aggregates that ride as broadcast scalars via crossJoin(literal
-    frame), and the score is one groupBy(id).  Top-k is
-    TakeOrderedAndProject, no global sort.
+    Scale shape — exactly TWO corpus scans and zero joins: per-doc tf
+    for each query token is an UNROLLED row-local array count (a few
+    query tokens → a few columns, no explode, no posting shuffle); scan
+    one is a single global aggregate producing N, avgdl, and per-token
+    df collected as plan literals (≤ len(query) doubles of model
+    state); scan two scores matching rows against those literals and
+    feeds TakeOrderedAndProject — no global sort, no shuffle at all
+    beyond the top-k.  (A naive posting-list formulation re-scans the
+    corpus once per derived aggregate — 4 scans for the same answer.)
     """
-    import math  # noqa: F401  (documenting the ln() base parity)
+    import math
 
     q = [t.lower() for t in dict.fromkeys(query_tokens)]
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    lens = base.select("id", F.size("toks").cast("double").alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    def _match(word: str):
+        # one-arg lambda: a second parameter would be interpreted by
+        # F.filter as the element INDEX, not a default-bound closure
+        return lambda t: t == F.lit(word)
+
+    tf_cols = [
+        F.size(F.filter(toks, _match(w))).cast("double").alias(f"tf{i}")
+        for i, w in enumerate(q)
+    ]
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(toks).cast("double").alias("dl"), *tf_cols
     )
-    post = (
-        base.select("id", F.explode("toks").alias("tok"))
-        .where(F.col("tok").isin(q))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}") for i in range(len(q))],
+    ).collect()[0]
+    n_docs = float(stats["N"])
+    avgdl = float(stats["avgdl"] or 0.0) or 1.0
+    idf = [
+        math.log(1.0 + (n_docs - float(stats[f"df{i}"]) + 0.5) / (float(stats[f"df{i}"]) + 0.5))
+        for i in range(len(q))
+    ]
+    score = None
+    for i in range(len(q)):
+        tf = F.col(f"tf{i}")
+        term = F.when(
+            tf > 0,
+            F.lit(idf[i]) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
     scored = (
-        post.join(F.broadcast(dfreq), "tok")
-        .join(lens, "id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "id",
-            (
-                F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (k1 + 1))
-                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-            ).alias("term_score"),
-        )
-        .groupBy("id")
-        .agg(F.sum("term_score").alias("score"))
+        base.withColumn("score", score)
+        .where(sum((F.col(f"tf{i}") for i in range(len(q))), F.lit(0.0)) > 0)
+        .select("id", "score")
     )
     from pyspark.sql import Window
 
