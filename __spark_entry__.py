@@ -982,6 +982,23 @@ def _p_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "n_epochs")
 
 
+def _p_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (<= 60 Levenshtein edits) over the
+    EXPLICIT all-pairs candidate set — the exactness baseline that
+    value-checks the thresholded-DP verifier itself (the production
+    path blocks candidates with banded LSH first; the length prefilter
+    and early-abandon DP are the same either way)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import edit_distance_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    ids_a = docs.select(F.col("doc_id").alias("id_a"))
+    ids_b = docs.select(F.col("doc_id").alias("id_b"))
+    allp = ids_a.crossJoin(ids_b).where(F.col("id_a") < F.col("id_b"))
+    return edit_distance_pairs(docs, pairs=allp, max_distance=60)
+
+
 def _p_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus data-card profile: doc/token/char totals,
     token mean, distinct heuristic languages, length extrema, exact
@@ -2446,6 +2463,14 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            WHERE fe + CASE WHEN cum_before < pt THEN 1 ELSE 0 END >= 1""",
     ),
     "p40_corpus_profile": (_p_corpus_profile, _corpus_profile_oracle()),
+    "p41_edit_distance_pairs": (
+        _p_edit_distance,
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  levenshtein(a.text, b.text) AS edit_distance
+           FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+           WHERE abs(length(a.text) - length(b.text)) <= 60
+             AND levenshtein(a.text, b.text) <= 60""",
+    ),
     "p23_lm_perplexity": (
         _p_lm_perplexity,
         # add-one-smoothed bigram cross-entropy, identical math

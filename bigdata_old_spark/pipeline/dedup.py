@@ -722,3 +722,56 @@ def containment_pairs(
         )
         .where(F.col("containment") >= min_containment)
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verified near-dup (the exact-verification tier UNDER
+# the shingle/signature family: catches small in-place edits —
+# typo-level plagiarism, templated spam variants — where Jaccard over
+# shingles is blunt)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 60,
+    pairs: DataFrame | None = None,
+    **lsh_kw,
+) -> DataFrame:
+    """Document pairs within ``max_distance`` EXACT Levenshtein edits.
+
+    Candidate pairs default to banded MinHash-LSH blocking
+    (:func:`minhash_lsh_pairs` with the Jaccard gate disabled — LSH
+    recalls shingle-similar pairs, and any pair within d edits shares
+    all but O(d·k) of its k-shingles, so small-edit pairs collide in
+    the bands); pass ``pairs`` (id_a | id_b) to verify an explicit
+    candidate set (e.g. the all-pairs exactness baseline).
+
+    Returns: id_a | id_b | edit_distance (a < b).
+
+    Scale shape: verification is two slim id-keyed joins to fetch the
+    texts, a ROW-LOCAL length prefilter (|len_a − len_b| > d can never
+    pass — no DP runs for grossly mismatched pairs), and Spark's
+    thresholded ``levenshtein(l, r, d)`` which abandons the DP early
+    and returns −1 above the threshold — cost is O(d·min(m,n)) per
+    surviving candidate, never O(m·n) on the corpus.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, min_jaccard=None, **lsh_kw
+        ).select("id_a", "id_b")
+    t_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    t_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        pairs.join(t_a, "id_a")
+        .join(t_b, "id_b")
+        .where(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_distance
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein(F.col("__ta"), F.col("__tb"), max_distance).alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") >= 0)
+    )

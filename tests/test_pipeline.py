@@ -1190,3 +1190,31 @@ def test_corpus_profile(spark):
     assert web["n_langs"] == 2  # en + es heuristics
     assert out["books"]["n_docs"] == 1 and out["books"]["n_exact_dups"] == 0
     assert out["books"]["min_chars"] == out["books"]["max_chars"] == 7
+
+
+def test_edit_distance_pairs_lsh_blocking_finds_typo_variant(spark):
+    from bigdata_old_spark.pipeline.dedup import edit_distance_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet forest until dawn arrives")
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "qwick").replace("dawn", "down")),  # 2 small edits
+        (3, "an entirely different document about database query engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = edit_distance_pairs(df, max_distance=10)
+    got = {(r["id_a"], r["id_b"]): r["edit_distance"] for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 4
+    assert all(3 not in pair for pair in got)
+
+
+def test_edit_distance_length_prefilter_blocks_mismatched(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import edit_distance_pairs
+
+    rows = [(1, "tiny"), (2, "x" * 500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    allp = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    assert edit_distance_pairs(df, pairs=allp, max_distance=20).count() == 0
