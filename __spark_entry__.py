@@ -982,6 +982,48 @@ def _p_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "n_epochs")
 
 
+def _p_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint pairs (Schleimer et al. 2003 / MOSS):
+    char-8-gram 60-bit md5-prefix hashes, window-4 minima, boilerplate
+    fingerprints (docfreq > 20) dropped, pairs sharing >= 2 surviving
+    fingerprints; the oracle replays grams → hashes → window minima →
+    docfreq guard → inverted-index join verbatim."""
+    from bigdata_old_spark.pipeline.text import winnowing_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnowing_pairs(docs, k=8, w=4, min_shared=2, max_docfreq=20)
+
+
+_WINNOW_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(norm) - 8 + 1, 1) + 1),
+           i -> ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 15))::BIGINT
+         ) AS hs
+  FROM t
+), sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+           i -> list_min(hs[i:i+3])
+         )) AS fps
+  FROM g
+), posts0 AS (
+  SELECT doc_id, unnest(fps) AS fp FROM sel
+), hot AS (
+  SELECT fp FROM posts0 GROUP BY fp HAVING count(*) > 20
+), posts AS (
+  SELECT doc_id, fp FROM posts0 WHERE fp NOT IN (SELECT fp FROM hot)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
 def _p_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (<= 60 Levenshtein edits) over the
     EXPLICIT all-pairs candidate set — the exactness baseline that
@@ -2463,6 +2505,7 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            WHERE fe + CASE WHEN cum_before < pt THEN 1 ELSE 0 END >= 1""",
     ),
     "p40_corpus_profile": (_p_corpus_profile, _corpus_profile_oracle()),
+    "p42_winnowing_pairs": (_p_winnowing, _WINNOW_ORACLE),
     "p41_edit_distance_pairs": (
         _p_edit_distance,
         """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

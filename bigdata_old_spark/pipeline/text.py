@@ -738,3 +738,128 @@ def corpus_profile(
         F.count_distinct(F.col("__lang")).alias("n_langs"),
         (F.count(F.lit(1)) - F.count_distinct(F.col("__h"))).alias("n_exact_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document fingerprinting algorithm: guaranteed detection of
+# shared substrings >= w+k-1 chars while storing ~2/(w+1) of the k-gram
+# hashes)
+# ---------------------------------------------------------------------------
+
+def _win_hashes(col: Column, k: int) -> Column:
+    """Char k-gram 60-bit md5-prefix hashes of the normalized text."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+
+
+def _win_posts(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """DISTINCT (id, fp) winnowing posting rows.
+
+    Row-based formulation: the k-gram hashes posexplode to
+    (id, pos, h) rows and each window minimum is a per-id window
+    function over ``w`` following rows.  A pure array-expression
+    formulation (array of window minima via nested transform/slice)
+    looks cheaper — zero shuffle — but Catalyst's CollapseProject
+    inlines the hash-array alias back INTO the window lambda and
+    higher-order lambdas get no CSE, so every window re-hashes the
+    whole document: O(n²) md5 per row, measured minutes vs seconds on
+    500 docs.  The explode + window costs ONE shuffle on the doc id
+    and stays O(n·w), the shape that survives 100 TB."""
+    from pyspark.sql import Window
+
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_win_hashes(F.col(text_col), k)).alias("pos", "h"),
+    )
+    wspec = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("id")
+    return (
+        hs.select(
+            "id", "pos",
+            F.min("h").over(wspec).alias("fp"),
+            F.count("h").over(wcnt).alias("__m"),
+        )
+        # window STARTS only: trailing positions would yield minima of
+        # short windows; when the doc has fewer than w hashes, pos 0 is
+        # the single whole-array window
+        .where(F.col("pos") <= F.greatest(F.col("__m") - w, F.lit(0)))
+        .select("id", "fp")
+        .dropDuplicates()
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint SETS (Schleimer, Wilkerson & Aiken 2003):
+    lower-cased, whitespace-collapsed char ``k``-grams are hashed
+    (portable 60-bit md5-prefix integers, the simhash md5-mode
+    convention), and each sliding window of ``w`` consecutive hashes
+    contributes its MINIMUM — any substring match of length >= w+k-1
+    therefore shares >= 1 selected fingerprint (the winnowing
+    guarantee), at ~2/(w+1) the storage of the full k-gram set.
+
+    Returns: id_col | fps (sorted array<long>); texts shorter than k
+    chars fingerprint their whole normalized self.  One doc-id shuffle
+    (see :func:`_win_posts` for why not zero)."""
+    return (
+        _win_posts(df, id_col, text_col, k, w)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docfreq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — the MOSS candidate-pair step.  Returns: id_a | id_b | n_shared
+    (a < b).  ``max_docfreq`` drops fingerprints occurring in more
+    than that many posting rows before the join (boilerplate guard).
+
+    Scale shape: identical to the containment/LSH inverted-index
+    joins — documents explode to DISTINCT (fingerprint, id) rows,
+    pairs materialize only where a fingerprint is actually shared
+    (equi-join on the 8-byte hash), one groupBy counts per pair.
+    Comparison volume = Σ per-fingerprint docfreq²; winnowing's
+    ~2/(w+1) sampling shrinks the posting lists before the join even
+    sees them (the reason MOSS scales where full k-gram indexes
+    don't).  ``max_docfreq`` is the boilerplate guard — winnowing
+    selects COMMON substrings too, and a phrase shared by every
+    document turns the join quadratic in the corpus."""
+    posts = _win_posts(df, id_col, text_col, k, w)
+    if max_docfreq is not None:
+        hot = (
+            posts.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_docfreq)
+            .select("fp")
+        )
+        posts = posts.join(hot, "fp", "left_anti")
+    return (
+        posts.alias("a")
+        .join(posts.alias("b"), "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1218,3 +1218,36 @@ def test_edit_distance_length_prefilter_blocks_mismatched(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     allp = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     assert edit_distance_pairs(df, pairs=allp, max_distance=20).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_shared_substring(spark):
+    from bigdata_old_spark.pipeline.text import winnowing_pairs
+
+    # winnowing guarantee: a shared substring of length >= w+k-1
+    # (= 11 chars at k=8, w=4) shares >= 1 selected fingerprint
+    shared = "identical stretch of text goes right here"
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"other beginning {shared} different ending"),
+        (3, "no overlap with anything else at all zzz qqq"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in winnowing_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnowing_fingerprints_short_doc_and_docfreq_guard(spark):
+    from bigdata_old_spark.pipeline.text import winnowing_fingerprints, winnowing_pairs
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fps"] for r in winnowing_fingerprints(df).collect()}
+    # shorter than k: one fingerprint of the whole normalized text
+    assert len(fps[1]) == 1 and fps[1] == fps[2]
+    # docfreq guard drops the shared (now-boilerplate) fingerprint
+    assert winnowing_pairs(df, min_shared=1, max_docfreq=1).count() == 0
+    assert winnowing_pairs(df, min_shared=1).count() == 1
