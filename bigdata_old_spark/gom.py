@@ -198,26 +198,16 @@ class GPO:
         self._rev = {}
 
 
-class ObjectManager:
-    """om/ObjectManager.java analog: interned GPOs, SPARQL access, and
-    buffered native transactions over a TripleStore."""
+class _ObjectManagerBase:
+    """Shared GPO interning + native-transaction buffering
+    (om/ObjectMgrModel.java); subclasses supply materialize_many and
+    _flush against their backing store (embedded vs remote)."""
 
-    def __init__(self, store) -> None:
-        if store.has_named_graphs:
-            raise ValueError(
-                "GOM binds to a triples-mode store (the reference stacks "
-                "GOM on a plain Sail connection, not a quads KB)"
-            )
-        self._store = store
+    def __init__(self) -> None:
         self._gpos: dict[str, GPO] = {}
         self._tx_depth = 0
         self._adds: list[tuple] = []
         self._removes: list[tuple] = []
-
-    # -- store access --------------------------------------------------------
-    @property
-    def store(self):
-        return self._store
 
     def get_gpo(self, rid: str) -> GPO:
         """Interned GPO for the resource (IObjectManager.getGPO) —
@@ -226,6 +216,76 @@ class ObjectManager:
         if gpo is None:
             gpo = self._gpos[rid] = GPO(self, rid)
         return gpo
+
+    def materialize_many(self, rids: Iterable[str]) -> dict[str, GPO]:
+        raise NotImplementedError
+
+    def _flush(self) -> None:
+        raise NotImplementedError
+
+    def _invalidate_all(self) -> None:
+        for gpo in self._gpos.values():
+            gpo.invalidate()
+
+    # -- native transactions (INativeTransaction) -------------------------
+    def begin_native_transaction(self) -> int:
+        self._tx_depth += 1
+        return self._tx_depth
+
+    def commit_native_transaction(self, expected_depth: int | None = None) -> None:
+        """Pop one transaction level; the OUTERMOST commit flushes the
+        buffered statement delta as one batched remove + add."""
+        if self._tx_depth <= 0:
+            raise RuntimeError("no active native transaction")
+        if expected_depth is not None and expected_depth != self._tx_depth:
+            raise RuntimeError(
+                f"transaction depth mismatch: expected {expected_depth}, at {self._tx_depth}"
+            )
+        self._tx_depth -= 1
+        if self._tx_depth == 0:
+            self._flush()
+
+    def rollback_native_transaction(self) -> None:
+        """Discard the buffered delta and invalidate interned GPOs
+        (their optimistic in-memory edits are dropped too)."""
+        self._tx_depth = 0
+        self._adds = []
+        self._removes = []
+        self._invalidate_all()
+
+    # -- buffering ---------------------------------------------------------
+    def _buffer_add(self, s: str, p: str, t: Term) -> None:
+        row = (None, s, p, t)
+        self._removes = [r for r in self._removes if r != row]
+        self._adds.append(row)
+        if self._tx_depth == 0:
+            self._flush()
+
+    def _buffer_remove(self, s: str, p: str, t: Term) -> None:
+        row = (None, s, p, t)
+        self._adds = [r for r in self._adds if r != row]
+        self._removes.append(row)
+        if self._tx_depth == 0:
+            self._flush()
+
+
+class ObjectManager(_ObjectManagerBase):
+    """om/ObjectManager.java analog: interned GPOs, SPARQL access, and
+    buffered native transactions over an EMBEDDED TripleStore."""
+
+    def __init__(self, store) -> None:
+        if store.has_named_graphs:
+            raise ValueError(
+                "GOM binds to a triples-mode store (the reference stacks "
+                "GOM on a plain Sail connection, not a quads KB)"
+            )
+        super().__init__()
+        self._store = store
+
+    # -- store access --------------------------------------------------------
+    @property
+    def store(self):
+        return self._store
 
     def evaluate(self, sparql: str):
         """Run a SPARQL query against the current store
@@ -236,8 +296,7 @@ class ObjectManager:
         """Run a SPARQL UPDATE (IObjectManager.execute); all interned
         GPOs are invalidated — their next access re-reads the store."""
         self._store = self._store.update(sparql_update)
-        for gpo in self._gpos.values():
-            gpo.invalidate()
+        self._invalidate_all()
 
     # -- batched materialization ----------------------------------------
     def materialize_many(self, rids: Iterable[str]) -> dict[str, GPO]:
@@ -282,48 +341,6 @@ class ObjectManager:
                 ss.sort()
         return out
 
-    # -- native transactions (INativeTransaction) -------------------------
-    def begin_native_transaction(self) -> int:
-        self._tx_depth += 1
-        return self._tx_depth
-
-    def commit_native_transaction(self, expected_depth: int | None = None) -> None:
-        """Pop one transaction level; the OUTERMOST commit flushes the
-        buffered statement delta as one batched remove + add."""
-        if self._tx_depth <= 0:
-            raise RuntimeError("no active native transaction")
-        if expected_depth is not None and expected_depth != self._tx_depth:
-            raise RuntimeError(
-                f"transaction depth mismatch: expected {expected_depth}, at {self._tx_depth}"
-            )
-        self._tx_depth -= 1
-        if self._tx_depth == 0:
-            self._flush()
-
-    def rollback_native_transaction(self) -> None:
-        """Discard the buffered delta and invalidate interned GPOs
-        (their optimistic in-memory edits are dropped too)."""
-        self._tx_depth = 0
-        self._adds = []
-        self._removes = []
-        for gpo in self._gpos.values():
-            gpo.invalidate()
-
-    # -- buffering ---------------------------------------------------------
-    def _buffer_add(self, s: str, p: str, t: Term) -> None:
-        row = (None, s, p, t)
-        self._removes = [r for r in self._removes if r != row]
-        self._adds.append(row)
-        if self._tx_depth == 0:
-            self._flush()
-
-    def _buffer_remove(self, s: str, p: str, t: Term) -> None:
-        row = (None, s, p, t)
-        self._adds = [r for r in self._adds if r != row]
-        self._removes.append(row)
-        if self._tx_depth == 0:
-            self._flush()
-
     def _flush(self) -> None:
         spark = self._store.spark
         if self._removes:
@@ -336,3 +353,155 @@ class ObjectManager:
                 statements_df_from_terms(self._adds, spark)
             )
             self._adds = []
+
+
+def _nt_term(t: Term) -> str:
+    """One RDF term → its SPARQL/N-Triples token (update templates)."""
+    from bigdata_old_spark.service import _escape_lex
+
+    if t.kind == KIND_IRI:
+        return f"<{t.lex}>"
+    if t.kind == KIND_BNODE:
+        return f"_:{t.lex}"
+    lex = f'"{_escape_lex(t.lex)}"'
+    if t.lang:
+        return f"{lex}@{t.lang}"
+    if t.dt and t.dt != "http://www.w3.org/2001/XMLSchema#string":
+        return f"{lex}^^<{t.dt}>"
+    return lex
+
+
+class RemoteObjectManager(_ObjectManagerBase):
+    """om/NanoSparqlObjectManager.java analog: the SAME GPO surface,
+    but every read is a SPARQL 1.1 Protocol query and every flush a
+    SPARQL UPDATE against a REMOTE endpoint (this engine's
+    NanoSparqlServer analog or any other SPARQL 1.1 server).
+
+    Working-set materialization is one SELECT with VALUES-bound
+    subject/object positions (both directions in one round trip);
+    mutations batch into one ``DELETE DATA``/``INSERT DATA`` request
+    at the outermost commit.  Blank-node ids cannot be addressed over
+    the wire (no stable label identity at the endpoint — the reference
+    remote OM shares this limit); reads of bnode-valued links still
+    work, navigation INTO a bnode does not.
+    """
+
+    def __init__(self, endpoint: str) -> None:
+        super().__init__()
+        self.endpoint = endpoint
+
+    # -- protocol I/O -------------------------------------------------------
+    def _query_json(self, sparql: str) -> dict:
+        import json as _json
+
+        from bigdata_old_spark import service as _svc
+
+        transport = _svc._transport or _svc.default_transport
+        return _json.loads(transport(self.endpoint, sparql))
+
+    def evaluate(self, sparql: str) -> list[dict[str, Term]]:
+        """SELECT against the endpoint → list of {var: Term} rows
+        (IObjectManager.evaluate; driver-side by design — this is the
+        object-navigation API, not the bulk path)."""
+        from bigdata_old_spark.service import _json_term
+
+        doc = self._query_json(sparql)
+        return [
+            {n: _json_term(b[n]) for n in b}
+            for b in doc["results"]["bindings"]
+        ]
+
+    def execute(self, sparql_update: str) -> None:
+        """SPARQL UPDATE over the protocol (POST update=)."""
+        from urllib.parse import urlencode
+        from urllib.request import Request, urlopen
+
+        req = Request(
+            self.endpoint,
+            data=urlencode({"update": sparql_update}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urlopen(req, timeout=30) as resp:
+            resp.read()
+        self._invalidate_all()
+
+    # -- batched materialization ----------------------------------------
+    def materialize_many(self, rids: Iterable[str]) -> dict[str, GPO]:
+        """One SELECT round trip for the whole working set: VALUES
+        blocks bind the subject and object positions (initGPOs analog,
+        vectored like the SERVICE client)."""
+        from bigdata_old_spark.service import _json_term
+
+        rids = list(dict.fromkeys(rids))
+        out: dict[str, GPO] = {}
+        for rid in rids:
+            gpo = self.get_gpo(rid)
+            gpo._fwd, gpo._rev = {}, {}
+            gpo._materialized = True
+            out[rid] = gpo
+        iris = " ".join(f"<{r}>" for r in rids if not r.startswith("_:"))
+        if not iris:
+            return out
+        q = (
+            "SELECT DISTINCT ?s ?p ?o WHERE { "
+            f"{{ VALUES ?s {{ {iris} }} ?s ?p ?o }} UNION "
+            f"{{ VALUES ?o {{ {iris} }} ?s ?p ?o }} }}"
+        )
+        doc = self._query_json(q)
+        targets = set(rids)
+        for b in doc["results"]["bindings"]:
+            s = _json_term(b["s"])
+            p = _json_term(b["p"]).lex
+            o = _json_term(b["o"])
+            sid = f"_:{s.lex}" if s.kind == KIND_BNODE else s.lex
+            if sid in targets:
+                out[sid]._fwd.setdefault(p, []).append(o)
+            if o.kind in (KIND_IRI, KIND_BNODE):
+                orid = f"_:{o.lex}" if o.kind == KIND_BNODE else o.lex
+                if orid in targets:
+                    out[orid]._rev.setdefault(p, []).append(sid)
+        for gpo in out.values():
+            for vals in gpo._fwd.values():
+                vals.sort(key=lambda x: (x.kind, x.lex, x.dt or "", x.lang or ""))
+            for ss in gpo._rev.values():
+                ss.sort()
+        return out
+
+    # -- flush -------------------------------------------------------------
+    @staticmethod
+    def _wire_triple(s: str, p: str, t: Term) -> str:
+        if s.startswith("_:") or t.kind == KIND_BNODE:
+            # SPARQL forbids bnodes in DELETE DATA, and an INSERT DATA
+            # bnode would mint a FRESH node at the endpoint — neither
+            # expresses the intended edit (reference remote-OM limit)
+            raise ValueError(
+                "remote GOM cannot ship blank-node statements over the "
+                "SPARQL protocol; mutate bnode-linked state via execute()"
+            )
+        return f"<{s}> <{p}> {_nt_term(t)}"
+
+    def _flush(self) -> None:
+        parts = []
+        if self._removes:
+            triples = " . ".join(
+                self._wire_triple(s, p, t) for (_, s, p, t) in self._removes
+            )
+            parts.append(f"DELETE DATA {{ {triples} }}")
+            self._removes = []
+        if self._adds:
+            triples = " . ".join(
+                self._wire_triple(s, p, t) for (_, s, p, t) in self._adds
+            )
+            parts.append(f"INSERT DATA {{ {triples} }}")
+            self._adds = []
+        if parts:
+            from urllib.parse import urlencode
+            from urllib.request import Request, urlopen
+
+            req = Request(
+                self.endpoint,
+                data=urlencode({"update": " ; ".join(parts)}).encode(),
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            with urlopen(req, timeout=30) as resp:
+                resp.read()

@@ -163,3 +163,74 @@ def test_bnode_links(spark):
     assert len(addr) == 1 and addr[0].id.startswith("_:")
     assert addr[0].get_value(EX + "city").lex == "Springfield"
     assert {g.id for g in addr[0].get_links_in(EX + "addr")} == {EX + "a"}
+
+
+# ---------------------------------------------------------------------------
+# RemoteObjectManager (NanoSparqlObjectManager analog) — GOM over the
+# SPARQL 1.1 Protocol against our own live endpoint
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def remote_om(spark):
+    from bigdata_old_spark.server import serve_background
+
+    store = TripleStore.from_turtle(spark, TTL)
+    srv, _ = serve_background(store)
+    from bigdata_old_spark.gom import RemoteObjectManager
+
+    om = RemoteObjectManager(f"http://127.0.0.1:{srv.server_address[1]}/sparql")
+    yield om, srv
+    srv.shutdown()
+
+
+def test_remote_gpo_reads(remote_om):
+    om, _ = remote_om
+    mike = om.get_gpo(EX + "mike")
+    assert mike.get_value(FOAF + "name").lex == "Mike"
+    assert {g.id for g in mike.get_links_out(FOAF + "knows")} == {
+        EX + "bryan", EX + "martyn"}
+    bryan = om.get_gpo(EX + "bryan")
+    assert {g.id for g in bryan.get_links_in(FOAF + "knows")} == {EX + "mike"}
+    # one round trip for a working set
+    got = om.materialize_many([EX + "mike", EX + "martyn"])
+    assert got[EX + "martyn"].get_reverse_link_properties() == {FOAF + "knows": 1}
+
+
+def test_remote_gpo_mutation_roundtrip(remote_om):
+    om, srv = remote_om
+    d = om.begin_native_transaction()
+    mike = om.get_gpo(EX + "mike")
+    mike.set_value(FOAF + "name", "Michael")
+    mike.add_value(FOAF + "mbox", "mike@example.org")
+    # nothing flushed before the outermost commit
+    assert srv.store.query(
+        f'ASK {{ <{EX}mike> <{FOAF}name> "Michael" }}').collect()[0][0] is False
+    om.commit_native_transaction(d)
+    assert srv.store.query(
+        f'ASK {{ <{EX}mike> <{FOAF}name> "Michael" }}').collect()[0][0] is True
+    assert srv.store.query(
+        f'ASK {{ <{EX}mike> <{FOAF}name> "Mike" }}').collect()[0][0] is False
+    # a fresh remote OM sees the committed state
+    from bigdata_old_spark.gom import RemoteObjectManager
+
+    om2 = RemoteObjectManager(om.endpoint)
+    assert om2.get_gpo(EX + "mike").get_value(FOAF + "mbox").lex == "mike@example.org"
+
+
+def test_remote_evaluate_and_execute(remote_om):
+    om, _ = remote_om
+    rows = om.evaluate(
+        f"SELECT ?n WHERE {{ <{EX}mike> <{FOAF}name> ?n }}")
+    assert [r["n"].lex for r in rows] == ["Mike"]
+    om.execute(f"INSERT DATA {{ <{EX}x> <{EX}y> 7 }}")
+    rows = om.evaluate(f"SELECT ?o WHERE {{ <{EX}x> <{EX}y> ?o }}")
+    assert rows[0]["o"].lex == "7"
+
+
+def test_remote_bnode_mutation_rejected(remote_om):
+    om, _ = remote_om
+    gpo = om.get_gpo(EX + "mike")
+    from bigdata_old_spark.model import Term
+
+    with pytest.raises(ValueError):
+        gpo.add_value(EX + "ref", Term.bnode("b1"))
