@@ -505,3 +505,66 @@ class RemoteObjectManager(_ObjectManagerBase):
             )
             with urlopen(req, timeout=30) as resp:
                 resp.read()
+
+
+# ---------------------------------------------------------------------------
+# Skins (gpo/IGenericSkin.java, gpo/BasicSkin.java, IGPO.asClass):
+# typed application-facing wrappers around a GPO, interned per
+# (gpo, class) like the reference's skin cache
+# ---------------------------------------------------------------------------
+
+class BasicSkin:
+    """gpo/BasicSkin.java analog: typed get/set convenience over a
+    GPO.  Subclass for application-specific skins and obtain instances
+    through ``gpo.as_class(MySkin)`` — the GPO caches one skin per
+    class (GPO.asClass interning)."""
+
+    def __init__(self, gpo: GPO) -> None:
+        self.gpo = gpo
+
+    def as_generic(self) -> GPO:
+        return self.gpo
+
+    def set_value(self, predicate: str, value) -> None:
+        self.gpo.set_value(predicate, value)
+
+    def get_string(self, predicate: str) -> str | None:
+        t = self.gpo.get_value(predicate)
+        return t.lex if t is not None else None
+
+    def get_int(self, predicate: str) -> int:
+        t = self.gpo.get_value(predicate)
+        return int(t.lex) if t is not None else 0
+
+    def get_double(self, predicate: str) -> float:
+        t = self.gpo.get_value(predicate)
+        return float(t.lex) if t is not None else 0.0
+
+    def get_boolean(self, predicate: str) -> bool:
+        t = self.gpo.get_value(predicate)
+        return t is not None and t.lex in ("true", "1")
+
+    def get_gpo(self, predicate: str) -> GPO | None:
+        """Resource-valued property → its (interned) GPO."""
+        t = self.gpo.get_value(predicate)
+        if t is None or t.kind not in (KIND_IRI, KIND_BNODE):
+            return None
+        rid = f"_:{t.lex}" if t.kind == KIND_BNODE else t.lex
+        return self.gpo.object_manager().get_gpo(rid)
+
+
+def _gpo_as_class(self: GPO, skin_class) -> "BasicSkin":
+    """IGPO.asClass: wrap this GPO in the given skin class (must
+    subclass BasicSkin); one cached instance per class."""
+    if not issubclass(skin_class, BasicSkin):
+        raise TypeError(f"{skin_class.__name__} is not a BasicSkin subclass")
+    cache = getattr(self, "_skins", None)
+    if cache is None:
+        cache = self._skins = {}
+    skin = cache.get(skin_class)
+    if skin is None:
+        skin = cache[skin_class] = skin_class(self)
+    return skin
+
+
+GPO.as_class = _gpo_as_class

@@ -234,3 +234,30 @@ def test_remote_bnode_mutation_rejected(remote_om):
 
     with pytest.raises(ValueError):
         gpo.add_value(EX + "ref", Term.bnode("b1"))
+
+
+def test_skins_as_class(om):
+    from bigdata_old_spark.gom import BasicSkin
+
+    class PersonSkin(BasicSkin):
+        def name(self):
+            return self.get_string(FOAF + "name")
+
+        def age(self):
+            return self.get_int(FOAF + "age")
+
+        def first_friend(self):
+            return self.get_gpo(FOAF + "knows")
+
+    mike = om.get_gpo(EX + "mike")
+    skin = mike.as_class(PersonSkin)
+    assert mike.as_class(PersonSkin) is skin  # interned per class
+    assert skin.name() == "Mike" and skin.age() == 34
+    assert skin.as_generic() is mike
+    friend = skin.first_friend()
+    assert friend is om.get_gpo(friend.id)
+    skin.set_value(FOAF + "name", "Michael")
+    assert om.store.query(
+        f'ASK {{ <{EX}mike> <{FOAF}name> "Michael" }}').collect()[0][0] is True
+    with pytest.raises(TypeError):
+        mike.as_class(dict)
