@@ -494,29 +494,33 @@ def test_counters_endpoint(endpoint):
 
     base, srv = endpoint
     root_url = base.rsplit("/sparql", 1)[0]
-    # run one query so queriesExecuted advances
+
+    def snap():
+        status, ctype, body = _get(f"{root_url}/counters")
+        assert status == 200 and ctype == "application/xml"
+        tree = ET.fromstring(body)
+        assert tree.tag == "counters"
+        return {cs.get("path"): {c.get("name"): c for c in cs} for cs in tree}
+
+    # deltas, not absolutes — the module-scoped endpoint is shared and
+    # earlier tests have already queried/mutated it
+    before = snap()
+    q0 = int(before["/Query Engine"]["queriesExecuted"].get("value"))
+    u0 = int(before["/Query Engine"]["updatesExecuted"].get("value"))
+    n0 = int(before["/Journal/kb"]["statementCount"].get("value"))
     q = urllib.parse.quote("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1")
     _get(f"{base}?query={q}")
-    status, ctype, body = _get(f"{root_url}/counters")
-    assert status == 200 and ctype == "application/xml"
-    tree = ET.fromstring(body)
-    assert tree.tag == "counters"
-    paths = {cs.get("path"): {c.get("name"): c for c in cs} for cs in tree}
-    qe = paths["/Query Engine"]
-    assert int(qe["queriesExecuted"].get("value")) >= 1
+    _post(base, "update=" + urllib.parse.quote(
+        "INSERT DATA { <http://example.org/counters-probe> "
+        "<http://example.org/y> 1 }"),
+        "application/x-www-form-urlencoded")
+    after = snap()
+    qe = after["/Query Engine"]
+    assert int(qe["queriesExecuted"].get("value")) == q0 + 1
     assert qe["queriesExecuted"].get("type") == "Long"
     assert qe["queriesExecuted"].get("time") is not None
-    # per-namespace statement counts (the TTL fixture has 3 triples)
-    assert int(paths["/Journal/kb"]["statementCount"].get("value")) == 3
-    # update counter advances through the UPDATE path
-    _post(base, "update=" + urllib.parse.quote(
-        "INSERT DATA { <http://example.org/x> <http://example.org/y> 1 }"),
-        "application/x-www-form-urlencoded")
-    _, _, body2 = _get(f"{root_url}/counters")
-    t2 = ET.fromstring(body2)
-    p2 = {cs.get("path"): {c.get("name"): c for c in cs} for cs in t2}
-    assert int(p2["/Query Engine"]["updatesExecuted"].get("value")) >= 1
-    assert int(p2["/Journal/kb"]["statementCount"].get("value")) == 4
+    assert int(qe["updatesExecuted"].get("value")) == u0 + 1
+    assert int(after["/Journal/kb"]["statementCount"].get("value")) == n0 + 1
     # filter: only Journal counters survive
     _, _, fbody = _get(f"{root_url}/counters?filter=" + urllib.parse.quote("^/Journal"))
     ft = ET.fromstring(fbody)
