@@ -982,6 +982,30 @@ def _p_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "n_epochs")
 
 
+def _p_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 top-50
+    (lexical) fused with the exact-cosine top-50 for query vector 0
+    (vector), 1/(60+rank) contributions, absent-from-one-ranking
+    handled by construction.  The oracle replays both retrievers and
+    the fusion arithmetic."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.similarity import brute_force_topk, rrf_fuse
+    from bigdata_old_spark.pipeline.text import bm25_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = bm25_rank(docs, ["spark", "query", "join"], top=50)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vec = brute_force_topk(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    out = rrf_fuse([lex.select("doc_id", "rank"), vec], top=20)
+    return out.select("doc_id", F.round("rrf_score", 8).alias("rrf_score"), "rank")
+
+
 def _p_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint pairs (Schleimer et al. 2003 / MOSS):
     char-8-gram 60-bit md5-prefix hashes, window-4 minima, boilerplate
@@ -2506,6 +2530,45 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     ),
     "p40_corpus_profile": (_p_corpus_profile, _corpus_profile_oracle()),
     "p42_winnowing_pairs": (_p_winnowing, _WINNOW_ORACLE),
+    "p43_hybrid_rrf": (
+        _p_hybrid_rrf,
+        """WITH base AS (SELECT doc_id,
+                                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                            x -> x <> '') AS toks
+                         FROM documents),
+           lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM base),
+           stats AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl FROM lens),
+           post AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM (
+                      SELECT doc_id, unnest(toks) AS tok FROM base)
+                    WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+           dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+           bm AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                  FROM (SELECT p.doc_id,
+                               sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                                   * (p.tf * 2.2)
+                                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+                        FROM post p JOIN dfreq d USING (tok)
+                                    JOIN lens l USING (doc_id) CROSS JOIN stats s
+                        GROUP BY 1))
+                  ,
+           vec AS (SELECT e.vec_id AS doc_id,
+                          row_number() OVER (
+                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                     e.vec_id) AS rank
+                   FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+                   CROSS JOIN embeddings e),
+           fused AS (SELECT doc_id, sum(1.0 / (60.0 + rank)) AS rrf_score FROM (
+                       SELECT doc_id, rank FROM bm WHERE rank <= 50
+                       UNION ALL
+                       SELECT doc_id, rank FROM vec WHERE rank <= 50)
+                     GROUP BY 1)
+           SELECT doc_id, round(rrf_score, 8) AS rrf_score, rank FROM (
+             SELECT doc_id, rrf_score,
+                    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+             FROM fused)
+           WHERE rank <= 20""",
+    ),
     "p41_edit_distance_pairs": (
         _p_edit_distance,
         """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -583,3 +583,49 @@ def append_to_ivf_index(
     )
     assignments.write.mode("append").partitionBy("cid").parquet(path + "/lists")
     return load_ivf_index(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+# standard hybrid-retrieval combiner: fuse a lexical ranking (BM25)
+# with a vector ranking (ANN cosine) without score calibration
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int | None = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion: fused score = Σ over input rankings of
+    1/(k + rank), documents absent from a ranking contribute 0 for it
+    — scores from different retrievers never need calibrating, only
+    their RANKS matter (the reason RRF is the default hybrid-search
+    combiner in RAG stacks).  Ties break by id.
+
+    Returns: id_col | rrf_score | rank.
+
+    Scale shape: each input ranking is already top-N-sized (the
+    retrievers did the heavy lifting); fusion is a unionByName of slim
+    (id, rank) rows + one groupBy(id) + TakeOrderedAndProject — cost
+    is O(Σ |ranking|), independent of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(F.sum("c").alias("rrf_score"))
+    if top is not None:
+        fused = fused.orderBy(F.desc("rrf_score"), F.col("id")).limit(top)
+    return fused.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.col("id")))
+    ).select(F.col("id").alias(id_col), "rrf_score", "rank")

@@ -1251,3 +1251,25 @@ def test_winnowing_fingerprints_short_doc_and_docfreq_guard(spark):
     # docfreq guard drops the shared (now-boilerplate) fingerprint
     assert winnowing_pairs(df, min_shared=1, max_docfreq=1).count() == 0
     assert winnowing_pairs(df, min_shared=1).count() == 1
+
+
+def test_rrf_fusion_math_and_missing_docs(spark):
+    from bigdata_old_spark.pipeline.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    r2 = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r for r in rrf_fuse([r1, r2], k=60, top=None).collect()}
+    # doc 3 appears in both rankings
+    assert abs(out[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-12
+    # docs absent from one ranking contribute only their own term
+    assert abs(out[1]["rrf_score"] - 1 / 61) < 1e-12
+    assert abs(out[4]["rrf_score"] - 1 / 62) < 1e-12
+    # doc 3 (two contributions) outranks every single-list doc
+    assert out[3]["rank"] == 1
+
+
+def test_rrf_requires_input(spark):
+    from bigdata_old_spark.pipeline.similarity import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
