@@ -18,9 +18,15 @@ Design (see SURVEY.md):
 """
 
 from bigdata_old_spark.changesets import ChangeLog, ChangeSet, InMemChangeLog
+from bigdata_old_spark.client import RemoteRepository, RemoteRepositoryManager
 from bigdata_old_spark.describe_cache import DescribeCache
+from bigdata_old_spark.gom import ObjectManager, RemoteObjectManager
 from bigdata_old_spark.session import get_spark
 from bigdata_old_spark.store import TripleStore
 
-__all__ = ["get_spark", "TripleStore", "ChangeLog", "ChangeSet", "InMemChangeLog", "DescribeCache"]
+__all__ = [
+    "get_spark", "TripleStore", "ChangeLog", "ChangeSet", "InMemChangeLog",
+    "DescribeCache", "ObjectManager", "RemoteObjectManager",
+    "RemoteRepository", "RemoteRepositoryManager",
+]
 __version__ = "0.1.0"
