@@ -982,6 +982,28 @@ def _p_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens", "n_epochs")
 
 
+def _p_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode through the REAL Arrow-batched mapInPandas path with
+    the provably-SQL-expressible n_merges=0 parameterization: zero
+    merges ⇒ every word encodes to its characters + '</w>', so the
+    oracle replays the token count and the full piece stream (as an
+    md5 of the concatenation) in plain SQL — the same
+    exhaustive-parameterization trick as the p20 LSH oracle.  The
+    trained-merge path is golden-tested in pytest (iterated rewriting
+    is not SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.bpe import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bpe_encode(docs, merges=[])
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws("", F.col("bpe_tokens"))).alias("enc_hash"),
+    )
+
+
 def _p_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 top-50
     (lexical) fused with the exact-cosine top-50 for query vector 0
@@ -2530,6 +2552,20 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     ),
     "p40_corpus_profile": (_p_corpus_profile, _corpus_profile_oracle()),
     "p42_winnowing_pairs": (_p_winnowing, _WINNOW_ORACLE),
+    "p44_bpe_encode": (
+        _p_bpe_encode,
+        # zero merges: pieces = chars + '</w>' per word, so the count
+        # is Σ(len(w)+1) and the concatenated stream is the words
+        # joined by the end-of-word marker (with a trailing marker)
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS words FROM documents)
+           SELECT doc_id,
+                  CAST(coalesce(list_sum(list_transform(words, w -> length(w) + 1)), 0)
+                       AS BIGINT) AS n_bpe_tokens,
+                  md5(coalesce(
+                        array_to_string(list_transform(words, w -> w || '</w>'), ''),
+                        '')) AS enc_hash
+           FROM t""",
+    ),
     "p43_hybrid_rrf": (
         _p_hybrid_rrf,
         """WITH base AS (SELECT doc_id,

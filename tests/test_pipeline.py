@@ -1273,3 +1273,55 @@ def test_rrf_requires_input(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (train on corpus, encode distributed)
+# ---------------------------------------------------------------------------
+
+def test_bpe_textbook_example(spark):
+    from bigdata_old_spark.pipeline.bpe import train_bpe
+
+    # the Sennrich et al. worked example family: 'est</w>' should
+    # emerge as a merged unit from {lowest, widest} style corpora
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower"),
+        (3, "newest newest newest newest newest newest"),
+        (4, "widest widest widest"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=10)
+    merged_units = {a + b for a, b in merges}
+    assert "es" in merged_units or "est" in merged_units
+    # determinism
+    assert merges == train_bpe(df, n_merges=10)
+
+
+def test_bpe_encode_matches_driver_and_counts(spark):
+    from bigdata_old_spark.pipeline.bpe import _encode_word, bpe_encode, train_bpe
+
+    rows = [(i, "the newest lowest widest tokens appear here " * 3) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=30)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    expect = []
+    for w in rows[0][1].lower().split():
+        expect.extend(_encode_word(w, ranks))
+    assert out[0]["bpe_tokens"] == expect
+    assert out[0]["n_bpe_tokens"] == len(expect)
+    # every piece ends a word iff it carries the marker; rejoining
+    # pieces reconstructs the original token stream
+    rejoined = "".join(out[0]["bpe_tokens"]).replace("</w>", " ").strip()
+    assert rejoined == " ".join(rows[0][1].lower().split())
+
+
+def test_bpe_merge_floor_stops_at_singletons(spark):
+    from bigdata_old_spark.pipeline.bpe import train_bpe
+
+    # every word unique and short: after exhausting repeated pairs the
+    # trainer must STOP, not memorize singletons
+    df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=50)
+    assert len(merges) < 10
