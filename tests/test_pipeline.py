@@ -1325,3 +1325,93 @@ def test_bpe_merge_floor_stops_at_singletons(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
     merges = train_bpe(df, n_merges=50)
     assert len(merges) < 10
+
+
+def test_end_to_end_curation_pipeline_v2(spark):
+    """Late-round-7 composition over the NEW operators: line-level
+    boilerplate dedup → C4 cleaning → Gopher + classifier quality
+    filtering → exact duplicate-span stripping → winnowing near-dup
+    drop → UniMax mixing → BPE tokenization.  Asserts each stage's
+    invariant and run-to-run determinism."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.bpe import bpe_encode, train_bpe
+    from bigdata_old_spark.pipeline.dedup import line_dedup, strip_duplicate_spans
+    from bigdata_old_spark.pipeline.sampling import unimax_mix
+    from bigdata_old_spark.pipeline.text import (
+        c4_clean, classifier_filter, gopher_quality,
+        train_ngram_classifier, winnowing_pairs)
+
+    base_text = (
+        "Genuine long-form prose with coherent sentences goes here. "
+        "It continues with several informative statements about data. "
+        "Each line carries enough words to pass every quality filter."
+    )
+    boiler = "Cookie consent banner appears on every single page here."
+    docs = [
+        (i, f"{boiler}\n{base_text} Unique marker number {i} appears.",
+         ["web", "books"][i % 2])
+        for i in range(12)
+    ]
+    # a near-duplicate pair (13 ≈ 3) and a junk doc
+    docs.append((13, f"{boiler}\n{base_text} Unique marker number 3 appears?!",
+                 "web"))
+    docs.append((14, "buy spam casino {{{ }}} javascript click", "web"))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+
+    def run():
+        # 1. corpus-wide boilerplate line removal
+        lined = line_dedup(df, min_docs=3).select(
+            "doc_id", F.col("text_dedup").alias("text"))
+        assert lined.where(F.col("text").contains("Cookie consent")).count() == 0
+        lined = lined.join(df.select("doc_id", "source"), "doc_id")
+        # 2. C4 line/doc rules (keeps reconstruction)
+        cleaned = c4_clean(lined).where(F.col("keep")).select(
+            "doc_id", F.col("clean_text").alias("text"))
+        assert cleaned.where(F.col("doc_id") == 14).count() == 0
+        # 3. Gopher doc-quality flags compose as a filter
+        good = gopher_quality(cleaned, min_words=10).where(F.col("passes"))
+        keep_ids = good.select("doc_id")
+        survivors = cleaned.join(keep_ids, "doc_id", "left_semi")
+        # 4. classifier filter (train on the cleaned corpus itself:
+        #    positives = the prose docs, negatives = raw junk)
+        neg = spark.createDataFrame(
+            [(100 + i, "spam casino click here cheap pills") for i in range(4)],
+            ["doc_id", "text"])
+        model = train_ngram_classifier(survivors, neg, iters=6, lr=2.0)
+        survivors = classifier_filter(survivors, model, threshold=0.4)
+        assert survivors.count() >= 10
+        # 5. strip exact duplicated spans (the shared base prose is
+        #    corpus-boilerplate at k=6)
+        stripped = strip_duplicate_spans(survivors, k=6).select(
+            "doc_id", F.col("text_stripped").alias("text"))
+        # the SHARED prose is gone everywhere; each doc's unique
+        # number token survives (its windows are unique to the doc)
+        leftover = {r["doc_id"]: r["text"] for r in stripped.collect()}
+        assert all("coherent" not in t for t in leftover.values())
+        surviving_ids = {r["doc_id"] for r in survivors.collect()}
+        # doc 3 excluded: its planted near-duplicate (doc 13) shares
+        # the marker-3 span, so that span is legitimately duplicated
+        for i in surviving_ids & (set(range(12)) - {3}):
+            assert f" {i} " in f" {leftover[i]} " or str(i) in leftover[i]
+        # 6. winnowing near-dup drop on the ORIGINAL cleaned text
+        pairs = winnowing_pairs(survivors, min_shared=4, max_docfreq=6)
+        drop = pairs.select(F.col("id_b").alias("doc_id")).dropDuplicates()
+        deduped = survivors.join(drop, "doc_id", "left_anti")
+        # 7. UniMax mixing across sources
+        mixed = unimax_mix(
+            deduped.join(df.select("doc_id", "source"), "doc_id"),
+            total_tokens=400, max_epochs=2)
+        assert mixed.count() >= 1
+        # 8. BPE tokenize the final mix
+        merges = train_bpe(mixed, n_merges=40)
+        enc = bpe_encode(mixed, merges)
+        rows = sorted(
+            (r["doc_id"], r["n_bpe_tokens"], tuple(r["bpe_tokens"][:5]))
+            for r in enc.collect()
+        )
+        return hashlib.md5(repr(rows).encode()).hexdigest()
+
+    assert run() == run()  # stage invariants + determinism
