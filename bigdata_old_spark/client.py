@@ -117,6 +117,8 @@ class RemoteRepository:
         url = f"{self.endpoint}?ESTCARD" + (f"&{qs}" if qs else "")
         _, _, body = self._request(url)
         m = re.search(r'rangeCount="(\d+)"', body)
+        if m is None:
+            raise HttpError(200, f"no rangeCount in ESTCARD response: {body[:200]}")
         return int(m.group(1))
 
     def size(self) -> int:
@@ -158,8 +160,12 @@ class RemoteRepository:
         return body
 
     def cancel(self, query_id: str) -> None:
-        """Cancel a running query by id (StatusServlet CANCEL_QUERY)."""
+        """Cancel a running query by id (StatusServlet CANCEL_QUERY).
+        /status is server-global, so the namespace segment of a
+        tenant endpoint must be stripped too — `…/namespace/NS/sparql`
+        and `…/sparql` both cancel at `…/status`."""
         root = self.endpoint.rsplit("/sparql", 1)[0]
+        root = re.sub(r"/namespace/[^/]+$", "", root)
         self._request(f"{root}/status?cancelQuery&queryId={urllib.parse.quote(query_id)}")
 
 

@@ -44,13 +44,6 @@ def _resource_term(rid: str) -> Term:
     return Term.bnode(rid[2:]) if rid.startswith("_:") else Term.iri(rid)
 
 
-def _o_is_resource(rid: str):
-    """Column predicate: object position holds this resource id."""
-    if rid.startswith("_:"):
-        return (F.col("o_kind") == KIND_BNODE) & (F.col("o_lex") == rid[2:])
-    return (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == rid)
-
-
 class GPO:
     """Generic Persistent Object (gpo/GPO.java) — one resource, its
     forward property values and reverse links, lazily materialized."""
@@ -153,10 +146,12 @@ class GPO:
     def add_value(self, predicate: str, value) -> None:
         t = Term.from_python(value)
         self._ensure()
+        # buffer FIRST: if the OM rejects the row (e.g. remote bnode
+        # validation) the in-memory view stays untouched
+        self._om._buffer_add(self._id, predicate, t)
         if t not in self._fwd.get(predicate, []):
             self._fwd.setdefault(predicate, []).append(t)
             self._fwd[predicate].sort(key=lambda x: (x.kind, x.lex, x.dt or "", x.lang or ""))
-        self._om._buffer_add(self._id, predicate, t)
 
     def set_value(self, predicate: str, value) -> None:
         """Replace ALL values of the property (IGPO.setValue)."""
@@ -166,12 +161,12 @@ class GPO:
     def remove_value(self, predicate: str, value) -> None:
         t = Term.from_python(value)
         self._ensure()
+        self._om._buffer_remove(self._id, predicate, t)
         vals = self._fwd.get(predicate, [])
         if t in vals:
             vals.remove(t)
             if not vals:
                 self._fwd.pop(predicate, None)
-        self._om._buffer_remove(self._id, predicate, t)
 
     def remove_values(self, predicate: str) -> None:
         self._ensure()
@@ -180,9 +175,23 @@ class GPO:
 
     def remove(self) -> None:
         """Remove the object: every forward statement AND every
-        incoming link (IGPO.remove retracts both directions)."""
+        incoming link (IGPO.remove retracts both directions).  Other
+        INTERNED materialized GPOs' in-memory views are kept coherent
+        in both directions: linkers-in lose their forward value, link
+        targets lose their reverse entry."""
         self._ensure()
+        # forward: also drop self from each resource target's _rev
         for p in list(self._fwd):
+            for t in self._fwd.get(p, []):
+                if t.kind in (KIND_IRI, KIND_BNODE):
+                    orid = f"_:{t.lex}" if t.kind == KIND_BNODE else t.lex
+                    target = self._om._gpos.get(orid)
+                    if target is not None and target._materialized:
+                        subs = target._rev.get(p, [])
+                        if self._id in subs:
+                            subs.remove(self._id)
+                            if not subs:
+                                target._rev.pop(p, None)
             self.remove_values(p)
         me = _resource_term(self._id)
         for p, subjects in list(self._rev.items()):
@@ -480,6 +489,16 @@ class RemoteObjectManager(_ObjectManagerBase):
             )
         return f"<{s}> <{p}> {_nt_term(t)}"
 
+    def _buffer_add(self, s: str, p: str, t: Term) -> None:
+        # validate at BUFFER time: an unshippable row must never enter
+        # the buffer (it would poison every later flush)
+        self._wire_triple(s, p, t)
+        super()._buffer_add(s, p, t)
+
+    def _buffer_remove(self, s: str, p: str, t: Term) -> None:
+        self._wire_triple(s, p, t)
+        super()._buffer_remove(s, p, t)
+
     def _flush(self) -> None:
         parts = []
         if self._removes:
@@ -487,13 +506,11 @@ class RemoteObjectManager(_ObjectManagerBase):
                 self._wire_triple(s, p, t) for (_, s, p, t) in self._removes
             )
             parts.append(f"DELETE DATA {{ {triples} }}")
-            self._removes = []
         if self._adds:
             triples = " . ".join(
                 self._wire_triple(s, p, t) for (_, s, p, t) in self._adds
             )
             parts.append(f"INSERT DATA {{ {triples} }}")
-            self._adds = []
         if parts:
             from urllib.parse import urlencode
             from urllib.request import Request, urlopen
@@ -505,6 +522,10 @@ class RemoteObjectManager(_ObjectManagerBase):
             )
             with urlopen(req, timeout=30) as resp:
                 resp.read()
+        # clear only AFTER a successful send — a transport failure
+        # keeps the delta for retry or rollback
+        self._removes = []
+        self._adds = []
 
 
 # ---------------------------------------------------------------------------

@@ -118,10 +118,17 @@ def bpe_encode(
     mapInPandas with a per-batch word memo (Zipf → high hit rate); the
     merge table rides in the closure (a few kB — plan-literal-sized
     model state)."""
+    import re
+
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     from pyspark.sql import types as T
 
+    # ASCII \s+, exactly the tokenizer train_bpe's Spark-side F.split
+    # (Java regex) and the SQL oracle use — Python's default \s (and
+    # str.split) also split Unicode whitespace like NBSP, which would
+    # make encoding disagree with training on word boundaries
+    ws = re.compile(r"\s+", re.ASCII)
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     schema = T.StructType([
         df.schema[id_col],
@@ -137,7 +144,7 @@ def bpe_encode(
             out_counts = []
             for text in pdf[text_col]:
                 pieces: list[str] = []
-                for w in (text or "").lower().split():
+                for w in filter(None, ws.split((text or "").lower())):
                     enc = memo.get(w)
                     if enc is None:
                         enc = memo[w] = _encode_word(w, ranks)

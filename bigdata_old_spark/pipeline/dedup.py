@@ -539,6 +539,44 @@ def line_dedup(
 # repeated ≥k-token substrings, not just whole-document duplicates)
 # ---------------------------------------------------------------------------
 
+def _dup_window_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+    window_hash: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared windows→duplicated-starts pipeline for the span ops:
+    returns (base (id, toks), dup window starts (id, i) — 1-based
+    starts of windows whose text occurs >= min_count times)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    n = F.size("toks")
+    # window start positions 1..n-k+1 (1-based to match SQL slicing)
+    wins = base.where(n >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+            )
+        ).alias("pos0", "wtext"),
+    )
+    keyed = wins.select(
+        "id",
+        (F.col("pos0") + 1).alias("i"),  # 1-based window start
+        (F.md5("wtext") if window_hash == "md5" else F.xxhash64("wtext").cast("string")).alias("wkey"),
+    )
+    dup_keys = (
+        keyed.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("wkey")
+    )
+    return base, keyed.join(dup_keys, "wkey", "left_semi").select("id", "i")
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -570,32 +608,9 @@ def duplicate_spans(
     spuriously; acceptable for corpus hygiene, not for the gate).
     Documents shorter than k tokens have no windows and report 0.
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    n = F.size("toks")
-    # window start positions 1..n-k+1 (1-based to match SQL slicing)
-    wins = base.where(n >= k).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - k + 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
-            )
-        ).alias("pos0", "wtext"),
-    )
-    keyed = wins.select(
-        "id",
-        (F.col("pos0") + 1).alias("i"),  # 1-based window start
-        (F.md5("wtext") if window_hash == "md5" else F.xxhash64("wtext").cast("string")).alias("wkey"),
-    )
-    dup_keys = (
-        keyed.groupBy("wkey")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") >= min_count)
-        .select("wkey")
-    )
+    base, dup_wins = _dup_window_keys(df, id_col, text_col, k, min_count, window_hash)
     covered = (
-        keyed.join(dup_keys, "wkey", "left_semi")
+        dup_wins
         .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + k - 1)).alias("p"))
         .dropDuplicates(["id", "p"])
         .groupBy("id")
@@ -622,33 +637,20 @@ def strip_duplicate_spans(
     text_col: str = "text",
     k: int = 10,
     min_count: int = 2,
+    window_hash: str = "md5",
 ) -> DataFrame:
     """Rebuild each document keeping only tokens OUTSIDE duplicated
     spans (the destructive half of Lee et al.'s ExactSubstr dedup).
     Lowercased tokens — span identity is case-folded, and the rebuilt
     text is the case-folded token stream (byte-exact reconstruction
     would carry the original offsets; the training-data consumer
-    tokenizes anyway).  Returns: id_col | text_stripped | n_tokens |
-    n_dup_tokens."""
-    toks = tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    n = F.size("toks")
-    wins = base.where(n >= k).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - k + 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
-            )
-        ).alias("pos0", "wtext"),
-    )
-    keyed = wins.select("id", (F.col("pos0") + 1).alias("i"), F.md5("wtext").alias("wkey"))
-    dup_keys = (
-        keyed.groupBy("wkey").agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") >= min_count).select("wkey")
-    )
+    tokenizes anyway).  Shares :func:`_dup_window_keys` with
+    :func:`duplicate_spans` so the stats pass and the destructive pass
+    can never disagree on what counts as a duplicated span.  Returns:
+    id_col | text_stripped | n_tokens | n_dup_tokens."""
+    base, dup_wins = _dup_window_keys(df, id_col, text_col, k, min_count, window_hash)
     covered = (
-        keyed.join(dup_keys, "wkey", "left_semi")
+        dup_wins
         .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + k - 1)).alias("p"))
         .groupBy("id")
         .agg(F.collect_set("p").alias("dup_pos"))

@@ -649,7 +649,11 @@ def bm25_rank(
     """
     import math
 
-    q = [t.lower() for t in dict.fromkeys(query_tokens)]
+    # lowercase BEFORE dedup: 'Spark' and 'spark' are one query term,
+    # not a double-weighted pair
+    q = list(dict.fromkeys(t.lower() for t in query_tokens))
+    if not q:
+        raise ValueError("bm25_rank needs at least one query token")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     def _match(word: str):
         # one-arg lambda: a second parameter would be interpreted by

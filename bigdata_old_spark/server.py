@@ -770,21 +770,27 @@ class SparqlHandler(BaseHTTPRequestHandler):
             else:
                 parse_query(query)
         except Exception as e:
-            self.server.counters["queryErrorCount"] += 1
+            self._count("queryErrorCount")
             self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
             return
         try:
             if update is not None:
                 self._run_update(update)
-                self.server.counters["updatesExecuted"] += 1
+                self._count("updatesExecuted")
             else:
                 self._run_query(query, explain)
-                self.server.counters["queriesExecuted"] += 1
+                self._count("queriesExecuted")
         except _NoSuchNamespace as e:
             self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
         except Exception as e:
-            self.server.counters["queryErrorCount"] += 1
+            self._count("queryErrorCount")
             self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
+
+    def _count(self, name: str) -> None:
+        # += on a plain Counter is a read-modify-write; concurrent
+        # request threads (ThreadingHTTPServer) would lose increments
+        with self.server.counters_lock:
+            self.server.counters[name] += 1
 
     def _do_counters(self, p: dict) -> None:
         """GET /counters — performance counters as the reference's
@@ -868,6 +874,7 @@ def make_server(
     from collections import Counter as _Counter
 
     srv.counters = _Counter()  # /counters performance counters
+    srv.counters_lock = threading.Lock()
     import time as _time
 
     srv.started_at = _time.time()

@@ -234,6 +234,12 @@ def test_remote_bnode_mutation_rejected(remote_om):
 
     with pytest.raises(ValueError):
         gpo.add_value(EX + "ref", Term.bnode("b1"))
+    # the rejection left NO trace: in-memory view unchanged, and the
+    # next valid mutation flushes cleanly (no poisoned buffer)
+    assert gpo.get_value(EX + "ref") is None
+    gpo.add_value(EX + "ref", "clean")
+    assert om.evaluate(
+        f"SELECT ?o WHERE {{ <{EX}mike> <{EX}ref> ?o }}")[0]["o"].lex == "clean" 
 
 
 def test_skins_as_class(om):

@@ -1415,3 +1415,30 @@ def test_end_to_end_curation_pipeline_v2(spark):
         return hashlib.md5(repr(rows).encode()).hexdigest()
 
     assert run() == run()  # stage invariants + determinism
+
+
+def test_bm25_case_dedup_and_empty_query(spark):
+    from bigdata_old_spark.pipeline.text import bm25_rank
+
+    df = spark.createDataFrame(
+        [(1, "spark spark engine"), (2, "join processing")], ["doc_id", "text"])
+    # 'Spark' and 'spark' are ONE term — identical to the single-token query
+    a = {r["doc_id"]: r["score"] for r in bm25_rank(df, ["Spark", "spark"]).collect()}
+    b = {r["doc_id"]: r["score"] for r in bm25_rank(df, ["spark"]).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        bm25_rank(df, [])
+
+
+def test_bpe_encode_ascii_whitespace_parity(spark):
+    from bigdata_old_spark.pipeline.bpe import bpe_encode
+
+    # NBSP is NOT a separator for Java \s+ (the training side and
+    # the SQL oracle); the encode path must agree: 'foo\u00a0ba' stays
+    # ONE word, so the NBSP character appears INSIDE the piece stream
+    # (a Unicode-whitespace split would swallow it as a separator)
+    df = spark.createDataFrame([(1, "foo\u00a0ba z")], ["doc_id", "text"])
+    out = bpe_encode(df, merges=[]).collect()[0]
+    stream = "".join(out["bpe_tokens"])
+    assert "\u00a0" in stream
+    assert stream == "foo\u00a0ba</w>z</w>"
