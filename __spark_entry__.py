@@ -43,6 +43,8 @@ def _store(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from bigdata_old_spark.mapping import triplify_dir
+
+    _ensure_pkg(spark)
     from bigdata_old_spark.store import TripleStore
 
     key = (id(spark), sf_dir)
@@ -518,9 +520,38 @@ def _q_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pipeline operators (dedup / similarity / text analysis) — DataFrame-native
 # ---------------------------------------------------------------------------
 
+_PKG_SHIPPED: set[str] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship bigdata_old_spark to the Python workers (addPyFile) so
+    mapInPandas/applyInPandas closures that reference module-level
+    helpers import cleanly even when the DRIVER process found the
+    package only via a sys.path insert (e.g. a harness running from a
+    different cwd without PYTHONPATH — local-mode workers inherit the
+    process env, not the driver's sys.path)."""
+    import os
+    import shutil
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PKG_SHIPPED:
+        return
+    _PKG_SHIPPED.add(app_id)
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bigdata_old_spark")
+    zip_base = f"/tmp/bigdata_old_spark_pyfiles_{os.getpid()}"
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+                            base_dir="bigdata_old_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # already added in this context — fine
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from bigdata_old_spark.mapping import read_table
 
+    _ensure_pkg(spark)
     return read_table(spark, f"{sf_dir}/{table}.parquet")
 
 
@@ -2656,14 +2687,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return _sparql(sparql, **out_types)(spark, "/root/testdata/sf0.001")
 
 
+def _with_pkg(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)  # workers can import the package from any cwd
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (sparql, out_types, _) in _SPARQL_QUERIES.items():
-        out[name] = _sparql(sparql, **out_types)
+        out[name] = _with_pkg(_sparql(sparql, **out_types))
     for name, (fn, _) in _PIPELINE_QUERIES.items():
-        out[name] = fn
+        out[name] = _with_pkg(fn)
     for name, (fn, _) in _FORM_QUERIES.items():
-        out[name] = fn
+        out[name] = _with_pkg(fn)
     return out
 
 

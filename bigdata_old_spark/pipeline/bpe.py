@@ -90,20 +90,34 @@ def train_bpe(
     return merges
 
 
+def _make_word_encoder(ranks: dict[tuple[str, str], int]):
+    """A SELF-CONTAINED word encoder closure: applies merges lowest
+    rank first (standard BPE inference order ≡ replaying training
+    order).  Built as a nested function so cloudpickle ships it BY
+    VALUE into mapInPandas workers — a module-level function would be
+    pickled by reference and require ``bigdata_old_spark`` on every
+    executor's PYTHONPATH (true only when the driver happens to run
+    from the repo root)."""
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            sym[best_i: best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return sym
+
+    return encode_word
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Apply merges to one word, lowest-rank pair first (the standard
-    BPE inference order — equivalent to replaying training order)."""
-    sym = list(word) + [_EOW]
-    while len(sym) > 1:
-        best_i, best_rank = -1, None
-        for i in range(len(sym) - 1):
-            r = ranks.get((sym[i], sym[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_i, best_rank = i, r
-        if best_rank is None:
-            break
-        sym[best_i: best_i + 2] = [sym[best_i] + sym[best_i + 1]]
-    return sym
+    """Driver-side convenience/test entry for one word."""
+    return _make_word_encoder(ranks)(word)
 
 
 def bpe_encode(
@@ -130,6 +144,7 @@ def bpe_encode(
     # make encoding disagree with training on word boundaries
     ws = re.compile(r"\s+", re.ASCII)
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    encode_word = _make_word_encoder(ranks)
     schema = T.StructType([
         df.schema[id_col],
         T.StructField(out_col, T.ArrayType(T.StringType())),
@@ -147,7 +162,7 @@ def bpe_encode(
                 for w in filter(None, ws.split((text or "").lower())):
                     enc = memo.get(w)
                     if enc is None:
-                        enc = memo[w] = _encode_word(w, ranks)
+                        enc = memo[w] = encode_word(w)
                     pieces.extend(enc)
                 out_tokens.append(pieces)
                 out_counts.append(len(pieces))
