@@ -522,6 +522,10 @@ class SparqlHandler(BaseHTTPRequestHandler):
             self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
             return
         p = self._params()
+        is_gsp, g = self._gsp_target(p)
+        if is_gsp:
+            self._do_gsp_delete(g)
+            return
         t0 = _time.time()
         try:
             doomed = self._access_path(p)
@@ -532,6 +536,99 @@ class SparqlHandler(BaseHTTPRequestHandler):
         ms = int((_time.time() - t0) * 1000)
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
 
+
+    # -- SPARQL 1.1 Graph Store HTTP Protocol (indirect identification) ------
+    # GET/PUT/POST/DELETE at the endpoint with ?graph=<uri>|?default —
+    # the W3C standard REST surface for whole-graph management,
+    # complementing the NanoSparqlServer access-path REST extensions.
+
+    def _gsp_target(self, p: dict) -> tuple[bool, str | None]:
+        """(is_gsp_request, graph-uri-or-None-for-default)."""
+        if "default" in p:
+            return True, None
+        if "graph" in p:
+            g = p["graph"][0]
+            if g.startswith("<") and g.endswith(">"):
+                g = g[1:-1]
+            return True, g
+        return False, None
+
+    def _gsp_rows(self, g: str | None):
+        from pyspark.sql import functions as F
+
+        sts = self._get_store().statements
+        return sts.where(F.col("g").isNull() if g is None else (F.col("g") == g))
+
+    def _do_gsp_get(self, g: str | None) -> None:
+        from pyspark.sql import functions as F
+
+        from bigdata_old_spark import serializers
+        from bigdata_old_spark.model import iri_col_to_term, obj_cols_to_term
+
+        rows = self._gsp_rows(g)
+        if g is not None and rows.isEmpty():
+            self._reply(404, f"no such graph: {g}", "text/plain")
+            return
+        trip = rows.select(
+            iri_col_to_term(F.col("s")).alias("s"),
+            iri_col_to_term(F.col("p")).alias("p"),
+            obj_cols_to_term("o_").alias("o"),
+        )
+        accept = (self.headers.get("Accept") or "").lower()
+        if "n-triples" in accept:
+            self._reply(200, serializers.ntriples(trip), "application/n-triples")
+        else:
+            self._reply(200, serializers.turtle(trip), "text/turtle")
+
+    def _do_gsp_put(self, g: str | None, ctype: str, body: str) -> None:
+        """PUT = REPLACE the graph with the payload (201 when a named
+        graph springs into existence, 200 when replacing)."""
+        from bigdata_old_spark.model import statements_df_from_terms
+
+        try:
+            rows = self._parse_rdf(ctype, body)
+        except LookupError:
+            self._reply(415, f"unsupported RDF content type: {ctype}", "text/plain")
+            return
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            return
+        existed = g is None or not self._gsp_rows(g).isEmpty()
+        old = self._gsp_rows(g)
+        new = statements_df_from_terms(
+            [(g, s, pp, o) for (_, s, pp, o) in rows],
+            self._get_store().spark,
+        )
+        self._mutate_rest(removed=old, added=new)
+        self._reply(200 if existed else 201, "", "text/plain")
+
+    def _do_gsp_delete(self, g: str | None) -> None:
+        """DELETE = drop the graph (404 for an absent named graph; the
+        default graph always exists and empties to 200)."""
+        rows = self._gsp_rows(g)
+        if g is not None and rows.isEmpty():
+            self._reply(404, f"no such graph: {g}", "text/plain")
+            return
+        n = self._mutate_rest(removed=rows)
+        self._reply(200, f'<data modified="{n}"/>', "application/xml")
+
+    def do_PUT(self) -> None:  # noqa: N802
+        self._ns = self._route_ns()
+        try:
+            self._get_store()
+        except _NoSuchNamespace as e:
+            self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
+            return
+        p = self._params()
+        is_gsp, g = self._gsp_target(p)
+        if not is_gsp:
+            self._reply(400, "PUT requires ?graph= or ?default (Graph Store Protocol)",
+                        "text/plain")
+            return
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length).decode("utf-8") if length else ""
+        self._do_gsp_put(g, ctype, body)
 
     # -- status page (StatusServlet analog) ----------------------------------
     def _do_status(self, p: dict) -> None:
@@ -654,6 +751,10 @@ class SparqlHandler(BaseHTTPRequestHandler):
             self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
             return
         p = self._params()
+        is_gsp, g = self._gsp_target(p)
+        if is_gsp and "query" not in p:
+            self._do_gsp_get(g)
+            return
         if "ESTCARD" in p:
             self._do_estcard(p)
             return
@@ -737,6 +838,13 @@ class SparqlHandler(BaseHTTPRequestHandler):
             self._do_insert_uris(p)
             return
         if ctype in _RDF_INSERT_TYPES:
+            # Graph Store Protocol POST = merge into the target graph:
+            # ?graph= behaves as the insert's default context;
+            # ?default is a plain default-graph insert
+            is_gsp, g = self._gsp_target(p)
+            if is_gsp and g is not None:
+                p = dict(p)
+                p["context-uri"] = [f"<{g}>"]
             self._do_insert_body(p, ctype, body)
             return
         query = p.get("query", [None])[0]

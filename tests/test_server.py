@@ -531,3 +531,71 @@ def test_counters_endpoint(endpoint):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_graph_store_protocol_lifecycle(spark):
+    """SPARQL 1.1 Graph Store HTTP Protocol (indirect identification):
+    PUT creates (201) / replaces (200), GET serializes, POST merges,
+    DELETE drops, absent named graphs 404; ?default addresses the
+    default graph."""
+    from bigdata_old_spark.store import TripleStore
+    from bigdata_old_spark.server import serve_background
+
+    store = TripleStore.from_turtle(
+        spark, "@prefix : <http://example.org/> . :seed :p :o .")
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    g = urllib.parse.quote("http://example.org/g1")
+    try:
+        def req(method, url, data=None, ctype=None, accept=None):
+            headers = {}
+            if ctype:
+                headers["Content-Type"] = ctype
+            if accept:
+                headers["Accept"] = accept
+            r = urllib.request.Request(
+                url, data=data.encode() if data else None,
+                headers=headers, method=method)
+            try:
+                with urllib.request.urlopen(r) as resp:
+                    return resp.status, resp.read().decode()
+            except urllib.error.HTTPError as e:
+                return e.code, e.read().decode()
+
+        # GET / DELETE of an absent named graph → 404
+        assert req("GET", f"{base}?graph={g}")[0] == 404
+        assert req("DELETE", f"{base}?graph={g}")[0] == 404
+        # PUT creates → 201
+        ttl = '@prefix : <http://example.org/> . :a :tag "x" .'
+        assert req("PUT", f"{base}?graph={g}", ttl, "text/turtle")[0] == 201
+        code, body = req("GET", f"{base}?graph={g}",
+                         accept="application/n-triples")
+        assert code == 200 and '<http://example.org/a>' in body and '"x"' in body
+        # POST merges → graph now has 2 triples
+        assert req("POST", f"{base}?graph={g}",
+                   '@prefix : <http://example.org/> . :b :tag "y" .',
+                   "text/turtle")[0] == 200
+        _, body = req("GET", f"{base}?graph={g}", accept="application/n-triples")
+        assert '"x"' in body and '"y"' in body
+        # PUT replaces → 200, only the new content remains
+        assert req("PUT", f"{base}?graph={g}",
+                   '@prefix : <http://example.org/> . :c :tag "z" .',
+                   "text/turtle")[0] == 200
+        _, body = req("GET", f"{base}?graph={g}", accept="application/n-triples")
+        assert '"z"' in body and '"x"' not in body
+        # the default graph is addressable and unaffected
+        _, body = req("GET", f"{base}?default", accept="application/n-triples")
+        assert "seed" in body and '"z"' not in body
+        # DELETE drops the graph
+        assert req("DELETE", f"{base}?graph={g}")[0] == 200
+        assert req("GET", f"{base}?graph={g}")[0] == 404
+        # PUT on ?default replaces the default graph (always 200)
+        assert req("PUT", f"{base}?default",
+                   '@prefix : <http://example.org/> . :new :p :q .',
+                   "text/turtle")[0] == 200
+        _, body = req("GET", f"{base}?default", accept="application/n-triples")
+        assert "new" in body and "seed" not in body
+        # PUT without a GSP target → 400
+        assert req("PUT", base, ttl, "text/turtle")[0] == 400
+    finally:
+        srv.shutdown()
