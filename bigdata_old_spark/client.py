@@ -159,6 +159,41 @@ class RemoteRepository:
         _, _, body = self._request(self.endpoint)
         return body
 
+    # -- Graph Store HTTP Protocol (indirect identification) -----------------
+    def _gsp_url(self, graph: str | None) -> str:
+        if graph is None:
+            return f"{self.endpoint}?default"
+        return f"{self.endpoint}?graph={urllib.parse.quote(graph)}"
+
+    def get_graph(self, graph: str | None = None) -> str:
+        """GSP GET: the graph's N-Triples serialization (None = the
+        default graph)."""
+        _, _, body = self._request(
+            self._gsp_url(graph), headers={"Accept": "application/n-triples"})
+        return body
+
+    def put_graph(self, rdf_body: str, graph: str | None = None,
+                  content_type: str = "text/turtle") -> bool:
+        """GSP PUT (replace); returns True when the graph was CREATED
+        (HTTP 201)."""
+        code, _, _ = self._request(
+            self._gsp_url(graph), rdf_body.encode(),
+            {"Content-Type": content_type}, method="PUT")
+        return code == 201
+
+    def post_graph(self, rdf_body: str, graph: str | None = None,
+                   content_type: str = "text/turtle") -> int:
+        """GSP POST (merge); returns the mutation count."""
+        _, _, body = self._request(
+            self._gsp_url(graph), rdf_body.encode(),
+            {"Content-Type": content_type})
+        m = re.search(r'modified="(\d+)"', body)
+        return int(m.group(1)) if m else 0
+
+    def delete_graph(self, graph: str | None = None) -> None:
+        """GSP DELETE (drop; 404 → HttpError for absent named graphs)."""
+        self._request(self._gsp_url(graph), method="DELETE")
+
     def cancel(self, query_id: str) -> None:
         """Cancel a running query by id (StatusServlet CANCEL_QUERY).
         /status is server-global, so the namespace segment of a

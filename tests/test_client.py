@@ -78,3 +78,27 @@ def test_client_namespaces(mgr):
     assert "tenant1" not in mgr.list_namespaces()
     with pytest.raises(HttpError):
         repo.tuple_query("SELECT * WHERE { ?s ?p ?o }")
+
+
+def test_client_graph_store_protocol(mgr):
+    # PUT creates, GET reads, POST merges, DELETE drops — over the
+    # client's GSP methods
+    created = mgr.put_graph(
+        '@prefix : <http://example.org/> . :a :tag "x" .', graph=EX + "g9")
+    assert created is True
+    body = mgr.get_graph(EX + "g9")
+    assert '"x"' in body
+    assert mgr.post_graph(
+        '@prefix : <http://example.org/> . :b :tag "y" .', graph=EX + "g9") == 1
+    assert '"y"' in mgr.get_graph(EX + "g9")
+    # replace → not created
+    assert mgr.put_graph(
+        '@prefix : <http://example.org/> . :c :tag "z" .', graph=EX + "g9") is False
+    body = mgr.get_graph(EX + "g9")
+    assert '"z"' in body and '"x"' not in body
+    mgr.delete_graph(EX + "g9")
+    with pytest.raises(HttpError) as ei:
+        mgr.get_graph(EX + "g9")
+    assert ei.value.code == 404
+    # the default graph reads through GSP too
+    assert "example.org/a" in mgr.get_graph()
