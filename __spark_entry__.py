@@ -1168,6 +1168,24 @@ SELECT source AS "group", count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
 FROM l GROUP BY 1"""
 
 
+def _p_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: equal-size
+    rank-based split on the (quantized) bigram-LM cross-entropy —
+    rank-based rather than percentile-threshold-based so the split is
+    an exact integer function of the (entropy, id) order that reruns
+    and the SQL oracle reproduce."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import lm_bucket
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lm_bucket(docs)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("cross_entropy", 5).alias("cross_entropy"), "bucket"
+    )
+
+
 def _p_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (CCNet-style perplexity
     quality signal), model trained on the same corpus — pure count
@@ -2670,6 +2688,37 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
            SELECT doc_id, count(*) AS n_bigrams,
                   round(-avg(lp), 5) AS cross_entropy
            FROM sc GROUP BY doc_id""",
+    ),
+    "p45_lm_bucket": (
+        _p_lm_bucket,
+        # same LM CTEs as p23 + rank-based ntile on the quantized ce
+        f"""WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+           bg AS (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(2, len(toks)),
+                                          i -> toks[i-1] || chr(31) || toks[i])) AS bg
+             FROM base WHERE len(toks) >= 2
+           ),
+           bgc AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+           pfx AS (SELECT split_part(bg, chr(31), 1) AS p, count(*) AS cp
+                   FROM bg GROUP BY 1),
+           v AS (SELECT count(DISTINCT t) AS vs FROM (
+                   SELECT unnest(toks) AS t FROM base)),
+           sc AS (
+             SELECT b.doc_id,
+                    ln((c.cb + 1.0) / (p.cp + v.vs)) AS lp
+             FROM bg b
+             JOIN bgc c USING (bg)
+             JOIN pfx p ON p.p = split_part(b.bg, chr(31), 1)
+             CROSS JOIN v
+           ),
+           ce AS (SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS ce0
+                  FROM sc GROUP BY doc_id)
+           SELECT doc_id, n_bigrams, round(ce0, 5) AS cross_entropy,
+                  CASE ntile(3) OVER (ORDER BY round(ce0, 6), doc_id)
+                       WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+           FROM ce""",
     ),
     "p21_dedup_against_index": (
         _p_dedup_against,

@@ -867,3 +867,44 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def lm_bucket(
+    df: DataFrame,
+    lm: "BigramLM | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document by its LM cross-entropy (lowest = most fluent) and
+    split the corpus into equal-size quality buckets — 'head' is what
+    CCNet keeps outright, 'middle' gets a second look, 'tail' is
+    dropped.  Rank-based (ntile), not threshold-based: bucket
+    membership is an exact integer function of the (cross_entropy, id)
+    order, so reruns and the SQL oracle reproduce it bit-for-bit
+    (value thresholds from interpolated percentiles differ across
+    engines in final ULPs and flip ties).
+
+    Returns: id_col | n_bigrams | cross_entropy | bucket.
+
+    Scale shape: scoring is the :func:`lm_cross_entropy` broadcast
+    join; the ntile is a GLOBAL order — fine into the millions of
+    rows, and at crawl scale swap it for a two-pass range-partitioned
+    rank (repartitionByRange(cross_entropy) + partition-local offsets)
+    or approximate thresholds; the bucket CONTRACT (equal-size by
+    rank) is the stable part.
+    """
+    from pyspark.sql import Window
+
+    scored = lm_cross_entropy(df, lm=lm, id_col=id_col, text_col=text_col)
+    # rank on the QUANTIZED entropy: the per-doc sum is a float
+    # reduction whose partition order varies run to run (ULP jitter),
+    # and a reproducible corpus split is the whole point of bucketing
+    w = Window.orderBy(F.round(F.col("cross_entropy"), 6), F.col(id_col))
+    n = len(buckets)
+    barr = F.array(*[F.lit(b) for b in buckets])
+    return scored.withColumn("__nt", F.ntile(n).over(w)).select(
+        id_col, "n_bigrams", "cross_entropy",
+        F.element_at(barr, F.col("__nt")).alias("bucket"),
+    )

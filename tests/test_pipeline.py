@@ -1442,3 +1442,28 @@ def test_bpe_encode_ascii_whitespace_parity(spark):
     stream = "".join(out["bpe_tokens"])
     assert "\u00a0" in stream
     assert stream == "foo\u00a0ba</w>z</w>"
+
+
+def test_lm_bucket_equal_sizes_and_fluency_order(spark):
+    from bigdata_old_spark.pipeline.text import lm_bucket
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = (
+        [(i, fluent) for i in range(4)]                      # repeated → low ce
+        + [(10 + i, f"zq{i} xv{i} wk{i} jj{i} qq{i} pp{i}") for i in range(4)]
+        + [(20 + i, "the cat ran off the mat quickly today friends") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = lm_bucket(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    sizes = {}
+    for r in got.values():
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {"head": 4, "middle": 4, "tail": 4}
+    # the repeated fluent docs rank lowest-entropy → head; the
+    # gibberish unique-bigram docs land in the tail
+    assert all(got[i]["bucket"] == "head" for i in range(4))
+    assert all(got[10 + i]["bucket"] == "tail" for i in range(4))
+    # determinism across reruns (quantized rank ordering)
+    again = {r["doc_id"]: r["bucket"] for r in lm_bucket(df).collect()}
+    assert again == {d: r["bucket"] for d, r in got.items()}
