@@ -152,6 +152,39 @@ def _q_quads_graph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain(df, g="str", nation="str", n_cust="long")
 
 
+def _q_update_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with USING / USING NAMED dataset scoping, hash-gated
+    end-to-end (reference AST2BOpUpdate.java:378-416; VERDICT r7 #1).
+
+    Two mutations on the quads store, then a query over the mutated
+    result:
+      1. INSERT … USING NAMED region, nation — audits one triple per
+         typed subject of the SCOPED graphs only.  If USING NAMED were
+         ignored, GRAPH ?g would range over ALL nine graphs and the
+         audit count would explode → hash mismatch (discriminating).
+      2. INSERT … USING region — default-graph form of the clause.
+    """
+    from bigdata_old_spark.results import plain
+
+    st = _quads_store(spark, sf_dir)
+    st = st.update(PREFIXES + """
+        INSERT { GRAPH <urn:tpch:graph:audit> { ?g <urn:tpch:audit#n> ?s } }
+        USING NAMED <urn:tpch:graph:region>
+        USING NAMED <urn:tpch:graph:nation>
+        WHERE { GRAPH ?g { ?s a ?cls } }""")
+    st = st.update(PREFIXES + """
+        INSERT { GRAPH <urn:tpch:graph:audit2> { ?s <urn:tpch:audit#name> ?o } }
+        USING <urn:tpch:graph:region>
+        WHERE { ?s <urn:tpch:region#r_name> ?o }""")
+    df = st.query(PREFIXES + """
+        SELECT ?g (COUNT(*) AS ?n)
+        FROM NAMED <urn:tpch:graph:audit>
+        FROM NAMED <urn:tpch:graph:audit2>
+        WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g""")
+    return plain(df, g="str", n="long")
+
+
 def _sparql(sparql: str, **out_types: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from bigdata_old_spark.results import plain
@@ -1869,6 +1902,16 @@ _FORM_QUERIES: dict[str, tuple] = {
                   count(*) AS n_cust
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name""",
+    ),
+    "q35_update_using": (
+        _q_update_using,
+        # audit  = one triple per typed subject of region+nation ONLY
+        # audit2 = one triple per region r_name
+        """SELECT 'urn:tpch:graph:audit' AS g,
+                  (SELECT count(*) FROM region) + (SELECT count(*) FROM nation) AS n
+           UNION ALL
+           SELECT 'urn:tpch:graph:audit2' AS g,
+                  (SELECT count(*) FROM region) AS n""",
     ),
 }
 

@@ -52,6 +52,12 @@ class DeleteInsert:
     insert_template: list
     pattern: object
     with_graph: str | None = None
+    # USING / USING NAMED → an A.Dataset scoping the WHERE evaluation
+    # exactly like FROM/FROM NAMED scopes a query (reference
+    # AST2BOpUpdate.java:378-416 evaluates the WHERE against the
+    # update's dataset).  When present, WITH is ignored for the WHERE
+    # (SPARQL 1.1 Update §3.1.3) but still scopes bare template quads.
+    dataset: object | None = None
 
 
 @dataclass
@@ -219,12 +225,22 @@ class _UpdateParser(_Parser):
                 ins_tmpl = self.parse_quad_patterns()
         else:
             ins_tmpl = self.parse_quad_patterns()
-        while self.take_word("USING"):  # parsed, dataset scoping ignored (v1)
-            self.take_word("NAMED")
-            self.parse_iri()
+        using_default: list = []
+        using_named: list = []
+        while self.take_word("USING"):
+            if self.take_word("NAMED"):
+                using_named.append(self.parse_iri().lex)
+            else:
+                using_default.append(self.parse_iri().lex)
+        dataset = None
+        if using_default or using_named:
+            # same Dataset semantics as FROM/FROM NAMED: USING alone →
+            # named-graph set empty; USING NAMED alone → default graph
+            # empty (compiler._scan applies both rules)
+            dataset = A.Dataset(using_default or None, using_named or None)
         self.expect_word("WHERE")
         pattern = self.parse_group()
-        return DeleteInsert(del_tmpl, ins_tmpl, pattern, with_graph)
+        return DeleteInsert(del_tmpl, ins_tmpl, pattern, with_graph, dataset)
 
     def parse_solutions_proj(self) -> list | None:
         """SELECT * | SELECT ?v1 ?v2 … (the projection of a solution-set
@@ -634,9 +650,14 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         # (the reference evaluates UPDATE WHERE with includeInferred —
         # BigdataSail TM); ``pattern_store`` carries the FULL closed
         # store while the templates mutate the explicit subset
-        comp = QueryCompiler(pattern_store if pattern_store is not None else store)
+        comp = QueryCompiler(
+            pattern_store if pattern_store is not None else store,
+            dataset=getattr(op, "dataset", None),
+        )
         pattern = op.pattern
-        if op.with_graph:
+        if op.with_graph and op.dataset is None:
+            # WITH scopes the WHERE only when no USING dataset overrides
+            # it (SPARQL 1.1 Update §3.1.3; AST2BOpUpdate.java:378-416)
             pattern = A.GraphPat(Term.iri(op.with_graph), pattern)
         c = comp.compile_pattern(pattern)
         sol = c.df.localCheckpoint(eager=True)  # snapshot BEFORE mutation

@@ -680,3 +680,109 @@ def test_tm_incremental_plain_add_stays_incremental(spark):
     assert inference.FULL_CLOSURE_RUNS == full_before
     assert inference.INCREMENTAL_RUNS == inc_before + 1
     assert st2.query(P + "ASK { :u a :B }").collect()[0]["ask"]
+
+
+# ---------------------------------------------------------------------------
+# USING / USING NAMED dataset scoping (AST2BOpUpdate.java:378-416 —
+# the WHERE clause of DELETE/INSERT evaluates against the update's
+# dataset exactly as FROM/FROM NAMED scopes a query)
+# ---------------------------------------------------------------------------
+
+
+def _using_store(spark):
+    """default: a/A b/B; g1: a/A; g2: a/A b/B."""
+    return TripleStore.from_turtle(
+        spark,
+        """@prefix : <http://example.org/> .
+           @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+           :a rdfs:label "A" . :b rdfs:label "B" .""",
+    ).update(
+        P
+        + 'INSERT DATA { GRAPH :g1 { :a rdfs:label "A" } '
+        + 'GRAPH :g2 { :a rdfs:label "A" . :b rdfs:label "B" } }'
+    )
+
+
+LBL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def test_using_scopes_where(spark):
+    """USING :g1 → WHERE sees only g1 (binds only :a), so only :a's
+    default-graph label is deleted; unscoped would delete both."""
+    st = _using_store(spark).update(
+        P + "DELETE { ?x rdfs:label ?l } USING :g1 WHERE { ?x rdfs:label ?l }"
+    )
+    left = st.statements.where(F.col("g").isNull() & (F.col("p") == LBL))
+    assert [r["o_lex"] for r in left.collect()] == ["B"]
+    # named graphs untouched
+    assert st.statements.where(F.col("g").isNotNull()).count() == 3
+
+
+def test_unscoped_differs_from_using(spark):
+    """Control: the same update WITHOUT USING deletes both labels
+    (quads-mode union default graph) — proving USING changed behavior."""
+    st = _using_store(spark).update(
+        P + "DELETE { ?x rdfs:label ?l } WHERE { ?x rdfs:label ?l }"
+    )
+    assert st.statements.where(F.col("g").isNull() & (F.col("p") == LBL)).count() == 0
+
+
+def test_using_named_graph_var(spark):
+    """USING NAMED :g1 + GRAPH ?g → ?g ranges over {g1} only."""
+    st = _using_store(spark).update(
+        P
+        + "DELETE { GRAPH ?g { ?x rdfs:label ?l } } USING NAMED :g1 "
+        + "WHERE { GRAPH ?g { ?x rdfs:label ?l } }"
+    )
+    assert st.statements.where(F.col("g") == EX + "g1").count() == 0
+    assert st.statements.where(F.col("g") == EX + "g2").count() == 2
+    assert st.statements.where(F.col("g").isNull()).count() == 2
+
+
+def test_using_without_named_empties_graph_pattern(spark):
+    """USING alone → the named-graph set is EMPTY, so GRAPH ?g matches
+    nothing and the update is a no-op."""
+    before = _using_store(spark)
+    st = before.update(
+        P
+        + "DELETE { GRAPH ?g { ?x rdfs:label ?l } } USING :g1 "
+        + "WHERE { GRAPH ?g { ?x rdfs:label ?l } }"
+    )
+    assert st.statements.count() == before.statements.count()
+
+
+def test_using_named_alone_empties_default(spark):
+    """USING NAMED alone → WHERE's default graph is EMPTY."""
+    before = _using_store(spark)
+    st = before.update(
+        P
+        + "DELETE { ?x rdfs:label ?l } USING NAMED :g1 "
+        + "WHERE { ?x rdfs:label ?l }"
+    )
+    assert st.statements.count() == before.statements.count()
+
+
+def test_with_plus_using_precedence(spark):
+    """WITH scopes only the templates when USING is present (SPARQL 1.1
+    Update §3.1.3): WHERE over g1 binds only :a, template deletes from
+    g2 → g2 keeps :b, default + g1 untouched."""
+    st = _using_store(spark).update(
+        P
+        + "WITH :g2 DELETE { ?x rdfs:label ?l } USING :g1 "
+        + "WHERE { ?x rdfs:label ?l }"
+    )
+    g2 = st.statements.where(F.col("g") == EX + "g2")
+    assert [r["o_lex"] for r in g2.collect()] == ["B"]
+    assert st.statements.where(F.col("g").isNull()).count() == 2
+    assert st.statements.where(F.col("g") == EX + "g1").count() == 1
+
+
+def test_using_insert(spark):
+    """INSERT path: copy g1's labels into g3 via USING."""
+    st = _using_store(spark).update(
+        P
+        + "INSERT { GRAPH :g3 { ?x rdfs:label ?l } } USING :g1 "
+        + "WHERE { ?x rdfs:label ?l }"
+    )
+    g3 = st.statements.where(F.col("g") == EX + "g3")
+    assert [(r["s"], r["o_lex"]) for r in g3.collect()] == [(EX + "a", "A")]
