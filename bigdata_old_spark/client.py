@@ -70,37 +70,68 @@ class RemoteRepository:
         headers = {"Content-Type": "application/x-www-form-urlencoded"}
         if accept:
             headers["Accept"] = accept
-        return self._request(self.endpoint, urllib.parse.urlencode(params).encode(), headers)
+        # urlencode(doseq=True) expands list values into repeated
+        # parameters — the Protocol's multi-valued dataset params
+        return self._request(
+            self.endpoint, urllib.parse.urlencode(params, doseq=True).encode(), headers
+        )
+
+    @staticmethod
+    def _dataset_params(params: dict, default_graphs, named_graphs, update: bool) -> dict:
+        """SPARQL 1.1 Protocol dataset parameters
+        (BigdataRDFContext.java:183-201): default-graph-uri/
+        named-graph-uri on queries, using-graph-uri/using-named-graph-uri
+        on updates; each may repeat."""
+        dk, nk = (
+            ("using-graph-uri", "using-named-graph-uri")
+            if update
+            else ("default-graph-uri", "named-graph-uri")
+        )
+        if default_graphs:
+            params[dk] = list(default_graphs)
+        if named_graphs:
+            params[nk] = list(named_graphs)
+        return params
 
     # -- queries (prepareTupleQuery/GraphQuery/BooleanQuery + evaluate) ------
-    def tuple_query(self, sparql: str) -> list[dict[str, Term]]:
+    def tuple_query(self, sparql: str, default_graphs=None, named_graphs=None) -> list[dict[str, Term]]:
         """SELECT → list of {var: Term} rows."""
         from bigdata_old_spark.service import _json_term
 
         _, _, body = self._post_form(
-            {"query": sparql}, accept="application/sparql-results+json")
+            self._dataset_params({"query": sparql}, default_graphs, named_graphs, False),
+            accept="application/sparql-results+json")
         doc = json.loads(body)
         return [
             {n: _json_term(b[n]) for n in b} for b in doc["results"]["bindings"]
         ]
 
-    def boolean_query(self, sparql: str) -> bool:
+    def boolean_query(self, sparql: str, default_graphs=None, named_graphs=None) -> bool:
         """ASK → bool."""
         _, _, body = self._post_form(
-            {"query": sparql}, accept="application/sparql-results+json")
+            self._dataset_params({"query": sparql}, default_graphs, named_graphs, False),
+            accept="application/sparql-results+json")
         return bool(json.loads(body)["boolean"])
 
-    def graph_query(self, sparql: str) -> list[tuple]:
+    def graph_query(self, sparql: str, default_graphs=None, named_graphs=None) -> list[tuple]:
         """CONSTRUCT/DESCRIBE → list of (s, p, o) Term triples (parsed
         from the endpoint's Turtle serialization)."""
         from bigdata_old_spark.rio import parse_turtle
 
-        _, _, body = self._post_form({"query": sparql}, accept="text/turtle")
+        _, _, body = self._post_form(
+            self._dataset_params({"query": sparql}, default_graphs, named_graphs, False),
+            accept="text/turtle")
         return [(s, p, o) for s, p, o in parse_turtle(body)]
 
-    def update(self, sparql_update: str) -> None:
-        """SPARQL UPDATE (prepareUpdate + evaluate)."""
-        self._post_form({"update": sparql_update})
+    def update(self, sparql_update: str, using_graphs=None, using_named_graphs=None) -> None:
+        """SPARQL UPDATE (prepareUpdate + evaluate); using_graphs/
+        using_named_graphs emit the Protocol's using-graph-uri/
+        using-named-graph-uri dataset override."""
+        self._post_form(
+            self._dataset_params(
+                {"update": sparql_update}, using_graphs, using_named_graphs, True
+            )
+        )
 
     # -- REST extensions ------------------------------------------------------
     def _access_path_qs(self, s=None, p=None, o=None, c=None) -> str:

@@ -159,13 +159,15 @@ class SparqlHandler(BaseHTTPRequestHandler):
         else:
             self.server.namespaces[ns] = store
 
-    def _run_query(self, sparql: str, explain: bool) -> None:
+    def _run_query(self, sparql: str, explain: bool, dataset=None) -> None:
         store = self._get_store()
         if explain:
             self._reply(200, store.explain(sparql), "text/plain")
             return
         fmt = _negotiate(self.headers.get("Accept"), sparql)
-        df = self._describe_via_cache(sparql)
+        # protocol-scoped requests bypass the describe cache (its rows
+        # are computed over the full store)
+        df = None if dataset is not None else self._describe_via_cache(sparql)
         if df is not None:
             from bigdata_old_spark.serializers import serialize
 
@@ -211,7 +213,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
             timer.daemon = True
             timer.start()
         try:
-            body = store.serialize(sparql, fmt)
+            body = store.serialize(sparql, fmt, dataset=dataset)
             if expired.is_set():
                 raise TimeoutError(
                     f"query deadline expired ({self.server.query_timeout}s)"
@@ -265,12 +267,14 @@ class SparqlHandler(BaseHTTPRequestHandler):
                 return cache.describe(q.terms[0].lex)
         return None
 
-    def _run_update(self, sparql_update: str) -> None:
+    def _run_update(self, sparql_update: str, dataset=None) -> None:
         with self.server.store_lock:
             cache = getattr(self.server, "describe_cache", None)
             if getattr(self, "_ns", None) not in (None, self.server.default_namespace):
                 cache = None  # the cache is bound to the default KB
-            new_store = self._get_store().update(sparql_update, change_log=cache)
+            new_store = self._get_store().update(
+                sparql_update, change_log=cache, dataset=dataset
+            )
             self._set_store(new_store)
             if cache is not None:
                 cache.rebind(new_store)
@@ -773,7 +777,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
             # (QueryServlet.doServiceDescription / SD.java:460-531)
             self._do_service_description()
             return
-        self._dispatch(q, None, "explain" in p)
+        self._dispatch(q, None, "explain" in p, p)
 
     def _do_service_description(self) -> None:
         from pyspark.sql import functions as F
@@ -850,9 +854,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
         query = p.get("query", [None])[0]
         update = p.get("update", [None])[0]
         if ctype == "application/x-www-form-urlencoded":
-            form = parse_qs(body)
+            form = parse_qs(body, keep_blank_values=True)
             query = form.get("query", [query])[0]
             update = form.get("update", [update])[0]
+            # dataset params may travel in the form body (Protocol §2.1)
+            p = {**form, **{k: v for k, v in p.items() if k not in form}}
         elif ctype == "application/sparql-query":
             query = body
         elif ctype == "application/sparql-update":
@@ -864,15 +870,35 @@ class SparqlHandler(BaseHTTPRequestHandler):
         if query is None and update is None:
             self._reply(400, "missing query/update", "text/plain")
             return
-        self._dispatch(query, update, "explain" in p)
+        self._dispatch(query, update, "explain" in p, p)
 
-    def _dispatch(self, query, update, explain: bool) -> None:
+    @staticmethod
+    def _protocol_dataset(p: dict, update: bool):
+        """SPARQL 1.1 Protocol dataset parameters → A.Dataset or None
+        (default-graph-uri/named-graph-uri on queries,
+        using-graph-uri/using-named-graph-uri on updates — reference
+        BigdataRDFContext.java:183-201)."""
+        from bigdata_old_spark import algebra as A
+
+        dk, nk = (
+            ("using-graph-uri", "using-named-graph-uri")
+            if update
+            else ("default-graph-uri", "named-graph-uri")
+        )
+        defaults, named = p.get(dk), p.get(nk)
+        if not defaults and not named:
+            return None
+        return A.Dataset(defaults or None, named or None)
+
+    def _dispatch(self, query, update, explain: bool, p: dict | None = None) -> None:
         """Parse errors → 400 (client fault); failures after a
         successful parse → 500 (server fault) — not everything is 400."""
         from bigdata_old_spark.parser import parse_query
         from bigdata_old_spark.update import parse_update
 
+        p = p or {}
         try:
+            dataset = self._protocol_dataset(p, update is not None)
             if update is not None:
                 parse_update(update)
             else:
@@ -883,16 +909,21 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return
         try:
             if update is not None:
-                self._run_update(update)
+                self._run_update(update, dataset=dataset)
                 self._count("updatesExecuted")
             else:
-                self._run_query(query, explain)
+                self._run_query(query, explain, dataset=dataset)
                 self._count("queriesExecuted")
         except _NoSuchNamespace as e:
             self._reply(404, f"no such namespace: {e.args[0]}", "text/plain")
         except Exception as e:
+            from bigdata_old_spark.update import ProtocolDatasetError
+
+            # Protocol 2.2.3: using-graph-uri with USING/WITH in the
+            # update text is a client error, not a server fault
+            code = 400 if isinstance(e, ProtocolDatasetError) else 500
             self._count("queryErrorCount")
-            self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
+            self._reply(code, f"{type(e).__name__}: {e}", "text/plain")
 
     def _count(self, name: str) -> None:
         # += on a plain Counter is a read-modify-write; concurrent

@@ -254,6 +254,7 @@ class TripleStore:
         sparql: str,
         describe_mode: str | None = None,
         bindings: dict | None = None,
+        dataset=None,
     ) -> DataFrame:
         """SPARQL string → result DataFrame (term-struct columns for
         SELECT; s/p/o term structs for CONSTRUCT/DESCRIBE; one boolean
@@ -275,11 +276,17 @@ class TripleStore:
             sparql,
             describe_mode,
             None if not bindings else tuple(sorted((k, repr(v)) for k, v in bindings.items())),
+            None if dataset is None else repr(dataset),
         )
         cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
         q = parse_query(sparql)
+        if dataset is not None:
+            # SPARQL 1.1 Protocol: default-graph-uri/named-graph-uri in
+            # the request take precedence over the query's own FROM
+            # clauses (BigdataRDFContext.java:183-201)
+            q.dataset = dataset
         if describe_mode is not None and isinstance(q, A.DescribeQuery):
             q.mode = describe_mode
         if bindings:
@@ -303,13 +310,13 @@ class TripleStore:
         self._plan_cache[key] = df
         return df
 
-    def serialize(self, sparql: str, format: str = "json") -> str:
+    def serialize(self, sparql: str, format: str = "json", dataset=None) -> str:
         """Run a query and serialize the result for the SPARQL protocol
         (format: json | xml | csv | tsv | ntriples | turtle, or a MIME
         type — serializers.MIME_FORMATS)."""
         from bigdata_old_spark import serializers
 
-        return serializers.serialize(self.query(sparql), format)
+        return serializers.serialize(self.query(sparql, dataset=dataset), format)
 
     def query_algebra(self, q) -> DataFrame:
         from bigdata_old_spark.compiler import QueryCompiler
@@ -324,13 +331,14 @@ class TripleStore:
         )
 
     # -- mutation (SPARQL UPDATE analog — batch Parquet rewrite) --------------
-    def update(self, sparql_update: str, change_log=None) -> "TripleStore":
+    def update(self, sparql_update: str, change_log=None, dataset=None) -> "TripleStore":
         """Execute a SPARQL UPDATE request; returns the new store.
         ``change_log`` (changesets.ChangeLog) receives the per-op
-        added/removed statement deltas — the IChangeLog analog."""
+        added/removed statement deltas — the IChangeLog analog.
+        ``dataset`` is the Protocol using-graph-uri override."""
         from bigdata_old_spark.update import execute_update
 
-        return execute_update(self, sparql_update, change_log=change_log)
+        return execute_update(self, sparql_update, change_log=change_log, dataset=dataset)
 
     def closure(self) -> "TripleStore":
         """RDFS forward closure (inference.rdfs_closure)."""

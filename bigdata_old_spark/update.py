@@ -31,6 +31,11 @@ from bigdata_old_spark.model import (
 )
 from bigdata_old_spark.parser import ParseError, _Parser
 
+
+class ProtocolDatasetError(ValueError):
+    """SPARQL 1.1 Protocol §2.2.3: using-graph-uri/using-named-graph-uri
+    must not accompany an update that contains USING or WITH."""
+
 # ---------------------------------------------------------------------------
 # Op dataclasses (UpdateType.java analog)
 # ---------------------------------------------------------------------------
@@ -449,7 +454,7 @@ def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_
     return out
 
 
-def execute_update(store, text: str, change_log=None):
+def execute_update(store, text: str, change_log=None, dataset=None):
     """Run a SPARQL UPDATE request; returns the NEW TripleStore.
 
     ``change_log`` (changesets.ChangeLog — the IChangeLog analog) gets
@@ -458,12 +463,28 @@ def execute_update(store, text: str, change_log=None):
     results, not the requested sets) / transaction_committed, or
     transaction_aborted if an op raises.  The same deltas drive the
     incremental text-index maintenance, so a registered log costs no
-    extra jobs beyond one checkpoint per op."""
+    extra jobs beyond one checkpoint per op.
+
+    ``dataset`` (A.Dataset) is the SPARQL 1.1 Protocol
+    using-graph-uri/using-named-graph-uri override
+    (BigdataRDFContext.java:183-201): it scopes the WHERE of every
+    DELETE/INSERT operation.  Per Protocol §2.2.3 it is an error to
+    combine it with an update that itself carries USING or WITH."""
+    ops = parse_update(text)
+    if dataset is not None:
+        for op in ops:
+            if isinstance(op, DeleteInsert):
+                if op.dataset is not None or op.with_graph:
+                    raise ProtocolDatasetError(
+                        "protocol using-graph-uri forbidden with USING/WITH "
+                        "in the update (SPARQL 1.1 Protocol 2.2.3)"
+                    )
+                op.dataset = dataset
     union_flag = store.union_default_graph
     if change_log is not None:
         change_log.transaction_begin()
     try:
-        for op in parse_update(text):
+        for op in ops:
             if store.truth_maintenance and isinstance(
                 op, (InsertData, DeleteData, DeleteInsert, LoadOp, ClearOp, DropOp, CopyOp)
             ):

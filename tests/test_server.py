@@ -599,3 +599,136 @@ def test_graph_store_protocol_lifecycle(spark):
         assert req("PUT", base, ttl, "text/turtle")[0] == 400
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Protocol dataset parameters (BigdataRDFContext.java:183-201)
+# ---------------------------------------------------------------------------
+
+QUADS_TTL = """
+@prefix : <http://example.org/> .
+:a :lbl "default" .
+"""
+
+
+@pytest.fixture(scope="module")
+def quads_endpoint(spark):
+    store = TripleStore.from_turtle(spark, QUADS_TTL).update("""
+        PREFIX : <http://example.org/>
+        INSERT DATA {
+          GRAPH :g1 { :a :lbl "one" }
+          GRAPH :g2 { :a :lbl "two" . :b :lbl "two-b" }
+        }""").persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    yield base, srv
+    srv.shutdown()
+
+
+EX = "http://example.org/"
+QLBL = "PREFIX : <http://example.org/> SELECT ?o WHERE { ?s :lbl ?o } ORDER BY ?o"
+
+
+def _vals(body):
+    return [b["o"]["value"] for b in json.loads(body)["results"]["bindings"]]
+
+
+def test_protocol_default_graph_uri_get(quads_endpoint):
+    base, _ = quads_endpoint
+    url = (f"{base}?query={urllib.parse.quote(QLBL)}"
+           f"&default-graph-uri={urllib.parse.quote(EX + 'g1')}")
+    code, _, body = _get(url)
+    assert code == 200 and _vals(body) == ["one"]
+    # two default graphs merge
+    url += f"&default-graph-uri={urllib.parse.quote(EX + 'g2')}"
+    code, _, body = _get(url)
+    assert code == 200 and _vals(body) == ["one", "two", "two-b"]
+
+
+def test_protocol_overrides_query_from(quads_endpoint):
+    """Protocol dataset takes precedence over the query's own FROM."""
+    base, _ = quads_endpoint
+    q = ("PREFIX : <http://example.org/> SELECT ?o "
+         "FROM :g2 WHERE { ?s :lbl ?o } ORDER BY ?o")
+    url = (f"{base}?query={urllib.parse.quote(q)}"
+           f"&default-graph-uri={urllib.parse.quote(EX + 'g1')}")
+    code, _, body = _get(url)
+    assert code == 200 and _vals(body) == ["one"]
+
+
+def test_protocol_named_graph_uri_form_post(quads_endpoint):
+    base, _ = quads_endpoint
+    q = ("PREFIX : <http://example.org/> SELECT ?o "
+         "WHERE { GRAPH ?g { ?s :lbl ?o } } ORDER BY ?o")
+    data = urllib.parse.urlencode(
+        {"query": q, "named-graph-uri": EX + "g2"})
+    code, _, body = _post(base, data, "application/x-www-form-urlencoded")
+    assert code == 200 and _vals(body) == ["two", "two-b"]
+    # named-graph-uri alone also empties the default graph
+    data = urllib.parse.urlencode({"query": QLBL, "named-graph-uri": EX + "g2"})
+    code, _, body = _post(base, data, "application/x-www-form-urlencoded")
+    assert code == 200 and _vals(body) == []
+
+
+def test_protocol_using_graph_uri_update(spark):
+    store = TripleStore.from_turtle(spark, QUADS_TTL).update("""
+        PREFIX : <http://example.org/>
+        INSERT DATA { GRAPH :g1 { :a :lbl "one" } GRAPH :g2 { :b :lbl "two" } }
+        """).persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        upd = ("PREFIX : <http://example.org/> "
+               "INSERT { GRAPH :out { ?s ?p ?o } } WHERE { ?s ?p ?o }")
+        data = urllib.parse.urlencode({"update": upd, "using-graph-uri": EX + "g1"})
+        code, _, _ = _post(base, data, "application/x-www-form-urlencoded")
+        assert code == 200
+        q = ("PREFIX : <http://example.org/> SELECT ?o "
+             "WHERE { GRAPH :out { ?s ?p ?o } }")
+        _, _, body = _get(f"{base}?query={urllib.parse.quote(q)}")
+        assert _vals(body) == ["one"]
+        # Protocol 2.2.3: using-graph-uri + USING in the text → 400
+        bad = ("PREFIX : <http://example.org/> "
+               "INSERT { GRAPH :out2 { ?s ?p ?o } } USING :g2 WHERE { ?s ?p ?o }")
+        data = urllib.parse.urlencode({"update": bad, "using-graph-uri": EX + "g1"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, data, "application/x-www-form-urlencoded")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_client_dataset_params(quads_endpoint):
+    base, _ = quads_endpoint
+    from bigdata_old_spark.client import RemoteRepository
+
+    repo = RemoteRepository(base)
+    rows = repo.tuple_query(QLBL, default_graphs=[EX + "g1"])
+    assert [r["o"].lex for r in rows] == ["one"]
+    rows = repo.tuple_query(
+        "PREFIX : <http://example.org/> SELECT ?o "
+        "WHERE { GRAPH ?g { ?s :lbl ?o } } ORDER BY ?o",
+        named_graphs=[EX + "g1"])
+    assert [r["o"].lex for r in rows] == ["one"]
+
+
+def test_client_update_using_params(spark):
+    store = TripleStore.from_turtle(spark, QUADS_TTL).update("""
+        PREFIX : <http://example.org/>
+        INSERT DATA { GRAPH :g1 { :a :lbl "one" } }""").persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        from bigdata_old_spark.client import RemoteRepository
+
+        repo = RemoteRepository(base)
+        repo.update(
+            "PREFIX : <http://example.org/> "
+            "INSERT { GRAPH :out { ?s ?p ?o } } WHERE { ?s ?p ?o }",
+            using_graphs=[EX + "g1"])
+        rows = repo.tuple_query(
+            "PREFIX : <http://example.org/> SELECT ?o "
+            "WHERE { GRAPH :out { ?s ?p ?o } }")
+        assert [r["o"].lex for r in rows] == ["one"]
+    finally:
+        srv.shutdown()
