@@ -888,12 +888,18 @@ def lm_bucket(
 
     Returns: id_col | n_bigrams | cross_entropy | bucket.
 
-    Scale shape: scoring is the :func:`lm_cross_entropy` broadcast
-    join; the ntile is a GLOBAL order — fine into the millions of
-    rows, and at crawl scale swap it for a two-pass range-partitioned
-    rank (repartitionByRange(cross_entropy) + partition-local offsets)
-    or approximate thresholds; the bucket CONTRACT (equal-size by
-    rank) is the stable part.
+    Scale shape (VERDICT r7 #3): scoring is the
+    :func:`lm_cross_entropy` broadcast join; the global rank is the
+    two-pass banded rank from :func:`bigdata_old_spark.search.ranked`
+    — band on the quantized cross-entropy, per-band ``row_number`` +
+    broadcast cumulative band offsets → exact global rank — so no row
+    ever passes through a partitionless window over the unbounded
+    corpus (the previous global ``ntile`` was the canonical
+    single-partition bottleneck).  The bucket is then the exact
+    ``ntile`` arithmetic applied to the rank, so results stay
+    bit-identical to the SQL oracle's ``ntile`` (rank-based, not
+    threshold-based: value thresholds from interpolated percentiles
+    differ across engines in final ULPs and flip ties).
     """
     from pyspark.sql import Window
 
@@ -901,10 +907,50 @@ def lm_bucket(
     # rank on the QUANTIZED entropy: the per-doc sum is a float
     # reduction whose partition order varies run to run (ULP jitter),
     # and a reproducible corpus split is the whole point of bucketing
-    w = Window.orderBy(F.round(F.col("cross_entropy"), 6), F.col(id_col))
+    scored = scored.withColumn("__q", F.round(F.col("cross_entropy"), 6))
     n = len(buckets)
     barr = F.array(*[F.lit(b) for b in buckets])
-    return scored.withColumn("__nt", F.ntile(n).over(w)).select(
-        id_col, "n_bigrams", "cross_entropy",
-        F.element_at(barr, F.col("__nt")).alias("bucket"),
+    # one tiny reduce for the band bounds (plan literals, same pattern
+    # as the BM25 corpus stats); ties share a __q value so a tie group
+    # never spans a band boundary
+    row = scored.agg(F.min("__q").alias("lo"), F.max("__q").alias("hi")).first()
+    if row is None or row["lo"] is None:  # empty corpus
+        return scored.select(
+            id_col, "n_bigrams", "cross_entropy",
+            F.lit(None).cast("string").alias("bucket"))
+    lo, hi = float(row["lo"]), float(row["hi"])
+    bands = 1024
+    span = (hi - lo) or 1.0
+    band = F.least(
+        F.lit(bands - 1),
+        F.floor((F.col("__q") - F.lit(lo)) / F.lit(span) * bands),
+    ).cast("int")
+    scored = scored.withColumn("__band", band)
+    counts = scored.groupBy("__band").agg(F.count(F.lit(1)).alias("__cnt"))
+    woff = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__band",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            Window.orderBy("__band").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__N"),
+    )  # ≤ `bands` rows: the partitionless windows here are bounded
+    rn = F.row_number().over(
+        Window.partitionBy("__band").orderBy("__q", id_col))
+    rank = (F.col("__off") + rn).cast("bigint")
+    # exact ntile(n) arithmetic: the first N%n tiles get ceil(N/n) rows
+    big = (F.col("__N") / n).cast("bigint") + 1
+    small = (F.col("__N") / n).cast("bigint")
+    rem = F.col("__N") % n
+    cut = rem * big
+    tile = F.when(rank <= cut, ((rank - 1) / big).cast("bigint") + 1).otherwise(
+        rem + ((rank - cut - 1) / F.greatest(small, F.lit(1))).cast("bigint") + 1
+    )
+    return (
+        scored.join(F.broadcast(offs), "__band")
+        .select(
+            id_col, "n_bigrams", "cross_entropy",
+            F.element_at(barr, tile.cast("int")).alias("bucket"),
+        )
     )

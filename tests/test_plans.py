@@ -88,3 +88,36 @@ def test_search_no_global_window(gate, spark):
         }""")
     p = plan_text(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_lm_bucket_no_unbounded_global_window(gate, spark):
+    """lm_bucket (VERDICT r7 #2/#3): the corpus rank must be the banded
+    two-pass shape — no ntile, and every Window whose input is the
+    unbounded corpus carries a partition spec.  Partitionless windows
+    are allowed only over the ≤1024-row band-counts aggregate."""
+    from bigdata_old_spark.pipeline.text import lm_bucket
+
+    m, _ = gate
+    docs = m._read(spark, SF_DIR, "documents")
+    p = plan_text(lm_bucket(docs))
+    assert "ntile" not in p, p
+    # the per-row rank window partitions by the band (formatted explain
+    # prints the partition spec first inside windowspecdefinition)
+    assert re.search(r"row_number\(\) windowspecdefinition\(__band", p), p
+
+
+def test_pipeline_no_unbounded_partitionless_window(gate, spark):
+    """Sweep the pipeline gate entries: any partitionless Window in a
+    plan must sit above a bounding operator (GlobalLimit/TakeOrdered,
+    i.e. top-k) or an Aggregate (band/bucket counts) — never directly
+    over the unbounded input scan."""
+    m, _ = gate
+    qs = m.queries()
+    for name, fn in qs.items():
+        if not name.startswith("p"):
+            continue
+        p = plan_text(fn(spark, SF_DIR))
+        # the known-bad marker: a global ntile is ALWAYS a partitionless
+        # window over the unbounded input (bounded top-k windows compile
+        # to row_number over TakeOrderedAndProject instead)
+        assert "ntile" not in p, name
