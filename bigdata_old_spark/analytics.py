@@ -177,9 +177,12 @@ def weighted_sssp(
     weights, SSSP.java:53; link-weight support is its documented TODO).
     Bellman-Ford-style frontier relaxation: each round relaxes only
     edges out of vertices whose distance improved last round, so work
-    is proportional to the changing frontier, not the graph.  Requires
-    non-negative weights (checked lazily: a negative-weight edge makes
-    the fixpoint unsound with a frontier cut at ``max_iter``).
+    is proportional to the changing frontier, not the graph.  Weights
+    MUST be non-negative — validated up front against the checkpointed
+    edges (one cheap local scan) because a negative edge makes the
+    fixpoint unsound with a frontier cut at ``max_iter``.  Hitting
+    ``max_iter`` before the frontier drains raises (truncated distances
+    are silently wrong otherwise).
 
     ``edges``: src | dst | weight (parallel edges fine — min applies).
     Returns: v | dist.
@@ -190,6 +193,8 @@ def weighted_sssp(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
     edges = edges.localCheckpoint(eager=True)
+    if not edges.where(F.col("weight") < 0).isEmpty():
+        raise ValueError("weighted_sssp requires non-negative edge weights")
     dist = spark.createDataFrame([(source, 0.0)], "v string, dist double")
     frontier = dist
     for _ in range(max_iter):
@@ -213,4 +218,9 @@ def weighted_sssp(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    else:
+        raise RuntimeError(
+            f"weighted_sssp did not converge within max_iter={max_iter} "
+            "rounds; distances would be truncated — raise max_iter"
+        )
     return dist

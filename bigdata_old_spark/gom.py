@@ -154,7 +154,14 @@ class GPO:
             self._fwd[predicate].sort(key=lambda x: (x.kind, x.lex, x.dt or "", x.lang or ""))
 
     def set_value(self, predicate: str, value) -> None:
-        """Replace ALL values of the property (IGPO.setValue)."""
+        """Replace ALL values of the property (IGPO.setValue).
+
+        The new value is validated BEFORE the old values are removed so a
+        rejected value (e.g. a blank node on a RemoteObjectManager at tx
+        depth 0) leaves both the store and the in-memory view untouched."""
+        t = Term.from_python(value)
+        self._ensure()
+        self._om._validate_add(self._id, predicate, t)
         self.remove_values(predicate)
         self.add_value(predicate, value)
 
@@ -263,6 +270,12 @@ class _ObjectManagerBase:
         self._invalidate_all()
 
     # -- buffering ---------------------------------------------------------
+    def _validate_add(self, s: str, p: str, t: Term) -> None:
+        """Pre-flight check that a row would be accepted by _buffer_add —
+        no-op locally; RemoteObjectManager rejects unshippable rows.  Lets
+        compound mutations (set_value = remove+add) validate the add
+        BEFORE performing the destructive remove."""
+
     def _buffer_add(self, s: str, p: str, t: Term) -> None:
         row = (None, s, p, t)
         self._removes = [r for r in self._removes if r != row]
@@ -488,6 +501,9 @@ class RemoteObjectManager(_ObjectManagerBase):
                 "SPARQL protocol; mutate bnode-linked state via execute()"
             )
         return f"<{s}> <{p}> {_nt_term(t)}"
+
+    def _validate_add(self, s: str, p: str, t: Term) -> None:
+        self._wire_triple(s, p, t)
 
     def _buffer_add(self, s: str, p: str, t: Term) -> None:
         # validate at BUFFER time: an unshippable row must never enter

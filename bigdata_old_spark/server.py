@@ -597,13 +597,17 @@ class SparqlHandler(BaseHTTPRequestHandler):
         except Exception as e:
             self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
             return
-        existed = g is None or not self._gsp_rows(g).isEmpty()
-        old = self._gsp_rows(g)
-        new = statements_df_from_terms(
-            [(g, s, pp, o) for (_, s, pp, o) in rows],
-            self._get_store().spark,
-        )
-        self._mutate_rest(removed=old, added=new)
+        # snapshot + replace under the (reentrant) store lock so a
+        # concurrent mutation between the existed-check and the swap can
+        # neither survive the "replace" nor flip the 200/201 answer
+        with self.server.store_lock:
+            existed = g is None or not self._gsp_rows(g).isEmpty()
+            old = self._gsp_rows(g)
+            new = statements_df_from_terms(
+                [(g, s, pp, o) for (_, s, pp, o) in rows],
+                self._get_store().spark,
+            )
+            self._mutate_rest(removed=old, added=new)
         self._reply(200 if existed else 201, "", "text/plain")
 
     def _do_gsp_delete(self, g: str | None) -> None:
@@ -946,24 +950,24 @@ class SparqlHandler(BaseHTTPRequestHandler):
         c = self.server.counters
         sets: dict[str, list[tuple[str, object, str]]] = {
             "/Query Engine": [
-                ("queriesExecuted", c.get("queriesExecuted", 0), "Long"),
-                ("updatesExecuted", c.get("updatesExecuted", 0), "Long"),
-                ("queryErrorCount", c.get("queryErrorCount", 0), "Long"),
-                ("runningQueriesCount", len(self.server.running_queries), "Long"),
-                ("elapsedSec", int(_time.time() - self.server.started_at), "Long"),
+                ("queriesExecuted", c.get("queriesExecuted", 0), "xs:long"),
+                ("updatesExecuted", c.get("updatesExecuted", 0), "xs:long"),
+                ("queryErrorCount", c.get("queryErrorCount", 0), "xs:long"),
+                ("runningQueriesCount", len(self.server.running_queries), "xs:long"),
+                ("elapsedSec", int(_time.time() - self.server.started_at), "xs:long"),
             ],
         }
         with self.server.store_lock:
             for ns, store in sorted(self.server.namespaces.items()):
                 sets[f"/Journal/{ns}"] = [
-                    ("statementCount", store.statements.count(), "Long"),
+                    ("statementCount", store.statements.count(), "xs:long"),
                 ]
         cache = getattr(self.server, "describe_cache", None)
         if cache is not None:
             sets["/DescribeCache"] = [
-                ("hits", cache.hits, "Long"),
-                ("misses", cache.misses, "Long"),
-                ("invalidations", cache.invalidations, "Long"),
+                ("hits", cache.hits, "xs:long"),
+                ("misses", cache.misses, "xs:long"),
+                ("invalidations", cache.invalidations, "xs:long"),
             ]
         filt = None
         if p.get("filter"):
@@ -982,9 +986,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
                 continue
             out.append(f"<cs path={quoteattr(path)}>")
             for name, value, typ in kept:
+                # reference XMLUtility writes XSD type tokens (getXSDType →
+                # xs:long) and non-self-closing <c> elements
                 out.append(
                     f"<c name={quoteattr(name)} type={quoteattr(typ)} "
-                    f'time="{now_ms}" value={quoteattr(str(value))}/>'
+                    f'time="{now_ms}" value={quoteattr(str(value))}></c>'
                 )
             out.append("</cs>")
         out.append("</counters>")
@@ -1017,7 +1023,9 @@ def make_server(
     import time as _time
 
     srv.started_at = _time.time()
-    srv.store_lock = threading.Lock()
+    # reentrant: GSP PUT holds it across its snapshot+replace while the
+    # nested _mutate_rest re-acquires it
+    srv.store_lock = threading.RLock()
     srv.verbose = False
     srv.describe_cache = None
     if describe_cache:

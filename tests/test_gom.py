@@ -267,3 +267,21 @@ def test_skins_as_class(om):
         f'ASK {{ <{EX}mike> <{FOAF}name> "Michael" }}').collect()[0][0] is True
     with pytest.raises(TypeError):
         mike.as_class(dict)
+
+
+def test_remote_set_value_rejection_leaves_state(remote_om):
+    """set_value validates the NEW value before removing the old ones:
+    a rejected value (bnode over the wire, tx depth 0) must leave both
+    the store and the in-memory view untouched (ADVICE r7)."""
+    om, srv = remote_om
+    from bigdata_old_spark.model import Term
+
+    mike = om.get_gpo(EX + "mike")
+    assert mike.get_value(FOAF + "name").lex == "Mike"
+    with pytest.raises(ValueError):
+        mike.set_value(FOAF + "name", Term.bnode("b9"))
+    # in-memory view untouched
+    assert mike.get_value(FOAF + "name").lex == "Mike"
+    # store untouched (nothing was flushed as DELETE DATA)
+    assert srv.store.query(
+        f'ASK {{ <{EX}mike> <{FOAF}name> "Mike" }}').collect()[0][0] is True

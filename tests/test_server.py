@@ -517,7 +517,7 @@ def test_counters_endpoint(endpoint):
     after = snap()
     qe = after["/Query Engine"]
     assert int(qe["queriesExecuted"].get("value")) == q0 + 1
-    assert qe["queriesExecuted"].get("type") == "Long"
+    assert qe["queriesExecuted"].get("type") == "xs:long"
     assert qe["queriesExecuted"].get("time") is not None
     assert int(qe["updatesExecuted"].get("value")) == u0 + 1
     assert int(after["/Journal/kb"]["statementCount"].get("value")) == n0 + 1
