@@ -565,20 +565,26 @@ def _ensure_pkg(spark: SparkSession) -> None:
     process env, not the driver's sys.path)."""
     import os
     import shutil
+    import tempfile
 
     app_id = spark.sparkContext.applicationId
     if app_id in _PKG_SHIPPED:
         return
     _PKG_SHIPPED.add(app_id)
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bigdata_old_spark")
-    zip_base = f"/tmp/bigdata_old_spark_pyfiles_{os.getpid()}"
-    if not os.path.exists(zip_base + ".zip"):
-        shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
-                            base_dir="bigdata_old_spark")
+    # Private (0o700), unpredictable directory; always rebuild the archive
+    # rather than trusting a pre-existing file at a guessable path — the
+    # zip is imported on every executor, so a stale/planted file there
+    # would get shipped and executed.
+    tmp_dir = tempfile.mkdtemp(prefix="bigdata_old_spark_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp_dir, "bigdata_old_spark"), "zip",
+        root_dir=os.path.dirname(pkg_dir), base_dir="bigdata_old_spark")
     try:
-        spark.sparkContext.addPyFile(zip_base + ".zip")
-    except Exception:
-        pass  # already added in this context — fine
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception as exc:  # only the known duplicate-add case is benign
+        if "already" not in str(exc).lower():
+            raise
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -1101,7 +1107,7 @@ def _p_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_old_spark.pipeline.text import winnowing_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return winnowing_pairs(docs, k=8, w=4, min_shared=2, max_docfreq=20)
+    return winnowing_pairs(docs, k=8, w=4, min_shared=2, max_docfreq=20, fp_hash="md5")
 
 
 _WINNOW_ORACLE = """
@@ -1687,7 +1693,7 @@ def _p_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_old_spark.pipeline.dedup import duplicate_spans
 
     docs = _read(spark, sf_dir, "documents")
-    return duplicate_spans(docs, k=8).select(
+    return duplicate_spans(docs, k=8, window_hash="md5").select(
         "doc_id", "n_tokens", "n_dup_tokens", F.round("dup_frac", 5).alias("dup_frac")
     )
 

@@ -583,7 +583,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 10,
     min_count: int = 2,
-    window_hash: str = "md5",
+    window_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-document duplicated-token statistics from EXACT repeated
     spans: a token position is "duplicated" iff it lies inside some
@@ -637,7 +637,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     k: int = 10,
     min_count: int = 2,
-    window_hash: str = "md5",
+    window_hash: str = "xxhash64",
 ) -> DataFrame:
     """Rebuild each document keeping only tokens OUTSIDE duplicated
     spans (the destructive half of Lee et al.'s ExactSubstr dedup).

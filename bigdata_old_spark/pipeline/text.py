@@ -553,15 +553,26 @@ def train_ngram_classifier(
                     ).alias("err"),
                 )
             )
+            # ONE action per iteration: the bias gradient rides the same
+            # aggregation as the feature gradients via a sentinel feature
+            # row per doc (feats are 2-hex-char buckets, so "__bias__"
+            # cannot collide); zero-token docs have no xdf rows but their
+            # err row still reaches the sentinel union.
             grad = (
                 xdf.join(err, "id")
+                .select("feat", (F.col("err") * F.col("x")).alias("gx"))
+                .unionByName(err.select(
+                    F.lit("__bias__").alias("feat"), F.col("err").alias("gx")))
                 .groupBy("feat")
-                .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
+                .agg(F.sum("gx").alias("g"))
                 .collect()
             )
-            gb = err.agg(F.sum("err")).collect()[0][0] or 0.0
+            gb = 0.0
             for row in grad:
-                w[row["feat"]] = w.get(row["feat"], 0.0) - lr * row["g"] / n_docs
+                if row["feat"] == "__bias__":
+                    gb = row["g"] or 0.0
+                else:
+                    w[row["feat"]] = w.get(row["feat"], 0.0) - lr * row["g"] / n_docs
             b -= lr * gb / n_docs
         return NgramClassifier(w, b)
     finally:
@@ -751,21 +762,27 @@ def corpus_profile(
 # hashes)
 # ---------------------------------------------------------------------------
 
-def _win_hashes(col: Column, k: int) -> Column:
-    """Char k-gram 60-bit md5-prefix hashes of the normalized text."""
+def _win_hashes(col: Column, k: int, fp_hash: str = "xxhash64") -> Column:
+    """Char k-gram hashes of the normalized text.  ``fp_hash``:
+    'xxhash64' (default) — full 64-bit JVM hash, the cheap 8-byte
+    production key; 'md5' — 60-bit md5-prefix integers an external SQL
+    oracle can replay bit-for-bit (conv(substring(md5(g),1,15),16,10))."""
     norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
     n = F.length(norm)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
         lambda i: norm.substr(i, F.lit(k)),
     )
-    return F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-    )
+    if fp_hash == "md5":
+        return F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        )
+    return F.transform(grams, lambda g: F.xxhash64(g))
 
 
 def _win_posts(
-    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int,
+    fp_hash: str = "xxhash64",
 ) -> DataFrame:
     """DISTINCT (id, fp) winnowing posting rows.
 
@@ -783,7 +800,7 @@ def _win_posts(
 
     hs = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_win_hashes(F.col(text_col), k)).alias("pos", "h"),
+        F.posexplode(_win_hashes(F.col(text_col), k, fp_hash)).alias("pos", "h"),
     )
     wspec = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     wcnt = Window.partitionBy("id")
@@ -808,6 +825,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    fp_hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing fingerprint SETS (Schleimer, Wilkerson & Aiken 2003):
     lower-cased, whitespace-collapsed char ``k``-grams are hashed
@@ -821,7 +839,7 @@ def winnowing_fingerprints(
     chars fingerprint their whole normalized self.  One doc-id shuffle
     (see :func:`_win_posts` for why not zero)."""
     return (
-        _win_posts(df, id_col, text_col, k, w)
+        _win_posts(df, id_col, text_col, k, w, fp_hash)
         .groupBy(F.col("id").alias(id_col))
         .agg(F.sort_array(F.collect_set("fp")).alias("fps"))
     )
@@ -835,6 +853,7 @@ def winnowing_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_docfreq: int | None = None,
+    fp_hash: str = "xxhash64",
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     — the MOSS candidate-pair step.  Returns: id_a | id_b | n_shared
@@ -851,7 +870,7 @@ def winnowing_pairs(
     don't).  ``max_docfreq`` is the boilerplate guard — winnowing
     selects COMMON substrings too, and a phrase shared by every
     document turns the join quadratic in the corpus."""
-    posts = _win_posts(df, id_col, text_col, k, w)
+    posts = _win_posts(df, id_col, text_col, k, w, fp_hash)
     if max_docfreq is not None:
         hot = (
             posts.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))

@@ -1467,3 +1467,43 @@ def test_lm_bucket_equal_sizes_and_fluency_order(spark):
     # determinism across reruns (quantized rank ordering)
     again = {r["doc_id"]: r["bucket"] for r in lm_bucket(df).collect()}
     assert again == {d: r["bucket"] for d, r in got.items()}
+
+
+def test_winnowing_hash_modes_agree(spark):
+    """xxhash64 (production default, 8-byte shuffle keys) and md5
+    (oracle-replayable) fingerprint modes select the same PAIRS — the
+    winnowing guarantee is hash-agnostic (only which window element is
+    the minimum varies, and any shared >= w+k-1 substring still shares
+    a fingerprint in both modes)."""
+    from bigdata_old_spark.pipeline.text import winnowing_pairs
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog tonight"),
+         ("b", "the quick brown fox jumps over another dog entirely"),
+         ("c", "completely unrelated text with zero overlap present here")],
+        ["doc_id", "text"],
+    )
+    xx = {(r["id_a"], r["id_b"]) for r in
+          winnowing_pairs(df, min_shared=1).collect()}
+    md = {(r["id_a"], r["id_b"]) for r in
+          winnowing_pairs(df, min_shared=1, fp_hash="md5").collect()}
+    assert ("a", "b") in xx and ("a", "b") in md
+    assert all("c" not in p for p in xx | md)
+
+
+def test_duplicate_spans_hash_modes_agree(spark):
+    """window_hash='xxhash64' (default) and 'md5' (oracle) give the
+    same duplicated-token statistics — the key only names the window."""
+    from bigdata_old_spark.pipeline.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [("a", "one two three four five alpha beta gamma"),
+         ("b", "one two three four five delta epsilon zeta"),
+         ("c", "nothing shared here at all whatsoever today")],
+        ["doc_id", "text"],
+    )
+    xx = {r["doc_id"]: (r["n_dup_tokens"]) for r in duplicate_spans(df, k=5).collect()}
+    md = {r["doc_id"]: (r["n_dup_tokens"]) for r in
+          duplicate_spans(df, k=5, window_hash="md5").collect()}
+    assert xx == md
+    assert xx["a"] == 5 and xx["c"] == 0
