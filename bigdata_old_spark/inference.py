@@ -186,6 +186,7 @@ def rdfs_closure(
     max_rounds: int = 50,
     with_owl: bool = True,
     forward_chain_rdfs4: bool = False,
+    sameas: str = "materialize",
 ) -> DataFrame:
     """Compute the RDFS(+OWL subset) closure; returns statements ∪ inferred.
 
@@ -218,7 +219,28 @@ def rdfs_closure(
     recomputed at the top of each round (new schema triples from
     rdfs6/8/10/12/13 and the equivalence rules must feed the instance
     rules) and broadcast into the instance-level joins.
+
+    ``sameas`` selects the owl:sameAs strategy:
+      * "materialize" (default) — forward-chain the full pair closure
+        and replicate statements across equivalents (RuleOwlSameAs1/1b/
+        2/3 exactly).  O(Σ clique²) output — correct and convenient at
+        moderate clique sizes.
+      * "canonical" — the scale-safe shape: per-clique canonical ids
+        (CC over the sameAs graph), statements rewritten to canonicals,
+        the mapping stored as linear member↔canonical sameAs triples;
+        :func:`expand_sameas` recovers the materialized form for FINAL
+        answers.  The reference backchains sameAs at access-path time
+        for the same reason (inf/BackchainAccessPath.java).
+      * "off" — skip the sameAs rules entirely (internal: the canonical
+        driver loop runs the rule program in this mode).
     """
+    if sameas == "canonical":
+        return _canonical_closure(
+            statements, max_rounds=max_rounds, with_owl=with_owl,
+            forward_chain_rdfs4=forward_chain_rdfs4,
+        )
+    if sameas not in ("materialize", "off"):
+        raise ValueError(f"unknown sameas mode: {sameas!r}")
     global FULL_CLOSURE_RUNS
     FULL_CLOSURE_RUNS += 1
     out = statements
@@ -430,10 +452,12 @@ def rdfs_closure(
 
             # owl:sameAs (RuleOwlSameAs1/1b/2/3).  The reference
             # backchains sameAs (inf/BackchainAccessPath.java); its
-            # FullClosure forward-chains it — we forward-chain, which
-            # is the batch-friendly choice.
-            sa = _resource_obj_triples(cur, OWL_SAMEAS)
-            if not sa.isEmpty():
+            # FullClosure forward-chains it — we forward-chain here
+            # (materialize mode); sameas="canonical" routes around this
+            # block through _canonical_closure instead.
+            sa = _resource_obj_triples(cur, OWL_SAMEAS) if sameas == "materialize" \
+                else None
+            if sa is not None and not sa.isEmpty():
                 eq = _equiv_pairs(sa)
                 # sameAs1: the closed sameAs triples themselves
                 fresh.append(_mk_triples(eq, s="s", p=OWL_SAMEAS, o="o"))
@@ -522,6 +546,238 @@ _SCHEMA_CLASSES = (
     OWL_TRANSITIVE, OWL_SYMMETRIC, OWL_FUNCTIONAL, OWL_INV_FUNCTIONAL,
     OWL_RESTRICTION, RDFS_CLASS, RDFS_CMP, RDFS_DATATYPE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-representative owl:sameAs — the scale path.  The reference
+# backchains sameAs at access-path time (inf/BackchainAccessPath.java)
+# precisely because materializing the pair closure is O(Σ clique²): one
+# dirty-crawl clique of 10⁵ members is 10¹⁰ pairs.  Here the closure
+# stores per-clique canonical ids + a LINEAR member↔canonical mapping;
+# :func:`expand_sameas` recovers the fully-materialized form for final
+# query answers only.
+# ---------------------------------------------------------------------------
+
+
+def _sameas_cliques(statements: DataFrame) -> DataFrame:
+    """(term, cls) clique membership over the non-self sameAs pairs in
+    ``statements``; cls = min member id (distributed CC over the sameAs
+    graph — min-label propagation, so clique DIAMETER bounds the round
+    count; crawl-data cliques are shallow)."""
+    from bigdata_old_spark.analytics import connected_components
+
+    sa = _resource_obj_triples(statements, OWL_SAMEAS).where(F.col("s") != F.col("o"))
+    comp = connected_components(
+        sa.select(F.col("s").alias("src"), F.col("o").alias("dst")))
+    return comp.select(F.col("v").alias("term"), F.col("component").alias("cls"))
+
+
+def sameas_canonical_map(statements: DataFrame) -> DataFrame:
+    """(member, canon) for every non-canonical member of a SAFE sameAs
+    clique; canon = min member.  LINEAR in clique size.
+
+    A clique is UNSAFE (excluded here; it keeps the exact materialized
+    RuleOwlSameAs semantics in the closure) when any member is
+    schema-positioned: used as a predicate anywhere, or as subject /
+    resource object of a schema-predicate triple, or typed as a schema
+    class.  Predicates are never rewritten by canonicalization, so
+    rewriting such terms would desynchronize the rule-program joins;
+    the rare property/class cliques stay on the legacy path while the
+    instance cliques — the ones that explode at crawl scale — get the
+    canonical treatment."""
+    mem = _sameas_cliques(statements)
+    schema_rows = statements.where(
+        F.col("p").isin(*[p for p in _SCHEMA_PREDS if p != OWL_SAMEAS])
+        | ((F.col("p") == RDF_TYPE) & (F.col("o_kind") == KIND_IRI)
+           & F.col("o_lex").isin(*_SCHEMA_CLASSES))
+    )
+    schema_terms = (
+        statements.select(F.col("p").alias("t"))
+        .unionByName(schema_rows.select(F.col("s").alias("t")))
+        .unionByName(
+            schema_rows.where(F.col("o_kind") != 2).select(_obj_flat().alias("t")))
+        .dropDuplicates()
+    )
+    unsafe_cls = (
+        mem.join(schema_terms, mem["term"] == schema_terms["t"], "left_semi")
+        .select("cls").dropDuplicates().withColumnRenamed("cls", "__uc")
+    )
+    safe = mem.join(unsafe_cls, mem["cls"] == F.col("__uc"), "left_anti")
+    return safe.where(F.col("term") != F.col("cls")).select(
+        F.col("term").alias("member"), F.col("cls").alias("canon"))
+
+
+def _canonicalize(statements: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite subjects and resource objects through (member → canon).
+    sameAs pairs whose two ends land on the same canonical become
+    self-pairs and are dropped (the mapping carries them); rewritten
+    rows are tagged INFERRED, and when an explicit row collides with a
+    rewrite of another row the strongest provenance tag (min stype)
+    wins."""
+    cs = canon.select(F.col("member").alias("__cm_s"), F.col("canon").alias("__cn_s"))
+    co = canon.select(F.col("member").alias("__cm_o"), F.col("canon").alias("__cn_o"))
+    df = (
+        statements
+        .join(cs, statements["s"] == cs["__cm_s"], "left")
+        .join(co, (F.col("o_kind") != 2) & (_obj_flat() == co["__cm_o"]), "left")
+    )
+    new_o = F.col("__cn_o")
+    changed = F.col("__cn_s").isNotNull() | new_o.isNotNull()
+    keep = {
+        c: F.col(c)
+        for c in statements.columns
+        if c not in ("s", "o_kind", "o_lex", "stype")
+    }
+    df = df.select(
+        keep["g"],
+        F.coalesce(F.col("__cn_s"), F.col("s")).alias("s"),
+        keep["p"],
+        F.when(
+            new_o.isNotNull(),
+            F.when(new_o.startswith("_:"), F.lit(1)).otherwise(F.lit(KIND_IRI)),
+        ).otherwise(F.col("o_kind")).cast("tinyint").alias("o_kind"),
+        F.when(
+            new_o.isNotNull(),
+            F.when(new_o.startswith("_:"),
+                   new_o.substr(F.lit(3), F.length(new_o))).otherwise(new_o),
+        ).otherwise(F.col("o_lex")).alias("o_lex"),
+        keep["o_dt"], keep["o_lang"], keep["o_num"], keep["o_dbl"],
+        keep["o_dtm"], keep["o_bool"],
+        F.when(changed, F.lit(STYPE_INFERRED)).otherwise(F.col("stype"))
+        .cast("tinyint").alias("stype"),
+    )
+    df = df.where(
+        ~((F.col("p") == OWL_SAMEAS) & (F.col("o_kind") != 2)
+          & (_obj_flat() == F.col("s")))
+    )
+    non_stype = [c for c in statements.columns if c != "stype"]
+    return (
+        df.groupBy(*non_stype)
+        .agg(F.min("stype").cast("tinyint").alias("stype"))
+        .select(*statements.columns)
+    )
+
+
+def _compose_canon(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Compose two (member → canon) maps: ``new`` operates on ids that
+    are canonical under ``old`` (the closure canonicalizes between
+    rounds), so old targets are forwarded through new and new members
+    not seen by old are appended."""
+    n2 = new.select(F.col("member").alias("__nm"), F.col("canon").alias("__nc"))
+    fwd = old.join(n2, old["canon"] == F.col("__nm"), "left").select(
+        F.col("member"), F.coalesce(F.col("__nc"), F.col("canon")).alias("canon"))
+    fresh = new.join(old.select(F.col("member").alias("__om")),
+                     new["member"] == F.col("__om"), "left_anti")
+    return fwd.unionByName(fresh.select("member", "canon")).dropDuplicates()
+
+
+def _canonical_closure(
+    statements: DataFrame,
+    max_rounds: int,
+    with_owl: bool,
+    forward_chain_rdfs4: bool,
+) -> DataFrame:
+    """rdfs_closure with sameas="canonical": alternate (canonicalize
+    safe cliques → run the rule program with the sameAs block off) until
+    no new safe pairs appear (Functional/InverseFunctionalProperty rules
+    can mint sameAs mid-closure), then append the linear member↔canon
+    mapping triples.  Unsafe (schema-positioned) cliques keep their
+    sameAs triples and are materialized exactly by the inner program."""
+    cur = statements
+    mapping: DataFrame | None = None
+    for _ in range(max_rounds):
+        canon = sameas_canonical_map(cur).localCheckpoint(eager=True)
+        if canon.isEmpty():
+            if mapping is None:
+                # no safe clique anywhere: plain materialized closure
+                return rdfs_closure(
+                    cur, max_rounds=max_rounds, with_owl=with_owl,
+                    forward_chain_rdfs4=forward_chain_rdfs4)
+            # cur is already the fixpoint of the previous inner run and
+            # produced no new safe pairs — done
+            break
+        mapping = canon if mapping is None else \
+            _compose_canon(mapping, canon).localCheckpoint(eager=True)
+        cur = _canonicalize(cur, canon)
+        cur = rdfs_closure(
+            cur, max_rounds=max_rounds, with_owl=with_owl,
+            forward_chain_rdfs4=forward_chain_rdfs4, sameas="materialize")
+    pairs = mapping
+    sa_fwd = _mk_triples_flat_obj(
+        pairs.select(F.col("member").alias("s"), F.col("canon").alias("o")),
+        s="s", p=OWL_SAMEAS, o="o")
+    sa_bwd = _mk_triples_flat_obj(
+        pairs.select(F.col("canon").alias("s"), F.col("member").alias("o")),
+        s="s", p=OWL_SAMEAS, o="o")
+    extra = _anti_new(sa_fwd.unionByName(sa_bwd), cur)
+    out = cur.unionByName(extra.select(*cur.columns))
+    # one final rule pass with the sameAs block OFF: the mapping triples
+    # were appended after the program ran, so their vocabulary facts
+    # (rdf1: owl:sameAs a rdf:Property; rdfs6 reflexive ⊑p) are derived
+    # here without re-materializing any pairs
+    return rdfs_closure(
+        out, max_rounds=max_rounds, with_owl=with_owl,
+        forward_chain_rdfs4=forward_chain_rdfs4, sameas="off")
+
+
+def expand_sameas(statements: DataFrame) -> DataFrame:
+    """Materialize the full sameAs replication (RuleOwlSameAs1/1b/2/3)
+    over ``statements`` — the O(Σ clique²) FINAL step, meant for query
+    ANSWERS or bounded slices of a canonical-mode closure, never for
+    the stored corpus.  expand_sameas(rdfs_closure(S, sameas="canonical"))
+    equals rdfs_closure(S) on the (s, p, o) level."""
+    mem = _sameas_cliques(statements).localCheckpoint(eager=True)
+    if mem.isEmpty():
+        return statements
+    base = statements.where(F.col("p") != OWL_SAMEAS)
+    # full pair set per clique (the sameAs1 answers)
+    a = mem.select(F.col("cls"), F.col("term").alias("__a"))
+    b = mem.select(F.col("cls"), F.col("term").alias("__b"))
+    sa_full = _mk_triples_flat_obj(
+        a.join(b, "cls").where(F.col("__a") != F.col("__b"))
+        .select(F.col("__a").alias("s"), F.col("__b").alias("o")),
+        s="s", p=OWL_SAMEAS, o="o")
+    # subject replication: s → clique → every member
+    smap = mem.select(F.col("term").alias("__st"), F.col("cls").alias("__sc"))
+    svar = mem.select(F.col("cls").alias("__sc"), F.col("term").alias("__sv"))
+    srep = (
+        base.join(smap, base["s"] == F.col("__st"))
+        .join(svar, "__sc")
+        .where(F.col("__sv") != F.col("s"))
+        .withColumn("s", F.col("__sv"))
+        .withColumn("stype", F.lit(STYPE_INFERRED).cast("tinyint"))
+        .select(*base.columns)
+    )
+    half = base.unionByName(srep)
+    # object replication over the subject-expanded set (covers s×o combos)
+    omap = mem.select(F.col("term").alias("__ot"), F.col("cls").alias("__oc"))
+    ovar = mem.select(F.col("cls").alias("__oc"), F.col("term").alias("__ov"))
+    orep = (
+        half.where(F.col("o_kind") != 2)
+        .join(omap, _obj_flat() == F.col("__ot"))
+        .join(ovar, "__oc")
+        .where(F.col("__ov") != _obj_flat())
+        .withColumn(
+            "o_kind",
+            F.when(F.col("__ov").startswith("_:"), F.lit(1))
+            .otherwise(F.lit(KIND_IRI)).cast("tinyint"))
+        .withColumn(
+            "o_lex",
+            F.when(F.col("__ov").startswith("_:"),
+                   F.col("__ov").substr(F.lit(3), F.length(F.col("__ov"))))
+            .otherwise(F.col("__ov")))
+        .withColumn("stype", F.lit(STYPE_INFERRED).cast("tinyint"))
+        .select(*base.columns)
+    )
+    out = half.unionByName(orep).unionByName(
+        statements.where(F.col("p") == OWL_SAMEAS).select(*base.columns)
+    ).unionByName(sa_full.select(*base.columns))
+    non_stype = [c for c in statements.columns if c != "stype"]
+    return (
+        out.groupBy(*non_stype)
+        .agg(F.min("stype").cast("tinyint").alias("stype"))
+        .select(*statements.columns)
+    )
 
 
 def _delta_touches_schema(delta: DataFrame, ignore_reflexive: bool = False) -> bool:
