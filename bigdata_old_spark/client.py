@@ -159,6 +159,33 @@ class RemoteRepository:
     def has_statement(self, s=None, p=None, o=None, c=None) -> bool:
         return self.range_count(s, p, o, c) > 0
 
+    #: the unnamed (null-context) graph in get_statements contexts —
+    #: reference RemoteRepository.java:136 BD_NULL_GRAPH
+    NULL_GRAPH = "http://www.bigdata.com/rdf#nullGraph"
+
+    def get_statements(self, s=None, p=None, o=None, *contexts) -> list[tuple]:
+        """Matching (s, p, o) Term triples (RemoteRepository.java:445
+        getStatements): a CONSTRUCT whose dataset is one FROM clause per
+        context, with a ``None`` context standing for the unnamed graph
+        (sent as FROM <bd:nullGraph>, RemoteRepository.java:486); no
+        contexts = the whole store."""
+        def tok(v, var):
+            return var if v is None else _term_token(v)
+
+        tpl = f"{tok(s, '?s')} {tok(p, '?p')} {tok(o, '?o')}"
+        if contexts:
+            froms = "\n".join(
+                f"FROM <{self.NULL_GRAPH if c is None else c}>" for c in contexts)
+            q = f"CONSTRUCT {{ {tpl} }}\n{froms}\nWHERE {{ {tpl} }}"
+        else:
+            q = f"CONSTRUCT WHERE {{ {tpl} }}"
+        return self.graph_query(q)
+
+    def has_statement_in(self, s=None, p=None, o=None, *contexts) -> bool:
+        """hasStatement with openrdf context semantics: no contexts =
+        any graph; ``None`` in contexts = the unnamed graph."""
+        return bool(self.get_statements(s, p, o, *contexts))
+
     def contexts(self) -> list[str]:
         """Named-graph URIs (GET ?CONTEXTS)."""
         _, _, body = self._request(f"{self.endpoint}?CONTEXTS")

@@ -441,6 +441,29 @@ class QueryCompiler:
             ):
                 r = self.compile_pattern(node.right, graph)
                 return self.join(self.compile_service(node.left, graph, outer=r), r)
+            # ASTBindingAssigner analog (the reference pushes a SINGLE
+            # exogenous/VALUES solution INTO the query so subselects
+            # evaluate pre-bound — the behavior TestService794 pins:
+            # a vectored SERVICE request's one-row VALUES must constrain
+            # the service group's { SELECT … LIMIT } BEFORE the limit,
+            # not join bottom-up after it).  Multi-row VALUES keeps the
+            # spec's bottom-up join, as the reference does.
+            for a, b in ((node.left, node.right), (node.right, node.left)):
+                if isinstance(a, A.ValuesPat) and len(a.rows) == 1 \
+                        and isinstance(b, A.SubSelect):
+                    sub_vars = A.pattern_vars(b.query.pattern)
+                    keep = [i for i, n in enumerate(a.names) if n in sub_vars]
+                    if keep:
+                        inner = A.ValuesPat(
+                            [a.names[i] for i in keep],
+                            [[a.rows[0][i] for i in keep]])
+                        import copy as _copy
+
+                        b2 = _copy.copy(b.query)
+                        b2.pattern = A.Join(inner, b2.pattern)
+                        b = A.SubSelect(b2)
+                    return self.join(self.compile_pattern(a, graph),
+                                     self.compile_pattern(b, graph))
             return self.join(self.compile_pattern(node.left, graph), self.compile_pattern(node.right, graph))
         if isinstance(node, A.LeftJoin):
             return self.left_join(node, graph)
@@ -582,7 +605,17 @@ class QueryCompiler:
                 # graphs binds once.
                 parts = []
                 if ds.default_graphs is not None:
-                    parts.append(df.where(F.col("g").isin(ds.default_graphs)))
+                    # bd:nullGraph names the unnamed (null-context) graph
+                    # (reference BD.java:126 NULL_GRAPH; the remote client
+                    # sends FROM <bd:nullGraph> for a null context,
+                    # RemoteRepository.java:486)
+                    from bigdata_old_spark.model import BD_NULL_GRAPH
+
+                    named = [g for g in ds.default_graphs if g != BD_NULL_GRAPH]
+                    if named:
+                        parts.append(df.where(F.col("g").isin(named)))
+                    if len(named) != len(ds.default_graphs):
+                        parts.append(df.where(F.col("g").isNull()))
                 if ds.virtual_default:
                     m = self._vg_members(ds.virtual_default)
                     parts.append(df.join(m, df["g"] == m["__vg"], "left_semi"))

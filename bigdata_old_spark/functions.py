@@ -355,10 +355,15 @@ def _str_result_like(model: Column, s: Column) -> Column:
 
 def _regex_pattern(pat: Column, flags: Column | None) -> Column:
     """Translate SPARQL/XPath flags (i,s,m,x) to inline Java regex flags
-    (reference RegexBOp.java:46 does the same via Pattern.compile)."""
+    (reference RegexBOp.java:46 does the same via Pattern.compile).
+    The "i" flag also turns on UNICODE_CASE ("u") — Java's CASE_
+    INSENSITIVE alone folds ASCII only, so `regex(?o, "ä", "i")` would
+    miss "Ä" (the reference fixed the same way for trac 655)."""
     if flags is None:
         return pat
-    return F.when(F.length(flags) > 0, F.concat(F.lit("(?"), flags, F.lit(")"), pat)).otherwise(pat)
+    jflags = F.when(flags.contains("i"), F.concat(flags, F.lit("u"))).otherwise(flags)
+    return F.when(F.length(flags) > 0,
+                  F.concat(F.lit("(?"), jflags, F.lit(")"), pat)).otherwise(pat)
 
 
 def apply_builtin(name: str, args: list[Column], raw_args: list | None = None) -> Column:

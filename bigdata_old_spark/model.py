@@ -53,6 +53,10 @@ RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 OWL = "http://www.w3.org/2002/07/owl#"
 FOAF = "http://xmlns.com/foaf/0.1/"
 BDS = "http://www.bigdata.com/rdf/search#"  # full-text search magic predicates
+#: the unnamed (null-context) graph, addressable in FROM clauses —
+#: reference BD.java:126 NULL_GRAPH / RemoteRepository.java:486 (the
+#: client sends FROM <bd:nullGraph> to scope a null context)
+BD_NULL_GRAPH = "http://www.bigdata.com/rdf#nullGraph"
 
 XSD_STRING = XSD + "string"
 XSD_BOOLEAN = XSD + "boolean"

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(
   | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
   | (?P<DECIMAL>[+-]?\d*\.\d+)
   | (?P<INTEGER>[+-]?\d+)
-  | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
+  | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
   | (?P<PNAME>[A-Za-z0-9_][A-Za-z0-9_.-]*?:[A-Za-z0-9_](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?|[A-Za-z0-9_][A-Za-z0-9_.-]*?:|:[A-Za-z0-9_](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?|:)
   | (?P<KEYWORD>\b(?:a|true|false|GRAPH|graph)\b)
   | (?P<DTSEP>\^\^)
@@ -416,6 +416,46 @@ def load_ntriples(spark, path: str, graph: str | None = None):
 
     lines = spark.read.text(path)
     return spark.createDataFrame(lines.rdd.mapPartitions(part), STATEMENTS_SCHEMA)
+
+
+def load_rdf(spark, path: str, graph: str | None = None):
+    """Format-dispatching document load for SPARQL LOAD (reference
+    DataLoader + RDFFormat.forFileName: the format comes from the file
+    extension, with ``.gz`` unwrapped first).  N-Triples streams
+    distributed through :func:`load_ntriples` (Spark's text reader
+    decompresses .gz transparently); Turtle / TriG / RDF-XML / N-Quads
+    parse driver-side — document-scoped syntax (prefixes, bnode labels)
+    needs the whole file; LOAD sources are documents, not corpora (bulk
+    corpus ingest goes through the parquet mapping layer instead).
+    ``graph`` (LOAD ... INTO GRAPH g) overrides every context."""
+    import gzip as _gzip
+
+    from bigdata_old_spark.model import statements_df_from_terms
+
+    base = path[:-3] if path.endswith(".gz") else path
+    ext = base.rsplit(".", 1)[-1].lower() if "." in base.rsplit("/", 1)[-1] else ""
+    if ext in ("nt", "ntriples", ""):
+        # distributed; spark.read.text handles .gz itself
+        return load_ntriples(spark, path, graph=graph)
+    if path.endswith(".gz"):
+        with _gzip.open(path, "rt", encoding="utf-8") as f:
+            text = f.read()
+    else:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    if ext in ("ttl", "turtle"):
+        quads = [(graph, s, p, o) for s, p, o in parse_turtle(text)]
+    elif ext == "trig":
+        quads = [(graph if graph is not None else g, s, p, o)
+                 for g, s, p, o in parse_trig(text)]
+    elif ext == "nq":
+        quads = [(graph if graph is not None else g, s, p, o)
+                 for g, s, p, o in parse_nquads(text)]
+    elif ext in ("rdf", "rdfs", "owl", "xml"):
+        quads = [(graph, s, p, o) for s, p, o in parse_rdfxml(text)]
+    else:
+        raise ValueError(f"LOAD: unknown RDF format for {path!r}")
+    return statements_df_from_terms(quads, spark)
 
 
 # ---------------------------------------------------------------- RDF/XML

@@ -144,7 +144,17 @@ def certainly_bound_vars(node) -> set[str]:
         return out
     if isinstance(node, A.ServicePat):
         return certainly_bound_vars(node.child)
-    return set()  # ValuesPat (UNDEF rows), SubSelect, … — conservative
+    if isinstance(node, A.SubSelect):
+        # a plain-var projection is certainly bound iff the subquery
+        # body certainly binds it (expression projections can evaluate
+        # to error → unbound, so they contribute nothing)
+        q = node.query
+        inner = certainly_bound_vars(q.pattern)
+        if q.wildcard:
+            return inner
+        return {name for name, expr in (q.projection or [])
+                if expr is None and name in inner}
+    return set()  # ValuesPat (UNDEF rows), … — conservative
 
 
 def _escape_lex(lex: str) -> str:
@@ -182,8 +192,13 @@ def _vector_queries(decls: str, node, outer) -> list[str] | None:
     when the unconstrained form must be used."""
     if outer is None:
         return None
+    # vector every outer var the service group certainly binds — not
+    # just certainly-bound OUTER vars: a maybe-unbound outer var (expr
+    # projection, OPTIONAL) ships as UNDEF in its VALUES row, exactly
+    # the reference's getDistinctVars/UNDEF convention
+    # (RemoteSparql11QueryBuilder.java:289)
     jvars = sorted(
-        set(outer.certain)
+        set(outer.df.columns)
         & A.pattern_vars(node.child)
         & certainly_bound_vars(node.child)
     )
@@ -208,8 +223,14 @@ def _vector_queries(decls: str, node, outer) -> list[str] | None:
     )
     if not rows or len(rows) > MAX_VECTOR:
         return None
-    # serialize; a var with any non-shippable value (bnode) drops out
-    ser = {v: [_sparql_value(r[v]) for r in rows] for v in jvars}
+    # serialize; a NULL (unbound) outer value ships as UNDEF, a var
+    # with any non-shippable value (bnode) drops out entirely
+    def _tok(x):
+        if x is None or (not isinstance(x, str) and x["kind"] is None):
+            return "UNDEF"
+        return _sparql_value(x)
+
+    ser = {v: [_tok(r[v]) for r in rows] for v in jvars}
     jvars = [v for v in jvars if all(x is not None for x in ser[v])]
     if not jvars:
         return None

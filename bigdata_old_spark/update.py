@@ -191,6 +191,9 @@ class _UpdateParser(_Parser):
                 move = True
             elif self.take_word("ADD"):
                 add = True
+            # SILENT is accepted and inert: graphs are implicit here, so
+            # the spec's missing-source failure cannot occur
+            self.take_word("SILENT")
             src = self.parse_graph_or_default()
             self.expect_word("TO")
             dst = self.parse_graph_or_default()
@@ -333,23 +336,58 @@ def _quads_to_pattern(quads: list):
 _KEYS = ["g", "s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
 
 
-def _ground_quads_df(spark, quads: list, default_graph: str | None = None) -> DataFrame:
+def _ground_quads_df(spark, quads: list, default_graph: str | None = None,
+                     forbid_bnodes: bool = False) -> DataFrame:
+    # blank nodes in INSERT DATA (parsed as _bnode_* Vars) mint FRESH
+    # bnodes per request (SPARQL 1.1 Update §3.1.1) — unique labels so
+    # re-running the same INSERT DATA creates new nodes instead of
+    # deduping against the last run's
+    import uuid
+
+    fresh: dict[str, Term] = {}
+
+    def ground(x):
+        if isinstance(x, A.Var):
+            if forbid_bnodes:
+                raise ValueError(
+                    "blank nodes are not permitted in DELETE DATA "
+                    "(SPARQL 1.1 Update §3.1.2)")
+            if x.name not in fresh:
+                fresh[x.name] = Term.bnode(f"{x.name}_{uuid.uuid4().hex[:12]}")
+            return fresh[x.name]
+        return x
+
     rows = []
     for g, t in quads:
         gname = g.lex if isinstance(g, Term) else default_graph
-        s = t.s.lex if t.s.kind != 1 else f"_:{t.s.lex}"
-        kind, lex, dt, lang, num, dbl, dtm, b = t.o.as_row()
+        ts, to = ground(t.s), ground(t.o)
+        s = ts.lex if ts.kind != 1 else f"_:{ts.lex}"
+        kind, lex, dt, lang, num, dbl, dtm, b = to.as_row()
         rows.append((gname, s, t.p.lex, kind, lex, dt, lang, num, dbl, dtm, b, STYPE_EXPLICIT))
     return spark.createDataFrame(rows, STATEMENTS_SCHEMA)
 
 
-def _anti_remove(base: DataFrame, victims: DataFrame) -> DataFrame:
-    v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
+def _victim_cond(base: DataFrame, v: DataFrame, wild_g: bool):
+    """Join condition matching base rows to victim rows.  ``wild_g``
+    implements the reference's unioned-default-graph removal semantics
+    (BigdataSail quads mode; Sesame removeStatements with a null
+    context): a victim with NO graph deletes the (s,p,o) from EVERY
+    graph, while a graph-scoped victim deletes exactly its quad.
+    Ported behavior pinned by TestSparqlUpdate.testDeleteInsertWhere /
+    testDeleteData (data lives only in named graphs; the unscoped
+    delete must remove it)."""
     cond = None
     for k in _KEYS:
         c = base[k].eqNullSafe(v[f"__v_{k}"])
+        if k == "g" and wild_g:
+            c = v["__v_g"].isNull() | base["g"].eqNullSafe(v["__v_g"])
         cond = c if cond is None else (cond & c)
-    return base.join(v, cond, "left_anti")
+    return cond
+
+
+def _anti_remove(base: DataFrame, victims: DataFrame, wild_g: bool = False) -> DataFrame:
+    v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
+    return base.join(v, _victim_cond(base, v, wild_g), "left_anti")
 
 
 def _sid_cascade(base: DataFrame, gone: DataFrame) -> DataFrame:
@@ -399,15 +437,11 @@ def _sid_cascade(base: DataFrame, gone: DataFrame) -> DataFrame:
         frontier = new
 
 
-def _semi_match(base: DataFrame, victims: DataFrame) -> DataFrame:
+def _semi_match(base: DataFrame, victims: DataFrame, wild_g: bool = False) -> DataFrame:
     """Rows of base that match a victim — the ACTUAL removal delta
     (requested-but-absent victims drop out)."""
     v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
-    cond = None
-    for k in _KEYS:
-        c = base[k].eqNullSafe(v[f"__v_{k}"])
-        cond = c if cond is None else (cond & c)
-    return base.join(v, cond, "left_semi")
+    return base.join(v, _victim_cond(base, v, wild_g), "left_semi")
 
 
 def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_graph: str | None) -> DataFrame:
@@ -421,6 +455,28 @@ def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_
     for g, tp in template:
         def pos(x):
             if isinstance(x, A.Var):
+                if x.name.startswith("_bnode_") and x.name not in resolve:
+                    # template blank node: mint a FRESH bnode per WHERE
+                    # solution (SPARQL 1.1 Update §3.1.3; reference
+                    # ASTConstructIterator bnode minting).  Label =
+                    # template label + solution hash, so the same [] in
+                    # two template triples of one solution coincides.
+                    lex = F.concat(
+                        F.lit(x.name + "_"),
+                        F.abs(F.xxhash64(*[sol_df[c] for c in sol_df.columns]))
+                        .cast("string"))
+                    from bigdata_old_spark.model import KIND_BNODE
+
+                    return F.struct(
+                        F.lit(KIND_BNODE).cast("tinyint").alias("kind"),
+                        lex.alias("lex"),
+                        F.lit(None).cast("string").alias("dt"),
+                        F.lit(None).cast("string").alias("lang"),
+                        F.lit(None).cast("decimal(38,18)").alias("num"),
+                        F.lit(None).cast("double").alias("dbl"),
+                        F.lit(None).cast("timestamp").alias("dtm"),
+                        F.lit(None).cast("boolean").alias("bool"),
+                    )
                 return resolve.get(x.name, null_term())
             return term_lit(x)
 
@@ -657,13 +713,14 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         emit("InsertData", added=delta)
         return _maintain_text_index(store, out, added=delta)
     if isinstance(op, DeleteData):
-        victims = _ground_quads_df(spark, op.quads)
+        victims = _ground_quads_df(spark, op.quads, forbid_bnodes=True)
+        wild = store.union_default_graph
         if store.sid_map is not None:
-            gone = _sid_cascade(df, _semi_match(df, victims))
+            gone = _sid_cascade(df, _semi_match(df, victims, wild))
             out = store.with_statements(_anti_remove(df, gone))
         else:
-            gone = snap(_semi_match(df, victims))
-            out = store.with_statements(_anti_remove(df, victims))
+            gone = snap(_semi_match(df, victims, wild))
+            out = store.with_statements(_anti_remove(df, victims, wild))
         emit("DeleteData", removed=gone)
         return _maintain_text_index(store, out, removed=gone)
     if isinstance(op, DeleteInsert):
@@ -689,12 +746,13 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         gone = adds_delta = None
         if op.delete_template:
             victims = _template_to_statements(sol, op.delete_template, resolve, op.with_graph)
+            wild = store.union_default_graph
             if store.sid_map is not None:
-                gone = _sid_cascade(out, _semi_match(out, victims))
+                gone = _sid_cascade(out, _semi_match(out, victims, wild))
                 out = _anti_remove(out, gone)
             else:
-                gone = snap(_semi_match(out, victims))
-                out = _anti_remove(out, victims)
+                gone = snap(_semi_match(out, victims, wild))
+                out = _anti_remove(out, victims, wild)
         if op.insert_template:
             adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
             adds_delta = snap(_anti_new_stmts(adds, out))
@@ -731,14 +789,25 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
             emit(opname, removed=df.where(~keep_cond).localCheckpoint(eager=True))
         return store.with_statements(df.where(keep_cond))
     if isinstance(op, CreateOp):
-        return store  # graphs are implicit (no catalog) — no-op
+        # graphs are implicit (no catalog), so CREATE is a no-op EXCEPT
+        # the spec'd error: creating a graph that already exists fails
+        # unless SILENT (SPARQL 1.1 Update 3.2.1; the reference errors
+        # the same way — TestSparqlUpdate.testCreateExistingGraph)
+        if not op.silent and not df.where(F.col("g") == op.graph).isEmpty():
+            raise ValueError(f"CREATE GRAPH: graph <{op.graph}> already exists")
+        return store
     if isinstance(op, CopyOp):
-        src_cond = F.col("g").isNull() if op.src == "default" else F.col("g") == op.src
+        # eqNullSafe throughout: a plain `g == iri` is NULL (not false)
+        # for default-graph rows, and `~NULL` filters them out — COPY
+        # DEFAULT TO <g> would silently DROP the default graph
+        src_cond = F.col("g").isNull() if op.src == "default" \
+            else F.col("g").eqNullSafe(F.lit(op.src))
         dst_val = F.lit(None).cast("string") if op.dst == "default" else F.lit(op.dst)
         moved = df.where(src_cond).withColumn("g", dst_val)
         removed_cond = F.lit(False)
         if not op.add:  # COPY/MOVE replace the destination graph
-            dst_cond = F.col("g").isNull() if op.dst == "default" else F.col("g") == op.dst
+            dst_cond = F.col("g").isNull() if op.dst == "default" \
+                else F.col("g").eqNullSafe(F.lit(op.dst))
             removed_cond = removed_cond | dst_cond
         if op.move:
             removed_cond = removed_cond | src_cond
@@ -780,7 +849,18 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         path = op.source
         if path.startswith("file://"):
             path = path[7:]
-        add = load_ntriples(spark, path, graph=op.graph)
+        elif path.startswith("file:"):
+            path = path[5:]
+        from bigdata_old_spark.rio import load_rdf
+
+        try:
+            # missing paths fail HERE (spark.read.text checks eagerly;
+            # the driver-side parsers read the file in load_rdf)
+            add = load_rdf(spark, path, graph=op.graph)
+        except Exception:
+            if op.silent:
+                return store  # LOAD SILENT: failure leaves the store as-is
+            raise
         if store.load_closure == "batch":
             # DataLoader ClosureEnum analog: LOAD + closure in one op.
             # The reported delta covers loaded AND inferred rows — the

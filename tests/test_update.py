@@ -714,8 +714,14 @@ def test_using_scopes_where(spark):
     )
     left = st.statements.where(F.col("g").isNull() & (F.col("p") == LBL))
     assert [r["o_lex"] for r in left.collect()] == ["B"]
-    # named graphs untouched
-    assert st.statements.where(F.col("g").isNotNull()).count() == 3
+    # unscoped delete template in union-default-graph mode removes the
+    # matched (s,p,o) from EVERY graph (reference removeStatements with
+    # null context; TestSparqlUpdate.testDeleteInsertWhere parity):
+    # :a/"A" disappears from g1 and g2; :b/"B" in g2 survives because
+    # USING :g1 kept :b out of the WHERE solutions
+    assert st.statements.where(F.col("g").isNotNull()).count() == 1
+    assert st.statements.where(
+        (F.col("g") == EX + "g2") & (F.col("o_lex") == "B")).count() == 1
 
 
 def test_unscoped_differs_from_using(spark):
