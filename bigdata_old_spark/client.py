@@ -203,6 +203,36 @@ class RemoteRepository:
         m = re.search(r'modified="(\d+)"', body)
         return int(m.group(1)) if m else 0
 
+    def update_with_query(self, query: str, rdf_body: str,
+                          content_type: str = "text/turtle") -> int:
+        """PUT ?query=<CONSTRUCT> + RDF body — atomically remove the
+        query's statements and insert the body's (RemoteRepository
+        update(RemoveOp(query), AddOp) / UpdateServlet.doUpdateWithQuery).
+        Returns the combined mutation count."""
+        url = f"{self.endpoint}?query={urllib.parse.quote(query)}"
+        _, _, body = self._request(url, rdf_body.encode(),
+                                   {"Content-Type": content_type}, method="PUT")
+        m = re.search(r'modified="(\d+)"', body)
+        return int(m.group(1)) if m else 0
+
+    def remove_with_query(self, query: str) -> int:
+        """DELETE ?query=<CONSTRUCT/DESCRIBE> — remove the statements
+        the query produces (RemoteRepository RemoveOp(query) /
+        DeleteServlet.doDeleteWithQuery)."""
+        url = f"{self.endpoint}?query={urllib.parse.quote(query)}"
+        _, _, body = self._request(url, method="DELETE")
+        m = re.search(r'modified="(\d+)"', body)
+        return int(m.group(1)) if m else 0
+
+    def remove_with_body(self, rdf_body: str, content_type: str = "text/turtle") -> int:
+        """POST ?delete with an RDF document — remove the body's
+        statements (RemoveOp(statements) / DeleteServlet.doDeleteWithBody)."""
+        _, _, body = self._request(
+            f"{self.endpoint}?delete", rdf_body.encode(),
+            {"Content-Type": content_type})
+        m = re.search(r'modified="(\d+)"', body)
+        return int(m.group(1)) if m else 0
+
     def remove(self, s=None, p=None, o=None, c=None) -> int:
         """Access-path DELETE (RemoteRepository.remove / DeleteServlet);
         returns the mutation count."""

@@ -530,6 +530,12 @@ class SparqlHandler(BaseHTTPRequestHandler):
         if is_gsp:
             self._do_gsp_delete(g)
             return
+        if "query" in p:
+            # DELETE ?query=<CONSTRUCT/DESCRIBE> removes the query's
+            # resulting statements from every graph
+            # (DeleteServlet.doDeleteWithQuery)
+            self._do_delete_with_query(p["query"][0])
+            return
         t0 = _time.time()
         try:
             doomed = self._access_path(p)
@@ -539,6 +545,73 @@ class SparqlHandler(BaseHTTPRequestHandler):
         n = self._mutate_rest(removed=doomed)
         ms = int((_time.time() - t0) * 1000)
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
+
+    def _delete_matching(self, victims) -> None:
+        """Remove every statement matching a victim triple in ANY graph
+        (the DeleteServlet removeStatements null-context semantics) and
+        report the modified count."""
+        import time as _time
+
+        from bigdata_old_spark.update import _semi_match
+
+        t0 = _time.time()
+        doomed = _semi_match(self._get_store().statements, victims, wild_g=True)
+        n = self._mutate_rest(removed=doomed)
+        ms = int((_time.time() - t0) * 1000)
+        self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
+
+    def _do_delete_with_query(self, q: str) -> None:
+        victims = self._query_victims(q)
+        if victims is not None:
+            self._delete_matching(victims)
+
+    def _query_victims(self, q: str):
+        """CONSTRUCT/DESCRIBE text → victims statements-DF (g NULL =
+        any-graph wildcard), or None after replying with the error."""
+        from pyspark.sql import functions as F
+
+        store = self._get_store()
+        try:
+            res = store.query(q)
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            return None
+        if set(res.columns) != {"s", "p", "o"}:
+            self._reply(400, "DELETE with query requires CONSTRUCT/DESCRIBE",
+                        "text/plain")
+            return None
+        return res.select(
+            F.lit(None).cast("string").alias("g"),
+            F.when(res["s"]["kind"] == 1,
+                   F.concat(F.lit("_:"), res["s"]["lex"]))
+            .otherwise(res["s"]["lex"]).alias("s"),
+            res["p"]["lex"].alias("p"),
+            res["o"]["kind"].cast("tinyint").alias("o_kind"),
+            res["o"]["lex"].alias("o_lex"),
+            res["o"]["dt"].alias("o_dt"),
+            res["o"]["lang"].alias("o_lang"),
+            res["o"]["num"].alias("o_num"),
+            res["o"]["dbl"].alias("o_dbl"),
+            res["o"]["dtm"].alias("o_dtm"),
+            res["o"]["bool"].alias("o_bool"),
+            F.lit(0).cast("tinyint").alias("stype"),
+        )
+
+    def _do_delete_body(self, ctype: str, body: str) -> None:
+        from bigdata_old_spark.model import statements_df_from_terms
+
+        try:
+            rows = self._parse_rdf(ctype, body)
+        except LookupError:
+            self._reply(415, f"unsupported RDF content type: {ctype}", "text/plain")
+            return
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            return
+        victims = statements_df_from_terms(
+            [(None, s, pp, o) for (_, s, pp, o) in rows],
+            self._get_store().spark)
+        self._delete_matching(victims)
 
 
     # -- SPARQL 1.1 Graph Store HTTP Protocol (indirect identification) ------
@@ -629,14 +702,48 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return
         p = self._params()
         is_gsp, g = self._gsp_target(p)
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length).decode("utf-8") if length else ""
+        if not is_gsp and "query" in p:
+            # PUT ?query=<CONSTRUCT> + RDF body = atomic UPDATE: remove
+            # the query's statements, insert the body's
+            # (UpdateServlet.doUpdateWithQuery; RemoteRepository.update
+            # with RemoveOp(query) + AddOp)
+            self._do_update_with_query(p["query"][0], ctype, body)
+            return
         if not is_gsp:
             self._reply(400, "PUT requires ?graph= or ?default (Graph Store Protocol)",
                         "text/plain")
             return
-        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
-        length = int(self.headers.get("Content-Length") or 0)
-        body = self.rfile.read(length).decode("utf-8") if length else ""
         self._do_gsp_put(g, ctype, body)
+
+    def _do_update_with_query(self, q: str, ctype: str, body: str) -> None:
+        import time as _time
+
+        from bigdata_old_spark.model import statements_df_from_terms
+        from bigdata_old_spark.update import _semi_match
+
+        try:
+            rows = self._parse_rdf(ctype, body)
+        except LookupError:
+            self._reply(415, f"unsupported RDF content type: {ctype}", "text/plain")
+            return
+        except Exception as e:
+            self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+            return
+        victims = self._query_victims(q)
+        if victims is None:
+            return  # error already replied
+        t0 = _time.time()
+        with self.server.store_lock:
+            store = self._get_store()
+            doomed = _semi_match(store.statements, victims, wild_g=True)
+            added = statements_df_from_terms(
+                [(None, s, pp, o) for (_, s, pp, o) in rows], store.spark)
+            n = self._mutate_rest(removed=doomed, added=added)
+        ms = int((_time.time() - t0) * 1000)
+        self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
 
     # -- status page (StatusServlet analog) ----------------------------------
     def _do_status(self, p: dict) -> None:
@@ -844,6 +951,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
             # InsertServlet.doPostWithURIs (dispatch rule
             # InsertServlet.java:106-118: uri param wins over body)
             self._do_insert_uris(p)
+            return
+        if "delete" in p and ctype in _RDF_INSERT_TYPES:
+            # POST ?delete with an RDF body removes the body's
+            # statements from EVERY graph (DeleteServlet.doDeleteWithBody)
+            self._do_delete_body(ctype, body)
             return
         if ctype in _RDF_INSERT_TYPES:
             # Graph Store Protocol POST = merge into the target graph:

@@ -340,12 +340,19 @@ class TripleStore:
 
         return execute_update(self, sparql_update, change_log=change_log, dataset=dataset)
 
-    def closure(self) -> "TripleStore":
-        """RDFS forward closure (inference.rdfs_closure)."""
+    def closure(self, sameas: str = "materialize") -> "TripleStore":
+        """RDFS forward closure (inference.rdfs_closure).
+
+        ``sameas="canonical"`` stores per-clique canonical ids + a
+        linear member↔canonical mapping instead of the O(clique²)
+        materialized pair closure — the crawl-scale shape; use
+        inference.expand_sameas on query answers that must show every
+        equivalent id."""
         from bigdata_old_spark.inference import rdfs_closure
 
-        st = self.with_statements(rdfs_closure(self.statements))
-        st.closed = True
+        st = self.with_statements(rdfs_closure(self.statements, sameas=sameas))
+        # the TM incremental paths assume the MATERIALIZED fixpoint
+        st.closed = sameas == "materialize"
         return st
 
     def add(self, other: DataFrame) -> "TripleStore":
