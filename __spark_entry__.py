@@ -1776,7 +1776,84 @@ def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("v", F.round("dist", 5).alias("dist"))
 
 
+def _sameas_clique_statements(spark: SparkSession, sf_dir: str):
+    """owl:sameAs star cliques from the TPC-H dims: every nation is
+    declared sameAs its region, so each region forms one clique of
+    region ∪ its nations (driver-side rows: 25 + 5 dims are fixed)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.inference import OWL_SAMEAS
+    from bigdata_old_spark.model import Term, statements_df_from_terms
+
+    nation = _read(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    region = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rows = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_name", "r_name").collect()
+    )
+    quads = [
+        (None, f"urn:tpch:nation:{r['n_name']}", OWL_SAMEAS,
+         Term.iri(f"urn:tpch:region:{r['r_name']}"))
+        for r in rows
+    ]
+    return statements_df_from_terms(quads, spark)
+
+
+def _q_sameas_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative sameAs closure (inference.rdfs_closure
+    sameas='canonical'; reference motivation inf/BackchainAccessPath.java):
+    the stored mapping is the LINEAR member↔canonical pair set, gated
+    exactly against a SQL min-per-clique replay."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.inference import OWL_SAMEAS, rdfs_closure
+
+    closed = rdfs_closure(_sameas_clique_statements(spark, sf_dir),
+                          sameas="canonical")
+    return (
+        closed.where(F.col("p") == OWL_SAMEAS)
+        .select(F.col("s"), F.col("o_lex").alias("o"))
+    )
+
+
+def _q_sameas_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expand_sameas over the canonical closure — the O(clique²) FINAL
+    materialization must equal the full ordered-pair set per clique."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.inference import OWL_SAMEAS, expand_sameas, rdfs_closure
+
+    closed = rdfs_closure(_sameas_clique_statements(spark, sf_dir),
+                          sameas="canonical")
+    return (
+        expand_sameas(closed).where(F.col("p") == OWL_SAMEAS)
+        .select(F.col("s"), F.col("o_lex").alias("o"))
+    )
+
+
+_SAMEAS_MEM_SQL = """mem AS (
+             SELECT r_regionkey AS cid, 'urn:tpch:region:' || r_name AS t
+             FROM region
+             UNION ALL
+             SELECT n_regionkey, 'urn:tpch:nation:' || n_name FROM nation
+           )"""
+
+
 _FORM_QUERIES: dict[str, tuple] = {
+    "q36_sameas_canonical": (
+        _q_sameas_canonical,
+        f"""WITH {_SAMEAS_MEM_SQL},
+           canon AS (SELECT cid, min(t) AS c FROM mem GROUP BY cid),
+           pairs AS (SELECT m.t AS s, c.c AS o FROM mem m
+                     JOIN canon c USING (cid) WHERE m.t <> c.c)
+           SELECT s, o FROM pairs UNION ALL SELECT o AS s, s AS o FROM pairs""",
+    ),
+    "q37_sameas_expand": (
+        _q_sameas_expand,
+        f"""WITH {_SAMEAS_MEM_SQL}
+           SELECT a.t AS s, b.t AS o
+           FROM mem a JOIN mem b ON a.cid = b.cid AND a.t <> b.t""",
+    ),
     "q34_weighted_sssp": (
         _q_weighted_sssp,
         """WITH src AS (SELECT min(l_orderkey) AS k FROM lineitem),
