@@ -301,10 +301,17 @@ class RemoteRepositoryManager(RemoteRepository):
         super().__init__(f"{self.base_url}/sparql")
         self.default_namespace = default_namespace
 
+    @staticmethod
+    def _enc(namespace: str) -> str:
+        # namespaces may carry URL-hostile characters ("&/<>" — the
+        # reference's TestMultiTenancyAPI.test_create02); path-encode
+        return urllib.parse.quote(namespace, safe="")
+
     def repository(self, namespace: str) -> RemoteRepository:
         """The RemoteRepository bound to one namespace's endpoint
         (getRepositoryForNamespace)."""
-        return RemoteRepository(f"{self.base_url}/namespace/{namespace}/sparql")
+        return RemoteRepository(
+            f"{self.base_url}/namespace/{self._enc(namespace)}/sparql")
 
     def create_namespace(self, namespace: str) -> RemoteRepository:
         """createRepository: POST Java-properties body → 201."""
@@ -315,10 +322,26 @@ class RemoteRepositoryManager(RemoteRepository):
         return self.repository(namespace)
 
     def delete_namespace(self, namespace: str) -> None:
-        self._request(f"{self.base_url}/namespace/{namespace}", method="DELETE")
+        self._request(f"{self.base_url}/namespace/{self._enc(namespace)}",
+                      method="DELETE")
+
+    def get_repository_properties(self, namespace: str) -> dict[str, str]:
+        """GET /namespace/NS/properties → effective configuration
+        (RemoteRepositoryManager.getRepositoryProperties); raises
+        HttpError(404) for an unknown namespace."""
+        _, _, body = self._request(
+            f"{self.base_url}/namespace/{self._enc(namespace)}/properties")
+        out: dict[str, str] = {}
+        for line in body.splitlines():
+            if "=" in line and not line.lstrip().startswith("#"):
+                k, _, v = line.partition("=")
+                out[k.strip()] = v.strip()
+        return out
 
     def list_namespaces(self) -> list[str]:
         """GET /namespace → namespaces (parsed from the VoID/SD
         description's endpoint URLs)."""
         _, _, body = self._request(f"{self.base_url}/namespace")
-        return sorted(set(re.findall(r"/namespace/([^/]+)/sparql", body)))
+        return sorted(
+            urllib.parse.unquote(ns)
+            for ns in set(re.findall(r"/namespace/([^/]+)/sparql", body)))

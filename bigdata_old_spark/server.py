@@ -42,7 +42,7 @@ from __future__ import annotations
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from bigdata_old_spark.serializers import MIME_FORMATS
 
@@ -137,7 +137,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         MultiTenancyServlet.java:79)."""
         m = re.fullmatch(r"/namespace/([^/]+)/sparql/?",
                          urlparse(self.path).path)
-        return m.group(1) if m else None
+        return unquote(m.group(1)) if m else None
 
     def _is_namespace_admin(self) -> bool:
         return urlparse(self.path).path.rstrip("/") == "/namespace"
@@ -517,7 +517,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         path = urlparse(self.path).path
         m = re.fullmatch(r"/namespace/([^/]+)/?", path)
         if m:
-            self._do_namespace_delete(m.group(1))
+            self._do_namespace_delete(unquote(m.group(1)))
             return
         self._ns = self._route_ns()
         try:
@@ -781,6 +781,29 @@ class SparqlHandler(BaseHTTPRequestHandler):
         self._reply(200, "\n".join(lines) + "\n", "text/plain")
 
     # -- namespace administration (MultiTenancyServlet) ----------------------
+    def _do_namespace_properties(self, ns: str) -> None:
+        """GET /namespace/NS/properties — the KB's effective
+        configuration as Java-properties text
+        (MultiTenancyServlet.doGet 'Describe a namespace' /
+        RemoteRepositoryManager.getRepositoryProperties)."""
+        with self.server.store_lock:
+            store = self.server.namespaces.get(ns)
+        if store is None:
+            self._reply(404, f"no such namespace: {ns}", "text/plain")
+            return
+        props = {
+            "com.bigdata.relation.namespace": ns,
+            "com.bigdata.rdf.sail.namespace": ns,
+            "com.bigdata.rdf.store.AbstractTripleStore.quads":
+                str(store.has_named_graphs).lower(),
+            "com.bigdata.rdf.sail.truthMaintenance":
+                "true" if store.load_closure == "incremental" else "false",
+            "com.bigdata.rdf.store.AbstractTripleStore.statementIdentifiers":
+                str(store.sid_map is not None).lower(),
+        }
+        body = "".join(f"{k}={v}\n" for k, v in sorted(props.items()))
+        self._reply(200, body, "text/plain")
+
     def _do_namespace_list(self) -> None:
         """GET /namespace — describe all KBs (VoID per namespace with its
         sparqlEndpoint; MultiTenancyServlet.doGet 'Describe all
@@ -793,7 +816,9 @@ class SparqlHandler(BaseHTTPRequestHandler):
         ]
         with self.server.store_lock:
             for ns, store in sorted(self.server.namespaces.items()):
-                url = f"http://{host}/namespace/{ns}/sparql"
+                from urllib.parse import quote
+
+                url = f"http://{host}/namespace/{quote(ns, safe='')}/sparql"
                 out.append(
                     f'<{url}> a sd:Service, void:Dataset ;\n'
                     f'  void:sparqlEndpoint <{url}> ;\n'
@@ -818,15 +843,19 @@ class SparqlHandler(BaseHTTPRequestHandler):
 
         with self.server.store_lock:
             if ns in self.server.namespaces:
-                self._reply(409, f"EXISTS: {ns}", "text/plain")
+                # the reference replies 400 to CREATE of an existing KB
+                # (TestMultiTenancyAPI.doTestCreate expects BADREQUEST)
+                self._reply(400, f"EXISTS: {ns}", "text/plain")
                 return
             spark = self.server.store.spark
             self.server.namespaces[ns] = TripleStore(
                 spark, spark.createDataFrame([], STATEMENTS_SCHEMA),
                 has_named_graphs=False,
             )
+        from urllib.parse import quote
+
         host = self.headers.get("Host") or "localhost"
-        loc = f"http://{host}/namespace/{ns}/sparql"
+        loc = f"http://{host}/namespace/{quote(ns, safe='')}/sparql"
         data = f"CREATED: {ns}".encode()
         self.send_response(201)
         self.send_header("Content-Type", "text/plain; charset=utf-8")
@@ -858,6 +887,11 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return
         if self._is_namespace_admin():
             self._do_namespace_list()
+            return
+        mprop = re.fullmatch(r"/namespace/([^/]+)/properties/?",
+                             urlparse(self.path).path)
+        if mprop:
+            self._do_namespace_properties(unquote(mprop.group(1)))
             return
         self._ns = self._route_ns()
         try:

@@ -285,14 +285,15 @@ def test_multitenancy_lifecycle(spark):
         with urllib.request.urlopen(req) as r:
             assert r.status == 201
             assert r.headers["Location"].endswith("/namespace/tenant1/sparql")
-        # duplicate create → 409
+        # duplicate create → 400 (the reference's TestMultiTenancyAPI
+        # doTestCreate expects HTTP_BADREQUEST)
         try:
             urllib.request.urlopen(urllib.request.Request(
                 f"{root}/namespace", data=props.encode(),
                 headers={"Content-Type": "text/plain"}))
-            raise AssertionError("expected 409")
+            raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
-            assert e.code == 409
+            assert e.code == 400
         # the new KB is empty and isolated from the default
         t1 = f"{root}/namespace/tenant1/sparql"
         _, _, body = _get(f"{t1}?ESTCARD")
