@@ -1999,7 +1999,34 @@ _FORM_QUERIES: dict[str, tuple] = {
 }
 
 
+def _p_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_old_spark.pipeline.text import tfidf_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=5)
+
+
 _PIPELINE_QUERIES: dict[str, tuple] = {
+    "p46_tfidf_keywords": (
+        _p_tfidf_keywords,
+        r"""WITH toks AS (SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents),
+           tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM toks GROUP BY ALL),
+           dl AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1),
+           dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+           nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+           score AS (SELECT tf.doc_id, tf.term,
+                            (tf.c / dl.n) * (ln((nd.n_docs + 1) / (dfreq.df + 1)) + 1) AS s
+                     FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd),
+           rk AS (SELECT doc_id, term, s,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY s DESC, term) AS rank
+                  FROM score)
+           SELECT doc_id, term, round(s, 6) AS score, rank
+           FROM rk WHERE rank <= 5""",
+    ),
     # name: (callable, oracle sql | None)
     "p35_duplicate_spans": (
         _p_duplicate_spans,

@@ -973,3 +973,54 @@ def lm_bucket(
             F.element_at(barr, tile.cast("int")).alias("bucket"),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document (Salton & Buckley 1988):
+    tf = term count / doc length, idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-style variant, never negative), deterministic
+    tiebreak (score desc, term asc).
+
+    Returns: id_col | term | score (round 6) | rank.
+
+    Scale shape: one explode → (id, term) count shuffle, one
+    vocabulary-keyed docfreq aggregation that joins BACK on the term
+    key it is already partitioned by, N collected once as a plan
+    literal, and the top-k window partitions by the DOCUMENT id — no
+    global window, no driver loop; every stage is linear in corpus
+    tokens at 100 TB."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    dl = tf.groupBy("id").agg(F.sum("c").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = float(df.count())
+    from pyspark.sql import Window
+
+    score = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .select(
+            "id", "term",
+            ((F.col("c") / F.col("n"))
+             * (F.log(F.lit(n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
+             ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term",
+            F.round(F.col("s"), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

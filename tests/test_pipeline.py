@@ -1507,3 +1507,33 @@ def test_duplicate_spans_hash_modes_agree(spark):
           duplicate_spans(df, k=5, window_hash="md5").collect()}
     assert xx == md
     assert xx["a"] == 5 and xx["c"] == 0
+
+
+def test_tfidf_keywords(spark):
+    """Smoothed TF-IDF top-k: corpus-wide terms score low, distinctive
+    terms rank first, ties break on the term, ranks are dense per doc."""
+    from bigdata_old_spark.pipeline.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple common common"),
+         (2, "cherry common common banana cherry cherry"),
+         (3, "common common common durian")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    for v in by_doc.values():
+        v.sort()
+    # the distinctive term wins in every document
+    assert by_doc[1][0][1] == "apple"
+    assert by_doc[2][0][1] == "cherry"
+    # doc 3: tf dominance — common (tf 3/4, idf 1.0) legitimately beats
+    # durian (tf 1/4, idf ln(2)+1); the distinctive term still ranks
+    assert [t for _, t, _ in by_doc[3]] == ["common", "durian"]
+    # k bound respected, ranks dense from 1
+    assert all(len(v) == 2 and [r for r, _, _ in v] == [1, 2] for v in by_doc.values())
+    # smoothed idf: the everywhere-term scores ln(1)+1 = 1.0 exactly,
+    # so in docs 1-2 the distinctive term outranks it
+    assert by_doc[1][1][1] == "common" and by_doc[2][1][1] == "common"
