@@ -89,16 +89,29 @@ def _query_form(sparql: str) -> str:
 
 
 def _negotiate(accept: str | None, sparql: str) -> str:
-    """Accept header → serializer format key (ConnegUtil analog).
-    q-values are honored in header order; defaults: graphs → turtle,
+    """Accept header → serializer format key (ConnegUtil analog):
+    q-values are SCORED — the highest-q supported media type wins, ties
+    break in header order (ConnegUtil.getTupleQueryResultFormat over
+    ConnegScore, pinned by TestConneg's result_set_03: ``text/xhtml,
+    a;q=.3, b;q=.5`` must pick b).  Defaults: graphs → turtle,
     solutions → json."""
+    best, best_q = None, -1.0
     if accept:
         for part in accept.split(","):
-            mime = part.split(";")[0].strip().lower()
-            if mime in MIME_FORMATS:
-                return MIME_FORMATS[mime]
-            if mime == "*/*":
-                break
+            fields = part.split(";")
+            mime = fields[0].strip().lower()
+            q = 1.0
+            for f in fields[1:]:
+                f = f.strip()
+                if f.startswith("q="):
+                    try:
+                        q = float(f[2:])
+                    except ValueError:
+                        q = 0.0
+            if mime in MIME_FORMATS and q > best_q:
+                best, best_q = MIME_FORMATS[mime], q
+    if best is not None:
+        return best
     return "turtle" if _query_form(sparql) in _GRAPH_FORMS else "json"
 
 

@@ -13,8 +13,9 @@
 
 Documented skips: the reference's ConnegUtil scoring-matrix unit tests
 (TestConneg) exercise formats this engine does not serve (BINARY result
-tables, RDF/XML result sets with q-scores) — the served-format subset is
-asserted here through live conneg instead; TestFederatedQuery needs the
+tables, TriX) — the served-format subset, INCLUDING q-value scoring
+(result_set_03's q=.3 vs q=.5 ordering), is asserted here through live
+conneg instead; TestFederatedQuery needs the
 external W3C federation endpoints (the vendored federation suite covers
 it); HA / scale-out proxies (TestNanoSparqlServerWithProxyIndexManager*)
 have no analog in a Spark engine."""
@@ -422,3 +423,37 @@ def test_massage_service_nested3_call(endpoint):
         "?x eg:q ?yy ",
         "} ORDER BY ?yy LIMIT 1 }",
         "} }"])
+
+
+# -- TestConneg (servable subset): q-value scoring --------------------------------
+
+def test_conneg_q_value_scoring(endpoint):
+    """ConnegUtil scores q-values: 'text/xhtml, xml;q=.3, json;q=.5'
+    must pick json even though xml comes first
+    (TestConneg.test_conneg_sparql_result_set_03 shape, restricted to
+    the formats this engine serves)."""
+    accept = ("text/xhtml,"
+              "application/sparql-results+xml;q=0.3,"
+              "application/sparql-results+json;q=0.5")
+    _, ctype, body = _get(endpoint, {"query": SELECT}, accept=accept)
+    assert ctype.split(";")[0] == MIME_JSON
+    assert '"results":' in body
+
+
+def test_conneg_q_value_tie_header_order(endpoint):
+    """Equal q → header order wins (ConnegScore stable ordering)."""
+    accept = ("application/sparql-results+xml;q=1,"
+              "application/sparql-results+json;q=1")
+    _, ctype, body = _get(endpoint, {"query": SELECT}, accept=accept)
+    assert ctype.split(";")[0] == MIME_XML and "</sparql>" in body
+
+
+def test_conneg_unsupported_falls_back(endpoint):
+    """Only unsupported types (+ */*) → form defaults (json for
+    solutions, turtle for graphs)."""
+    _, ctype, _ = _get(endpoint, {"query": SELECT},
+                       accept="application/x-binary-rdf-results-table, */*")
+    assert ctype.split(";")[0] == MIME_JSON
+    _, ctype, _ = _get(endpoint, {"query": "CONSTRUCT WHERE { ?s ?p ?o }"},
+                       accept="application/x-unknown, */*")
+    assert ctype.split(";")[0] == "text/turtle"
