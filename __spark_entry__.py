@@ -1274,6 +1274,20 @@ def _p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, min_jaccard=0.4).select("doc_id", "cluster_id", "is_keep")
 
 
+def _p_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: same clusters as p07, keep
+    flag on the LONGEST member (token count; ties → min id)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import dedup_clusters
+    from bigdata_old_spark.pipeline.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_clusters(
+        docs, min_jaccard=0.4, keep_score=token_count(F.col("text"))
+    ).select("doc_id", "cluster_id", "is_keep")
+
+
 def _p_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream table (6 h gap),
     closed-form bounds (member min/max), epoch-seconds output."""
@@ -2402,6 +2416,21 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
+    "p47_quality_canonical": (
+        _p_quality_canonical,
+        # p07's recursive-CTE clusters, but the keep flag goes to the
+        # LONGEST member (token count; ties → min id)
+        _dedup_clusters_oracle().replace(
+            "SELECT src AS doc_id, min(v) AS cluster_id, (src = min(v)) AS is_keep\n"
+            "FROM reach GROUP BY src",
+            """, cl AS (SELECT src AS doc_id, min(v) AS cluster_id FROM reach GROUP BY src)
+, sc AS (SELECT doc_id, len(toks) AS s FROM base)
+, rk AS (SELECT cl.doc_id, cl.cluster_id,
+                row_number() OVER (PARTITION BY cl.cluster_id
+                                   ORDER BY sc.s DESC, cl.doc_id) AS rn
+         FROM cl JOIN sc USING (doc_id))
+SELECT doc_id, cluster_id, (rn = 1) AS is_keep FROM rk"""),
+    ),
     "p08_sessionize": (_p_sessionize, _sessionize_oracle()),
     "p30_temperature_resample": (
         _p_temperature_resample,

@@ -412,6 +412,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     pairs: DataFrame | None = None,
+    keep_score=None,
     **lsh_kw,
 ) -> DataFrame:
     """Near-duplicate clusters with a canonical representative per
@@ -422,6 +423,13 @@ def dedup_clusters(
     default to :func:`minhash_lsh_pairs`); cluster id = min member id;
     ``is_keep`` marks the canonical doc.  Docs in no pair are singleton
     clusters of themselves.
+
+    ``keep_score`` (optional Column over ``df``, e.g.
+    ``token_count(F.col("text"))`` or a quality-classifier output):
+    when given, the canonical member is the HIGHEST-scoring one (ties →
+    min id) instead of the min-id one — "keep the best copy", the
+    quality-aware variant of the standard pipeline step.  Cluster ids
+    stay min-member for stability.
 
     Returns: doc_id | cluster_id | is_keep.
 
@@ -437,14 +445,26 @@ def dedup_clusters(
         pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kw)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(edges)  # v | component (pair members only)
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
+    assigned = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  *([] if keep_score is None else [keep_score.alias("__score")]))
         .join(comp.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+            *([] if keep_score is None else [F.col("__score")]),
         )
-        .withColumn("is_keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+    if keep_score is None:
+        return assigned.withColumn("is_keep", F.col("doc_id") == F.col("cluster_id"))
+    from pyspark.sql import Window
+
+    # per-CLUSTER window (never global): best score, then min id
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__score"), F.asc("doc_id"))
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", (F.col("__rn") == 1).alias("is_keep"))
     )
 
 

@@ -1537,3 +1537,23 @@ def test_tfidf_keywords(spark):
     # smoothed idf: the everywhere-term scores ln(1)+1 = 1.0 exactly,
     # so in docs 1-2 the distinctive term outranks it
     assert by_doc[1][1][1] == "common" and by_doc[2][1][1] == "common"
+
+
+def test_dedup_clusters_quality_keep(spark):
+    """keep_score flips the canonical to the best-scoring member (ties
+    -> min id); cluster ids stay min-member."""
+    from bigdata_old_spark.pipeline.dedup import dedup_clusters
+    from bigdata_old_spark.pipeline.text import token_count
+
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE + " with extra trailing tokens appended here"),
+         (3, OTHER)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(
+        df, min_jaccard=0.4, keep_score=token_count(F.col("text"))).collect()}
+    # 1 and 2 cluster together (cluster id = min member = 1), but the
+    # LONGER doc 2 is the keeper
+    assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1
+    assert out[2]["is_keep"] and not out[1]["is_keep"]
+    assert out[3]["is_keep"]  # singleton keeps itself
