@@ -720,6 +720,63 @@ def _canonical_closure(
         forward_chain_rdfs4=forward_chain_rdfs4, sameas="off")
 
 
+def expand_sameas_bindings(
+    result: DataFrame,
+    statements: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Replicate SELECT bindings across the sameAs cliques of
+    ``statements``: each resource-valued binding in ``cols`` (default:
+    every term-struct column) becomes one row per clique member — the
+    answer-side half of the reference's query-time backchain
+    (BackchainAccessPath), for results computed over a
+    sameas="canonical" closure.  Literal bindings and resources in no
+    clique pass through unchanged.  Returns DISTINCT rows (set
+    semantics — replication across members makes bag multiplicities
+    ill-defined).  Cost is the per-answer clique fan-out —
+    O(|answers| · clique), never corpus-sized."""
+    mem = _sameas_cliques(statements).localCheckpoint(eager=True)
+    if mem.isEmpty():
+        return result
+    if cols is None:
+        cols = [
+            c for c, t in result.dtypes
+            if t.startswith("struct") and "kind" in t and "lex" in t
+        ]
+    out = result
+    for i, c in enumerate(cols):
+        flat = F.when(
+            out[c]["kind"] == 1, F.concat(F.lit("_:"), out[c]["lex"])
+        ).otherwise(out[c]["lex"])
+        m1 = mem.select(F.col("term").alias(f"__t{i}"), F.col("cls").alias(f"__c{i}"))
+        m2 = mem.select(F.col("cls").alias(f"__c{i}"), F.col("term").alias(f"__v{i}"))
+        joined = (
+            out.join(m1, (out[c]["kind"] != 2) & (flat == F.col(f"__t{i}")), "left")
+            .join(m2, f"__c{i}", "left")  # null cls → no fan-out row kept via left
+        )
+        v = F.col(f"__v{i}")
+        repl = F.struct(
+            F.when(v.startswith("_:"), F.lit(1)).otherwise(F.lit(KIND_IRI))
+            .cast("tinyint").alias("kind"),
+            F.when(v.startswith("_:"), v.substr(F.lit(3), F.length(v)))
+            .otherwise(v).alias("lex"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("decimal(38,18)").alias("num"),
+            F.lit(None).cast("double").alias("dbl"),
+            F.lit(None).cast("timestamp").alias("dtm"),
+            F.lit(None).cast("boolean").alias("bool"),
+        )
+        out = joined.select(
+            *[
+                (F.when(v.isNotNull(), repl).otherwise(F.col(cc)).alias(cc)
+                 if cc == c else F.col(cc))
+                for cc in result.columns
+            ]
+        )
+    return out.dropDuplicates()
+
+
 def expand_sameas(statements: DataFrame) -> DataFrame:
     """Materialize the full sameAs replication (RuleOwlSameAs1/1b/2/3)
     over ``statements`` — the O(Σ clique²) FINAL step, meant for query

@@ -449,3 +449,34 @@ def test_canonical_sameas_derived_mid_closure(spark):
     assert (EX + "child", EX + "hasMother", EX + "m1") in expanded
     assert (EX + "child", EX + "hasMother", EX + "m2") in expanded
     assert (EX + "m2", EX + "age", EX + "old") in expanded
+
+
+def test_expand_sameas_bindings(spark):
+    """SELECT answers over a canonical-mode closure expand to every
+    clique member; literals and un-cliqued resources pass through."""
+    from bigdata_old_spark.inference import expand_sameas_bindings, rdfs_closure
+    from bigdata_old_spark.store import TripleStore
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    rows = [
+        (None, EX + "clark", OWL + "sameAs", Term.iri(EX + "superman")),
+        (None, EX + "clark", EX + "worksAt", Term.iri(EX + "DailyPlanet")),
+        (None, EX + "clark", RDFS + "label", "Clark Kent"),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    canonical = st.with_statements(
+        rdfs_closure(st.statements, sameas="canonical"))
+    res = canonical.query(
+        f"SELECT ?who ?org WHERE {{ ?who <{EX}worksAt> ?org }}")
+    # canonical store: one row, canonical id only
+    assert res.count() == 1
+    got = expand_sameas_bindings(res, canonical.statements).collect()
+    whos = {r["who"]["lex"] for r in got}
+    assert whos == {EX + "clark", EX + "superman"}
+    assert all(r["org"]["lex"] == EX + "DailyPlanet" for r in got)
+    # literal bindings pass through untouched
+    res2 = canonical.query(
+        f"SELECT ?who ?l WHERE {{ ?who <{RDFS}label> ?l }}")
+    got2 = expand_sameas_bindings(res2, canonical.statements).collect()
+    assert {r["who"]["lex"] for r in got2} == {EX + "clark", EX + "superman"}
+    assert all(r["l"]["lex"] == "Clark Kent" for r in got2)
