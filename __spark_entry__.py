@@ -1274,6 +1274,13 @@ def _p_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, min_jaccard=0.4).select("doc_id", "cluster_id", "is_keep")
 
 
+def _p_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_old_spark.pipeline.text import top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=3, k=20)
+
+
 def _p_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: same clusters as p07, keep
     flag on the LONGEST member (token count; ties → min id)."""
@@ -2416,6 +2423,22 @@ _PIPELINE_QUERIES: dict[str, tuple] = {
     "p05_simhash_pairs": (_p_simhash_pairs, _simhash_oracle()),
     "p06_quality_langid": (_p_quality_lang, _quality_lang_oracle()),
     "p07_dedup_clusters": (_p_dedup_clusters, _dedup_clusters_oracle()),
+    "p48_top_ngrams": (
+        _p_top_ngrams,
+        r"""WITH base AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+           g AS (SELECT doc_id,
+                        unnest(list_distinct(
+                          CASE WHEN len(toks) >= 3
+                               THEN list_transform(generate_series(1, len(toks) - 2),
+                                                   i -> array_to_string(toks[i:i+2], ' '))
+                               ELSE [] END)) AS gram
+                 FROM base)
+           SELECT gram, count(*)::BIGINT AS cnt FROM g
+           GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
+    ),
     "p47_quality_canonical": (
         _p_quality_canonical,
         # p07's recursive-CTE clusters, but the keep flag goes to the

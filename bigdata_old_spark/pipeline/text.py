@@ -1024,3 +1024,42 @@ def tfidf_keywords(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+    doc_freq: bool = True,
+) -> DataFrame:
+    """Most frequent word ``n``-grams corpus-wide — boilerplate phrase
+    mining (the candidate list one feeds into line_dedup /
+    duplicate_spans thresholds when auditing a crawl).  ``doc_freq``
+    counts DOCUMENT frequency (each document contributes an n-gram
+    once — the boilerplate-relevant metric); False counts raw
+    occurrences.  Deterministic boundary: ties order by the gram.
+
+    Returns: gram | cnt (top-k by cnt desc, gram asc).
+
+    Scale shape: one explode → one count shuffle with map-side combine
+    → TakeOrderedAndProject(k); the global "sort" never materializes
+    beyond each partition's top-k."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if doc_freq:
+        grams = F.array_distinct(grams)
+    exploded = df.select(F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )

@@ -1557,3 +1557,25 @@ def test_dedup_clusters_quality_keep(spark):
     assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1
     assert out[2]["is_keep"] and not out[1]["is_keep"]
     assert out[3]["is_keep"]  # singleton keeps itself
+
+
+def test_top_ngrams(spark):
+    from bigdata_old_spark.pipeline.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "visit our site today for more info"),
+         (2, "visit our site today please"),
+         (3, "totally unrelated words here now"),
+         (4, "visit our site now now now visit our site")],
+        ["doc_id", "text"],
+    )
+    out = top_ngrams(df, n=3, k=3).collect()
+    # doc frequency: "visit our site" occurs in 3 docs (doc 4 counted
+    # ONCE despite two occurrences)
+    assert out[0]["gram"] == "visit our site" and out[0]["cnt"] == 3
+    # raw-occurrence mode counts doc 4 twice
+    raw = top_ngrams(df, n=3, k=1, doc_freq=False).collect()[0]
+    assert raw["gram"] == "visit our site" and raw["cnt"] == 4
+    # short docs (< n tokens) contribute nothing / no crash
+    assert top_ngrams(spark.createDataFrame([(9, "one two")], ["doc_id", "text"]),
+                      n=3, k=5).count() == 0
