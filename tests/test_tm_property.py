@@ -88,3 +88,44 @@ def test_no_example_fell_back(spark):
     # the NeedsFullClosure fallback (instance-only vocab guarantees it)
     assert inference.INCREMENTAL_RUNS > 0
     assert inference.RETRACTION_RUNS >= 0
+
+
+# ---------------------------------------------------------------------------
+# Canonical sameAs ≡ materialized closure (round 8): on random small
+# graphs with random instance-level sameAs edges,
+# expand_sameas(rdfs_closure(S, sameas="canonical")) must equal
+# rdfs_closure(S) at the (s, p, o) level — arbitrary clique shapes,
+# mixed instance data, schema rules firing through canonical ids.
+# ---------------------------------------------------------------------------
+
+_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+sameas_edge = st.tuples(
+    st.sampled_from(SUBJ), st.just(_SAMEAS), st.sampled_from(SUBJ)
+)
+
+
+def _spo_set(df):
+    return {(r["s"], r["p"], r["o_lex"]) for r in df.collect()}
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(triple, min_size=1, max_size=5, unique=True),
+    eq=st.lists(sameas_edge, min_size=1, max_size=3, unique=True),
+)
+def test_canonical_sameas_equals_materialized(spark, base, eq):
+    from bigdata_old_spark.inference import expand_sameas, rdfs_closure
+
+    stmts = statements_df_from_terms(
+        SCHEMA_TTL_ROWS
+        + [(None, s, p, Term.iri(o)) for s, p, o in base]
+        + [(None, s, p, Term.iri(o)) for s, p, o in eq if s != o],
+        spark,
+    )
+    full = rdfs_closure(stmts)
+    canon = rdfs_closure(stmts, sameas="canonical")
+    assert _spo_set(expand_sameas(canon)) == _spo_set(full)
