@@ -108,30 +108,52 @@ _QSTORES: dict = {}
 
 
 def _quads_store(spark: SparkSession, sf_dir: str):
-    """Quads-mode serving store (VERDICT r6 #6): every triplified
-    statement is assigned to its table's named graph
-    (urn:tpch:graph:<table>, from the subject IRI's table segment), and
-    the store runs with has_named_graphs=True so GRAPH/?g scoping,
-    FROM NAMED restriction, and the named-graph scan path are exercised
-    end-to-end under the driver gate.  Derived from the same bucketed
-    predicate-partitioned layout (one withColumn), so bound-predicate
-    scans still prune; a dedicated 100 TB quads layout would add g to
-    the partition key the same way."""
+    """Quads-mode serving store (VERDICT r6 #6, r8 #3): every
+    triplified statement is assigned to its table's named graph
+    (urn:tpch:graph:<table>, from the subject IRI's table segment) and
+    served from the QUADS-NATIVE layout — bucketed by subject and
+    partitioned by (p, g), the Spark analog of the reference's quad key
+    orders (SPOKeyOrder quad orders carry the context in every index) —
+    so ``GRAPH <const>`` prunes to partition directories exactly like a
+    bound predicate.  has_named_graphs=True exercises GRAPH/?g scoping,
+    FROM NAMED restriction, and the named-graph scan path end-to-end
+    under the driver gate."""
+    import hashlib
+    import os
+    import re as _re
+    import tempfile
+
     from pyspark.sql import functions as F
 
+    from bigdata_old_spark import store as _store_mod
     from bigdata_old_spark.store import TripleStore
 
     key = (id(spark), sf_dir)
     if key not in _QSTORES:
-        st = _store(spark, sf_dir)
-        stmts = st.statements.withColumn(
-            "g",
-            F.concat(
-                F.lit("urn:tpch:graph:"),
-                F.regexp_extract(F.col("s"), "^urn:tpch:([a-z]+):", 1),
-            ),
-        )
-        _QSTORES[key] = TripleStore(spark, stmts, has_named_graphs=True)
+        ver = hashlib.md5(open(_store_mod.__file__, "rb").read()).hexdigest()[:8]
+        tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+        table = f"bdos_{tag}_{ver}_qk"
+        path = f"{tempfile.gettempdir()}/{table}"
+        done = os.path.exists(f"{path}/_SUCCESS") and not os.environ.get("BDOS_REBUILD")
+        if not done:
+            st = _store(spark, sf_dir)
+            stmts = st.statements.withColumn(
+                "g",
+                F.concat(
+                    F.lit("urn:tpch:graph:"),
+                    F.regexp_extract(F.col("s"), "^urn:tpch:([a-z]+):", 1),
+                ),
+            )
+            if spark.catalog.tableExists(table):
+                spark.sql(f"DROP TABLE `{table}`")
+            TripleStore(spark, stmts).write_bucketed(
+                table, 32, path=path, partition_graph=True)
+            _QSTORES[key] = TripleStore.from_table(
+                spark, table, has_named_graphs=True)
+        else:
+            _QSTORES[key] = TripleStore.from_bucketed(
+                spark, table, path, 32, has_named_graphs=True,
+                partition_graph=True)
     return _QSTORES[key]
 
 
@@ -1852,6 +1874,52 @@ def _q_sameas_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sameas_backchain_store(spark: SparkSession, sf_dir: str):
+    """Canonical-mode TripleStore over the TPC-H sameAs cliques plus one
+    data triple per nation (urn:tpch:p:key → n_nationkey), closed with
+    sameas='canonical' — the fixture for the query-transparent
+    backchain entries (reference inf/BackchainAccessPath.java)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.model import Term, statements_df_from_terms
+    from bigdata_old_spark.store import TripleStore
+
+    sa = _sameas_clique_statements(spark, sf_dir)
+    nation = _read(spark, sf_dir, "nation").select("n_name", "n_nationkey").collect()
+    data = statements_df_from_terms(
+        [(None, f"urn:tpch:nation:{r['n_name']}", "urn:tpch:p:key",
+          Term.integer(int(r["n_nationkey"]))) for r in nation],
+        spark,
+    )
+    return TripleStore(spark, sa.unionByName(data)).closure(sameas="canonical")
+
+
+def _q_sameas_backchain_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias IRI constant against a canonical store: urn:tpch:region:*
+    is a NON-canonical clique member (the canon is the lexically-min
+    nation urn), so the constant only matches through the compile-side
+    canonicalization — returns every nationkey of the AMERICA clique."""
+    from pyspark.sql import functions as F
+
+    st = _sameas_backchain_store(spark, sf_dir)
+    df = st.query(
+        "SELECT ?k WHERE { <urn:tpch:region:AMERICA> <urn:tpch:p:key> ?k }")
+    return df.select(F.col("k")["num"].cast("bigint").alias("k"))
+
+
+def _q_sameas_backchain_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable subject over a canonical store: each canonical-space row
+    fans back out to every clique member (the iterator half of the
+    backchain), exactly the materialized replication."""
+    from pyspark.sql import functions as F
+
+    st = _sameas_backchain_store(spark, sf_dir)
+    df = st.query("SELECT ?x ?k WHERE { ?x <urn:tpch:p:key> ?k }")
+    return df.select(
+        F.col("x")["lex"].alias("x"),
+        F.col("k")["num"].cast("bigint").alias("k"))
+
+
 _SAMEAS_MEM_SQL = """mem AS (
              SELECT r_regionkey AS cid, 'urn:tpch:region:' || r_name AS t
              FROM region
@@ -1874,6 +1942,18 @@ _FORM_QUERIES: dict[str, tuple] = {
         f"""WITH {_SAMEAS_MEM_SQL}
            SELECT a.t AS s, b.t AS o
            FROM mem a JOIN mem b ON a.cid = b.cid AND a.t <> b.t""",
+    ),
+    "q38_sameas_backchain_const": (
+        _q_sameas_backchain_const,
+        """SELECT n_nationkey AS k
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'AMERICA'""",
+    ),
+    "q39_sameas_backchain_var": (
+        _q_sameas_backchain_var,
+        f"""WITH {_SAMEAS_MEM_SQL}
+           SELECT m.t AS x, d.n_nationkey AS k
+           FROM nation d JOIN mem m ON d.n_regionkey = m.cid""",
     ),
     "q34_weighted_sssp": (
         _q_weighted_sssp,

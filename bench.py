@@ -153,5 +153,98 @@ def main() -> None:
     }))
 
 
+def qmph_main(n_clients: int = 4, duration_sec: float = 120.0) -> None:
+    """Concurrent-throughput mode (``bench.py --qmph [clients] [secs]``):
+    N client threads fire the headline SPARQL mix at a live HTTP
+    endpoint and the metric is QMpH — query MIXES per hour — the
+    BSBM-style number the reference publishes (~2,300 QMpH @ 4 clients,
+    RELEASE_0.82b.txt:32-33).  One mix = each mix query once, via real
+    HTTP GET + JSON parse (server + serializer + transport included).
+    Only mixes COMPLETED before the deadline count; the run reports
+    per-client mixes and total queries too.  Methodology notes and the
+    parameterization caveat live in BENCH_QMPH.md."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from bigdata_old_spark.server import serve_background
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench-qmph")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    st = entry_mod._store(spark, sf_dir)
+    st.statements.count()
+    st.stats()
+    mix_names = [n for n in HEADLINE if n in entry_mod._SPARQL_QUERIES]
+    mix = {n: entry_mod.PREFIXES + entry_mod._SPARQL_QUERIES[n][0]
+           for n in mix_names}
+    srv, _ = serve_background(st)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+
+    def run_query(sparql: str) -> None:
+        url = f"{base}?query={urllib.parse.quote(sparql)}"
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/sparql-results+json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            json.loads(r.read())
+
+    # warm-up: one full mix single-threaded (codegen + plan cache, the
+    # BSBM warm-up-mix-then-measure shape)
+    t0 = time.perf_counter()
+    for q in mix.values():
+        run_query(q)
+    warm = time.perf_counter() - t0
+    print(f"# warm-up mix: {warm:.2f}s ({len(mix)} queries)", file=sys.stderr)
+
+    mixes_done = [0] * n_clients
+    queries_done = [0] * n_clients
+    deadline = time.perf_counter() + duration_sec
+
+    def client(i: int) -> None:
+        while time.perf_counter() < deadline:
+            for q in mix.values():
+                run_query(q)
+                queries_done[i] += 1
+            if time.perf_counter() <= deadline:
+                mixes_done[i] += 1
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    srv.shutdown()
+
+    total_mixes = sum(mixes_done)
+    try:
+        la = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        la = None
+    print(json.dumps({
+        "metric": "qmph",
+        "value": round(total_mixes * 3600.0 / wall, 1),
+        "unit": "query_mixes_per_hour",
+        "sf": sf,
+        "clients": n_clients,
+        "wall_sec": round(wall, 2),
+        "mixes_per_client": mixes_done,
+        "queries_total": sum(queries_done),
+        "mix_queries": mix_names,
+        "warmup_mix_sec": round(warm, 2),
+        "loadavg_1_5_15": la,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--qmph" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+        qmph_main(
+            n_clients=int(pos[0]) if pos else 4,
+            duration_sec=float(pos[1]) if len(pos) > 1 else 120.0,
+        )
+    else:
+        main()

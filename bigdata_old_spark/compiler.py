@@ -412,9 +412,19 @@ def _find_aggregates(e, acc: list) -> None:
 class QueryCompiler:
     """Compiles one query against a TripleStore's statements DataFrame."""
 
-    def __init__(self, store, dataset=None):
+    def __init__(self, store, dataset=None, backchain: bool = True):
         self.store = store
         self.dataset = dataset  # A.Dataset from FROM / FROM NAMED
+        # virtual sameAs closure over a canonical-mode store
+        # (inf/BackchainAccessPath.java): triple-pattern scans rewrite
+        # alias constants to canonical ids and fan variable bindings
+        # back out per access path.  None = store not in canonical mode
+        # (or caller opted out / no cliques exist) — zero overhead.
+        self._backchain_mem = None
+        if backchain and getattr(store, "sameas_mode", None) == "canonical":
+            mem = store._sameas_mem()
+            if not mem.isEmpty():
+                self._backchain_mem = mem
         # named solution sets: %name → Compiled (WITH {…} AS %name),
         # materialized once, re-aliased at each INCLUDE — the Spark
         # analog of the reference's SolutionSetManager + named solution
@@ -729,6 +739,43 @@ class QueryCompiler:
         "http://www.w3.org/1999/02/22-rdf-syntax-ns#object": "o",
     }
 
+    def _canon_pattern_consts(self, t: A.TriplePattern) -> A.TriplePattern:
+        """Rewrite the pattern's constant s/o IRIs through the stored
+        member→canonical mapping (predicates are never rewritten by
+        canonicalization, so p stays put) — the constant half of the
+        backchain."""
+        import dataclasses
+
+        def canon(x):
+            if isinstance(x, Term) and x.kind == KIND_IRI:
+                c = self.store.canon_of_lex(x.lex)
+                if c is not None:
+                    return Term.iri(c)
+            return x
+
+        s, o = canon(t.s), canon(t.o)
+        if s is t.s and o is t.o:
+            return t
+        return dataclasses.replace(t, s=s, o=o)
+
+    def _backchain_expand(self, out: Compiled, t: A.TriplePattern) -> Compiled:
+        """Fan the pattern's variable s/o bindings out across their
+        sameAs cliques (the iterator half of the backchain).  Graph
+        vars are never expanded — graphs are not renamed."""
+        from bigdata_old_spark.inference import expand_member_bindings
+
+        cols: list = []
+        if isinstance(t.s, A.Var) and t.s.name in out.vars:
+            cols.append((t.s.name, True))
+        if (isinstance(t.o, A.Var) and t.o.name in out.vars
+                and all(t.o.name != n for n, _ in cols)):
+            cols.append((t.o.name, t.o.name in out.flat))
+        if not cols:
+            return out
+        return Compiled(
+            expand_member_bindings(out.df, self._backchain_mem, cols),
+            out.certain, out.flat)
+
     def compile_triple(self, t: A.TriplePattern, graph, ranges: dict | None = None) -> Compiled:
         if not isinstance(t.p, (A.Var, Term)):
             return self.compile_path_triple(t, graph)
@@ -738,6 +785,8 @@ class QueryCompiler:
             and self.store.sid_map is not None
         ):
             return self._compile_reif_triple(t)
+        if self._backchain_mem is not None:
+            t = self._canon_pattern_consts(t)
         df = self._scan(graph)
         cond = []
         proj: dict[str, Column] = {}
@@ -798,7 +847,10 @@ class QueryCompiler:
             out = df.select(F.lit(1).alias("__unit")).limit(1)
             return Compiled(out, frozenset())
         out = df.select(*[c.alias(v) for v, c in proj.items()])
-        return Compiled(out, frozenset(proj), frozenset(flat_vars))
+        unit = Compiled(out, frozenset(proj), frozenset(flat_vars))
+        if self._backchain_mem is not None:
+            unit = self._backchain_expand(unit, t)
+        return unit
 
     #: query-hint namespace (reference ASTQueryHintOptimizer.java; the
     #: hint: triples are stripped from the pattern and recorded —
@@ -1095,6 +1147,12 @@ class QueryCompiler:
         shape for direct-mapped relational data."""
         from collections import defaultdict
 
+        if self._backchain_mem is not None:
+            # canonical-sameAs backchain expands bindings per triple
+            # pattern (compile_triple); the one-pass star scan has no
+            # per-pattern seam to expand at, so BGPs over a canonical
+            # store take the plain join path
+            return [], triples
         by_subj: dict = defaultdict(list)
         rest: list = []
         reif_active = self.store.sid_map is not None
@@ -1639,6 +1697,13 @@ class QueryCompiler:
         ArbitraryLengthPathOp fixpoint (paths/ArbitraryLengthPathOp.java:87)
         as a driver-side semi-naive loop with localCheckpoint.
         """
+        if self._backchain_mem is not None:
+            # backchain constant endpoints to canonical ids; variable
+            # endpoints fan out at the path boundary below (the path
+            # interior runs in canonical space — reachability there
+            # equals materialized reachability, since canonicalization
+            # merges exactly the clique-interchangeable nodes)
+            t = self._canon_pattern_consts(t)
         s_name = t.s.name if isinstance(t.s, A.Var) else _fresh("ps")
         o_name = t.o.name if isinstance(t.o, A.Var) else _fresh("po")
         # endpoint bindings from already-joined sibling patterns widen
@@ -1691,7 +1756,10 @@ class QueryCompiler:
         if not proj:
             proj = [F.lit(1).alias("__unit")]
         out = df.select(*proj)
-        return Compiled(out, frozenset(names), frozenset(flat))
+        unit = Compiled(out, frozenset(names), frozenset(flat))
+        if self._backchain_mem is not None:
+            unit = self._backchain_expand(unit, t)
+        return unit
 
     def _path_pairs(
         self,

@@ -24,6 +24,7 @@ from bigdata_old_spark.model import (
     RDF_TYPE,
     RDFS,
     STYPE_INFERRED,
+    Term,
 )
 
 RDFS_SUBCLASS = RDFS + "subClassOf"
@@ -187,6 +188,7 @@ def rdfs_closure(
     with_owl: bool = True,
     forward_chain_rdfs4: bool = False,
     sameas: str = "materialize",
+    sameas_pair_limit: int | None = 10_000_000,
 ) -> DataFrame:
     """Compute the RDFS(+OWL subset) closure; returns statements ∪ inferred.
 
@@ -233,6 +235,16 @@ def rdfs_closure(
         for the same reason (inf/BackchainAccessPath.java).
       * "off" — skip the sameAs rules entirely (internal: the canonical
         driver loop runs the rule program in this mode).
+
+    ``sameas_pair_limit`` guards the materialize default against the
+    crawl-scale blow-up it cannot survive: when the INPUT's sameAs
+    cliques would materialize more than this many pairs (Σ clique² from
+    the CC sizes — one cheap agg, probed only when sameAs triples
+    exist), the call raises with a pointer to sameas="canonical"
+    instead of silently launching an O(10¹⁰)-row job.  None disables
+    the guard.  Cliques minted MID-closure by the Functional/
+    InverseFunctionalProperty rules are not re-checked — the guard is
+    an input-size gate, not a running invariant.
     """
     if sameas == "canonical":
         return _canonical_closure(
@@ -261,6 +273,29 @@ def rdfs_closure(
             .count()
             > 0
         )
+
+    if sameas == "materialize" and with_owl and sameas_pair_limit is not None:
+        has_sameas = (
+            statements.where(
+                (F.col("p") == OWL_SAMEAS) & (F.col("o_kind") != 2)
+            ).limit(1).count() > 0
+        )
+        if has_sameas:
+            mass = (
+                _sameas_cliques(statements)
+                .groupBy("cls").count()
+                .agg(F.sum(F.col("count") * F.col("count")).alias("m"))
+                .collect()[0]["m"]
+            )
+            if mass is not None and mass > sameas_pair_limit:
+                raise ValueError(
+                    f"owl:sameAs cliques would materialize ~{mass:,} "
+                    f"replicated pairs (> sameas_pair_limit="
+                    f"{sameas_pair_limit:,}); use sameas='canonical' "
+                    "(linear member↔canonical mapping, query-"
+                    "transparent via the access-path backchain) or "
+                    "raise/disable sameas_pair_limit"
+                )
 
     for _ in range(max_rounds):
         cur = out
@@ -683,6 +718,8 @@ def _canonical_closure(
     can mint sameAs mid-closure), then append the linear member↔canon
     mapping triples.  Unsafe (schema-positioned) cliques keep their
     sameAs triples and are materialized exactly by the inner program."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     cur = statements
     mapping: DataFrame | None = None
     for _ in range(max_rounds):
@@ -724,6 +761,7 @@ def expand_sameas_bindings(
     result: DataFrame,
     statements: DataFrame,
     cols: list[str] | None = None,
+    mem: DataFrame | None = None,
 ) -> DataFrame:
     """Replicate SELECT bindings across the sameAs cliques of
     ``statements``: each resource-valued binding in ``cols`` (default:
@@ -734,8 +772,11 @@ def expand_sameas_bindings(
     clique pass through unchanged.  Returns DISTINCT rows (set
     semantics — replication across members makes bag multiplicities
     ill-defined).  Cost is the per-answer clique fan-out —
-    O(|answers| · clique), never corpus-sized."""
-    mem = _sameas_cliques(statements).localCheckpoint(eager=True)
+    O(|answers| · clique), never corpus-sized.  ``mem`` takes a
+    pre-computed (term, cls) clique-membership frame (the
+    TripleStore per-store cache) to skip the CC recompute."""
+    if mem is None:
+        mem = _sameas_cliques(statements).localCheckpoint(eager=True)
     if mem.isEmpty():
         return result
     if cols is None:
@@ -835,6 +876,75 @@ def expand_sameas(statements: DataFrame) -> DataFrame:
         .agg(F.min("stype").cast("tinyint").alias("stype"))
         .select(*statements.columns)
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-transparent canonical mode: the access-path halves of the
+# reference's virtual sameAs closure (inf/BackchainAccessPath.java).
+# A canonical-mode store holds rewritten statements, so (a) an IRI
+# constant naming a non-canonical clique member would never match a
+# scan — the compiler rewrites such constants through the stored
+# member→canonical mapping (TripleStore.canon_of_lex) — and (b) each
+# triple-pattern scan's VARIABLE bindings fan back out to every clique
+# member (expand_member_bindings) so downstream joins, FILTERs, VALUES
+# and aggregates see materialized-equivalent bindings with exact bag
+# semantics.  Both run per access path, exactly like the reference's
+# backchained iterator — never against the stored corpus.
+# ---------------------------------------------------------------------------
+
+
+def _member_term_struct(v):
+    """Flat member string ("_:b" or IRI) → term struct column."""
+    return F.struct(
+        F.when(v.startswith("_:"), F.lit(1)).otherwise(F.lit(KIND_IRI))
+        .cast("tinyint").alias("kind"),
+        F.when(v.startswith("_:"), v.substr(F.lit(3), F.length(v)))
+        .otherwise(v).alias("lex"),
+        F.lit(None).cast("string").alias("dt"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("decimal(38,18)").alias("num"),
+        F.lit(None).cast("double").alias("dbl"),
+        F.lit(None).cast("timestamp").alias("dtm"),
+        F.lit(None).cast("boolean").alias("bool"),
+    )
+
+
+def expand_member_bindings(
+    df: DataFrame, mem: DataFrame, cols: list
+) -> DataFrame:
+    """Per-access-path sameAs backchain: each resource-valued binding
+    column fans out to one row per member of its clique (two left joins
+    against the small (term, cls) membership map — AQE broadcasts it);
+    literal bindings and resources in no clique pass through on the
+    left-join null path.  ``cols`` is [(name, is_flat)]: flat
+    s-position strings (or path keys — literal keys carry a control
+    prefix that never matches a clique term) or o-position term
+    structs.  Cost is the matched-rows fan-out, never corpus-sized."""
+    for i, (c, is_flat) in enumerate(cols):
+        before = df.columns
+        if is_flat:
+            key = F.col(c)
+        else:
+            key = F.when(
+                F.col(c)["kind"] != 2,
+                F.when(F.col(c)["kind"] == 1,
+                       F.concat(F.lit("_:"), F.col(c)["lex"]))
+                .otherwise(F.col(c)["lex"]))
+        t_ = mem.select(F.col("term").alias(f"__bt{i}"),
+                        F.col("cls").alias(f"__bk{i}"))
+        v_ = mem.select(F.col("cls").alias(f"__bk{i}"),
+                        F.col("term").alias(f"__bv{i}"))
+        df = (df.join(t_, key == F.col(f"__bt{i}"), "left")
+              .join(v_, f"__bk{i}", "left"))
+        v = F.col(f"__bv{i}")
+        repl = (
+            F.coalesce(v, F.col(c)) if is_flat
+            else F.when(v.isNotNull(), _member_term_struct(v))
+            .otherwise(F.col(c))
+        )
+        df = df.select(
+            *[(repl.alias(cc) if cc == c else F.col(cc)) for cc in before])
+    return df
 
 
 def _delta_touches_schema(delta: DataFrame, ignore_reflexive: bool = False) -> bool:

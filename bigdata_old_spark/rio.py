@@ -334,6 +334,56 @@ def parse_trig(text: str) -> list[tuple]:
     ]
 
 
+def parse_trix(text: str) -> list[tuple]:
+    """TriX → [(g_flat | None, s_flat, p_iri, o_term)] — same shape as
+    ``parse_trig`` (W3C TriX note; the reference parses it through
+    Sesame's TriXParser, registered in ConnegUtil.java:122-144)."""
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://www.w3.org/2004/03/trix/trix-1/}"
+    XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+    def term(el) -> Term:
+        tag = el.tag.removeprefix(NS)
+        txt = el.text or ""
+        if tag == "uri":
+            return Term.iri(txt)
+        if tag == "id":
+            return Term.bnode(txt)
+        if tag == "plainLiteral":
+            return Term.literal(txt, lang=el.attrib.get(XML_LANG))
+        if tag == "typedLiteral":
+            return Term.literal(txt, dt=el.attrib.get("datatype"))
+        raise ValueError(f"unknown TriX term element: {tag}")
+
+    def flat(t: Term) -> str:
+        return f"_:{t.lex}" if t.kind == 1 else t.lex
+
+    root = ET.fromstring(text)
+    if root.tag != NS + "TriX":
+        raise ValueError(f"not a TriX document: root {root.tag}")
+    out: list[tuple] = []
+    for graph in root:
+        if graph.tag != NS + "graph":
+            raise ValueError(f"unexpected TriX element: {graph.tag}")
+        g = None
+        for ch in graph:
+            tag = ch.tag.removeprefix(NS)
+            if tag == "uri":
+                g = ch.text  # graph name precedes the triples
+            elif tag == "triple":
+                kids = list(ch)
+                if len(kids) != 3:
+                    raise ValueError("TriX triple needs exactly 3 terms")
+                s, p, o = (term(k) for k in kids)
+                if p.kind != 0:
+                    raise ValueError("TriX predicate must be a uri")
+                out.append((g, flat(s), p.lex, o))
+            else:
+                raise ValueError(f"unexpected TriX element: {tag}")
+    return out
+
+
 def parse_ntriples_line(line: str):
     """One N-Triples line → (s, p, o Term) or None (blank/comment)."""
     line = line.strip()

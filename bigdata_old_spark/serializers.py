@@ -36,6 +36,9 @@ MIME_FORMATS = {
     "application/n-quads": "nquads",
     "text/turtle": "turtle",
     "application/rdf+xml": "rdfxml",
+    "application/trix": "trix",
+    "text/rdf+n3": "n3",
+    "text/n3": "n3",
 }
 
 
@@ -352,6 +355,72 @@ def turtle(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
     return "\n".join(out) + "\n"
 
 
+def _trix_term(t: Column) -> Column:
+    """Term struct → one TriX element (W3C TriX note; the reference
+    serves TriX through Sesame's TriXWriter — ConnegUtil.java:122-144
+    registry)."""
+    esc = _xml_escape(t["lex"])
+    plain = F.concat(
+        F.lit("<plainLiteral"),
+        F.when(t["lang"].isNotNull(),
+               F.concat(F.lit(' xml:lang="'), _xml_attr_escape(t["lang"]),
+                        F.lit('"'))).otherwise(F.lit("")),
+        F.lit(">"), esc, F.lit("</plainLiteral>"))
+    typed = F.concat(F.lit('<typedLiteral datatype="'),
+                     _xml_attr_escape(t["dt"]), F.lit('">'), esc,
+                     F.lit("</typedLiteral>"))
+    return (
+        F.when(t["kind"] == KIND_IRI, F.concat(F.lit("<uri>"), esc, F.lit("</uri>")))
+        .when(t["kind"] == KIND_BNODE, F.concat(F.lit("<id>"), esc, F.lit("</id>")))
+        .when(t["lang"].isNotNull(), plain)
+        .when(t["dt"].isNotNull() & (t["dt"] != XSD_STRING), typed)
+        .otherwise(plain)
+    )
+
+
+def trix_rows(df: DataFrame) -> DataFrame:
+    """Statements (s/p/o term structs, optional flat-string ``g``) →
+    one ``<triple>…</triple>`` fragment per row, serialized JVM-side;
+    the tiny envelope/graph grouping happens on the driver (trix)."""
+    g = (F.col("g") if "g" in df.columns
+         else F.lit(None).cast("string"))
+    return df.select(
+        F.concat(F.lit("      <triple>"), _trix_term(F.col("s")),
+                 _trix_term(F.col("p")), _trix_term(F.col("o")),
+                 F.lit("</triple>")).alias("row"),
+        g.alias("__g"),
+    )
+
+
+def trix(df: DataFrame) -> str:
+    """TriX document; rows with a non-null ``g`` column group into
+    named ``<graph>`` blocks, the rest into one unnamed graph."""
+    from xml.sax.saxutils import escape
+
+    groups: dict[str | None, list[str]] = {}
+    for r in trix_rows(df).collect():
+        groups.setdefault(r["__g"], []).append(r["row"])
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">']
+    for g in sorted(groups, key=lambda x: (x is not None, x or "")):
+        out.append("  <graph>")
+        if g is not None:
+            out.append(f"    <uri>{escape(g)}</uri>")
+        out.extend(groups[g])
+        out.append("  </graph>")
+    out.append("</TriX>")
+    return "\n".join(out) + "\n"
+
+
+def n3(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+    """Notation3 writer.  Every Turtle document is valid N3 (Turtle is
+    N3's RDF-only subset), and for statement-shaped data Sesame's
+    N3Writer emits exactly its Turtle serialization — so this delegates
+    to :func:`turtle` and exists as the distinct conneg target
+    (text/rdf+n3), mirroring ConnegUtil's registry entry."""
+    return turtle(df, prefixes=prefixes)
+
+
 _ROW_WRITERS = {
     "json": json_rows,
     "xml": xml_rows,
@@ -369,6 +438,8 @@ _STRING_WRITERS = {
     "ntriples": ntriples,
     "turtle": turtle,
     "rdfxml": rdfxml,
+    "trix": trix,
+    "n3": n3,
 }
 
 

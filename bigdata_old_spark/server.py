@@ -55,6 +55,8 @@ _FORMAT_MIME = {
     "nquads": "application/n-quads",
     "turtle": "text/turtle",
     "rdfxml": "application/rdf+xml",
+    "trix": "application/trix",
+    "n3": "text/rdf+n3",
 }
 
 _GRAPH_FORMS = ("CONSTRUCT", "DESCRIBE")
@@ -70,6 +72,7 @@ _RDF_INSERT_TYPES = frozenset(
         "application/n-quads",
         "application/trig",
         "application/rdf+xml",
+        "application/trix",
     }
 )
 
@@ -103,11 +106,16 @@ def _negotiate(accept: str | None, sparql: str) -> str:
             q = 1.0
             for f in fields[1:]:
                 f = f.strip()
-                if f.startswith("q="):
+                if f.lower().startswith("q="):
                     try:
                         q = float(f[2:])
                     except ValueError:
                         q = 0.0
+            if q <= 0.0:
+                # RFC 7231 §5.3.1: q=0 means "not acceptable" — never
+                # select it (stricter than the reference ConnegUtil,
+                # which scores it; divergence noted in COVERAGE.md)
+                continue
             if mime in MIME_FORMATS and q > best_q:
                 best, best_q = MIME_FORMATS[mime], q
     if best is not None:
@@ -431,6 +439,8 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return rio.parse_trig(body)
         if ctype == "application/rdf+xml":
             return [(None, s, pp, o) for s, pp, o in rio.parse_rdfxml(body)]
+        if ctype == "application/trix":
+            return rio.parse_trix(body)
         raise LookupError(ctype)
 
     def _do_insert_body(self, p: dict, ctype: str, body: str) -> None:
@@ -568,8 +578,12 @@ class SparqlHandler(BaseHTTPRequestHandler):
         from bigdata_old_spark.update import _semi_match
 
         t0 = _time.time()
-        doomed = _semi_match(self._get_store().statements, victims, wild_g=True)
-        n = self._mutate_rest(removed=doomed)
+        # snapshot + swap under the (reentrant) store lock so a write
+        # landing between the semi-match and the swap isn't reverted
+        with self.server.store_lock:
+            doomed = _semi_match(self._get_store().statements, victims,
+                                 wild_g=True)
+            n = self._mutate_rest(removed=doomed)
         ms = int((_time.time() - t0) * 1000)
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
 
@@ -610,7 +624,13 @@ class SparqlHandler(BaseHTTPRequestHandler):
             F.lit(0).cast("tinyint").alias("stype"),
         )
 
-    def _do_delete_body(self, ctype: str, body: str) -> None:
+    def _do_delete_body(self, p: dict, ctype: str, body: str) -> None:
+        """DELETE with an RDF body: quads keep their own context (a TriG
+        body scoping a triple to one graph deletes ONLY that quad —
+        DeleteServlet.RemoveStatementHandler uses stmt.getContext());
+        context-less statements fall back to ``context-uri`` when given,
+        else the any-graph wildcard (Sesame removeStatements
+        null-context)."""
         from bigdata_old_spark.model import statements_df_from_terms
 
         try:
@@ -621,9 +641,15 @@ class SparqlHandler(BaseHTTPRequestHandler):
         except Exception as e:
             self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
             return
-        victims = statements_df_from_terms(
-            [(None, s, pp, o) for (_, s, pp, o) in rows],
-            self._get_store().spark)
+        graphs = p.get("context-uri", [])
+        if graphs:
+            gs = [self._decode_term(g)[1] if g.startswith("<") else g for g in graphs]
+            rows = [
+                (g2, s, pp, o)
+                for (g, s, pp, o) in rows
+                for g2 in ([g] if g is not None else gs)
+            ]
+        victims = statements_df_from_terms(rows, self._get_store().spark)
         self._delete_matching(victims)
 
 
@@ -752,8 +778,9 @@ class SparqlHandler(BaseHTTPRequestHandler):
         with self.server.store_lock:
             store = self._get_store()
             doomed = _semi_match(store.statements, victims, wild_g=True)
-            added = statements_df_from_terms(
-                [(None, s, pp, o) for (_, s, pp, o) in rows], store.spark)
+            # quads bodies keep their own context (UpdateServlet honors
+            # defaultContextInsert only for context-less statements)
+            added = statements_df_from_terms(rows, store.spark)
             n = self._mutate_rest(removed=doomed, added=added)
         ms = int((_time.time() - t0) * 1000)
         self._reply(200, f'<data modified="{n}" milliseconds="{ms}"/>', "application/xml")
@@ -1002,7 +1029,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         if "delete" in p and ctype in _RDF_INSERT_TYPES:
             # POST ?delete with an RDF body removes the body's
             # statements from EVERY graph (DeleteServlet.doDeleteWithBody)
-            self._do_delete_body(ctype, body)
+            self._do_delete_body(p, ctype, body)
             return
         if ctype in _RDF_INSERT_TYPES:
             # Graph Store Protocol POST = merge into the target graph:

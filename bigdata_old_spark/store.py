@@ -73,6 +73,18 @@ class TripleStore:
         #: update path; gates the incremental (delta-driven) TM closure
         #: (inference.incremental_closure requires a closed base).
         self.closed: bool = False
+        #: "canonical" when ``statements`` came from
+        #: closure(sameas="canonical") — queries then transparently
+        #: rewrite alias IRI constants through the stored
+        #: member↔canonical mapping and expand answer bindings across
+        #: cliques (the two halves of the reference's virtual sameAs
+        #: closure, inf/BackchainAccessPath.java).  None otherwise.
+        self.sameas_mode: str | None = None
+        # lazy per-store caches for canonical mode (derived from the
+        # stored sameAs triples; statements are immutable per store)
+        self._sameas_canon_cache = None  # (member, canon) DataFrame
+        self._sameas_mem_cache = None    # (term, cls) DataFrame
+        self._canon_lex_cache: dict = {}  # IRI lex → canon | None
 
     _merged_cache: DataFrame | None = None
 
@@ -114,6 +126,7 @@ class TripleStore:
         st.sid_map = self.sid_map
         st.load_closure = self.load_closure
         st.truth_maintenance = self.truth_maintenance
+        st.sameas_mode = self.sameas_mode
         return st
 
     def to_sids(self) -> "TripleStore":
@@ -255,6 +268,7 @@ class TripleStore:
         describe_mode: str | None = None,
         bindings: dict | None = None,
         dataset=None,
+        expand_sameas: bool | None = None,
     ) -> DataFrame:
         """SPARQL string → result DataFrame (term-struct columns for
         SELECT; s/p/o term structs for CONSTRUCT/DESCRIBE; one boolean
@@ -267,16 +281,28 @@ class TripleStore:
         Query.setBinding surface the reference exposes (exercised by its
         TestSetBinding/TestTicket275): {var_name: Term or plain Python
         str/int/float/bool}.  Bindings seed the pipeline start exactly
-        like a VALUES block, so filters and patterns see them bound."""
+        like a VALUES block, so filters and patterns see them bound.
+
+        Over a ``sameas_mode == "canonical"`` store the query is
+        TRANSPARENT to the virtual sameAs closure: each triple-pattern
+        scan canonicalizes its alias IRI constants and fans its variable
+        bindings back out across the cliques, so FILTERs, VALUES, joins
+        and aggregates all see materialized-equivalent bindings with
+        exact bag semantics — the reference's query-time backchain
+        (inf/BackchainAccessPath.java), per access path.  Pass
+        ``expand_sameas=False`` for the raw canonical bindings."""
         from bigdata_old_spark import algebra as A
         from bigdata_old_spark.compiler import QueryCompiler
         from bigdata_old_spark.parser import parse_query
 
+        if expand_sameas is None:
+            expand_sameas = self.sameas_mode == "canonical"
         key = (
             sparql,
             describe_mode,
             None if not bindings else tuple(sorted((k, repr(v)) for k, v in bindings.items())),
             None if dataset is None else repr(dataset),
+            expand_sameas,
         )
         cached = self._plan_cache.get(key)
         if cached is not None:
@@ -304,7 +330,7 @@ class TripleStore:
                 q.pattern = A.Join(vp, q.pattern)
             else:  # DESCRIBE <term> with no WHERE — bindings vacuous
                 pass
-        df = QueryCompiler(self).compile_query(q)
+        df = QueryCompiler(self, backchain=expand_sameas).compile_query(q)
         if len(self._plan_cache) >= 256:  # bounded; oldest-first evict
             self._plan_cache.pop(next(iter(self._plan_cache)))
         self._plan_cache[key] = df
@@ -345,15 +371,49 @@ class TripleStore:
 
         ``sameas="canonical"`` stores per-clique canonical ids + a
         linear member↔canonical mapping instead of the O(clique²)
-        materialized pair closure — the crawl-scale shape; use
-        inference.expand_sameas on query answers that must show every
-        equivalent id."""
+        materialized pair closure — the crawl-scale shape.  The
+        returned store is QUERY-TRANSPARENT (sameas_mode flag): query()
+        backchains alias constants and fans bindings back out per
+        access path, so results match the materialized closure; use
+        inference.expand_sameas only to materialize a bounded slice."""
         from bigdata_old_spark.inference import rdfs_closure
 
         st = self.with_statements(rdfs_closure(self.statements, sameas=sameas))
         # the TM incremental paths assume the MATERIALIZED fixpoint
         st.closed = sameas == "materialize"
+        st.sameas_mode = "canonical" if sameas == "canonical" else None
         return st
+
+    # -- canonical sameAs mode: per-store lazy caches -------------------------
+    def _sameas_canon_map(self):
+        """(member, canon) over the stored sameAs triples, computed once
+        per store (inference.sameas_canonical_map — safe instance
+        cliques only, so predicate/schema terms never rewrite)."""
+        if self._sameas_canon_cache is None:
+            from bigdata_old_spark.inference import sameas_canonical_map
+
+            self._sameas_canon_cache = sameas_canonical_map(
+                self.statements).localCheckpoint(eager=True)
+        return self._sameas_canon_cache
+
+    def _sameas_mem(self):
+        """(term, cls) clique membership, computed once per store."""
+        if self._sameas_mem_cache is None:
+            from bigdata_old_spark.inference import _sameas_cliques
+
+            self._sameas_mem_cache = _sameas_cliques(
+                self.statements).localCheckpoint(eager=True)
+        return self._sameas_mem_cache
+
+    def canon_of_lex(self, lex: str) -> str | None:
+        """Canonical id for an IRI that is a mapped (safe-clique) member,
+        else None — memoized per store; each miss is one filtered take(1)
+        on the cached linear mapping, never a driver-side copy of it."""
+        if lex not in self._canon_lex_cache:
+            rows = self._sameas_canon_map().where(
+                F.col("member") == lex).take(1)
+            self._canon_lex_cache[lex] = rows[0]["canon"] if rows else None
+        return self._canon_lex_cache[lex]
 
     def add(self, other: DataFrame) -> "TripleStore":
         return self.with_statements(self.statements.unionByName(other).dropDuplicates())
@@ -391,7 +451,8 @@ class TripleStore:
             w = w.partitionBy("p")
         w.parquet(path)
 
-    def write_bucketed(self, table: str, buckets: int = 32, path: str | None = None) -> None:
+    def write_bucketed(self, table: str, buckets: int = 32, path: str | None = None,
+                       partition_graph: bool = False) -> None:
         """Cluster-scale serving layout: partitioned by predicate (POS
         pruning, as write_parquet) AND bucketed+sorted by subject.  Every
         BGP subject join then reads co-bucketed files and sort-merge
@@ -410,11 +471,18 @@ class TripleStore:
         the bucket assignment, so each write task holds exactly one
         bucket and emits one file per predicate partition — without it,
         every input task writes a file per (partition × bucket), an
-        O(tasks · partitions · buckets) small-file explosion."""
+        O(tasks · partitions · buckets) small-file explosion.
+
+        ``partition_graph`` is the QUADS-native layout (the reference's
+        quads key orders add the context to every index,
+        SPOKeyOrder.java quad orders): the graph joins the partition
+        key — (p, g) directories — so ``GRAPH <const>`` prunes to
+        directories exactly like a bound predicate does.  Null-graph
+        rows land in the Hive default partition and read back as NULL."""
         w = (
             self.statements.repartition(buckets, F.col("s"))
             .write.mode("overwrite")
-            .partitionBy("p")
+            .partitionBy(*(["p", "g"] if partition_graph else ["p"]))
             .bucketBy(buckets, "s")
             .sortBy("s")
             .format("parquet")
@@ -424,24 +492,28 @@ class TripleStore:
         w.saveAsTable(table)
 
     @staticmethod
-    def register_bucketed(spark: SparkSession, table: str, path: str, buckets: int = 32) -> None:
+    def register_bucketed(spark: SparkSession, table: str, path: str, buckets: int = 32,
+                          partition_graph: bool = False) -> None:
         """Register pre-written bucketed files as an external table in
         THIS session's catalog.  No Hive metastore required: the DDL
         (CLUSTERED BY spec + LOCATION) recreates the bucket metadata in
         the in-memory catalog, and RECOVER PARTITIONS discovers the
-        predicate directories — so a fresh process (e.g. the driver's
+        partition directories — so a fresh process (e.g. the driver's
         vanilla session) gets shuffle-free subject joins from files
-        written by an earlier one."""
+        written by an earlier one.  ``partition_graph`` must match the
+        write (quads layout: PARTITIONED BY (p, g))."""
         if spark.catalog.tableExists(table):
             return
+        parts = ["p", "g"] if partition_graph else ["p"]
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in STATEMENTS_SCHEMA.fields
-            if f.name != "p"
+            if f.name not in parts
         )
+        part_cols = ", ".join(f"`{c}` STRING" for c in parts)
         spark.sql(
-            f"CREATE TABLE `{table}` ({cols}, `p` STRING) USING PARQUET "
-            f"OPTIONS (path '{path}') PARTITIONED BY (p) "
+            f"CREATE TABLE `{table}` ({cols}, {part_cols}) USING PARQUET "
+            f"OPTIONS (path '{path}') PARTITIONED BY ({', '.join(parts)}) "
             f"CLUSTERED BY (s) SORTED BY (s) INTO {buckets} BUCKETS"
         )
         spark.sql(f"ALTER TABLE `{table}` RECOVER PARTITIONS")
@@ -453,12 +525,14 @@ class TripleStore:
         path: str,
         buckets: int = 32,
         has_named_graphs: bool | None = None,
+        partition_graph: bool = False,
     ) -> "TripleStore":
         """Open a bucketed store written by ``write_bucketed(path=...)``,
         registering it in this session's catalog if needed.  Pass
         ``has_named_graphs=False`` for triples-only data to skip the
         one-time graph probe."""
-        TripleStore.register_bucketed(spark, table, path, buckets)
+        TripleStore.register_bucketed(spark, table, path, buckets,
+                                      partition_graph=partition_graph)
         return TripleStore.from_table(spark, table, has_named_graphs=has_named_graphs)
 
     @staticmethod

@@ -452,6 +452,24 @@ def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_
     from bigdata_old_spark.functions import null_term
     from bigdata_old_spark.model import term_lit
 
+    if any(isinstance(pos_, A.Var) and pos_.name.startswith("_bnode_")
+           and pos_.name not in resolve
+           for _, tp in template for pos_ in (tp.s, tp.p, tp.o)):
+        # Templates mint bnodes: give every WHERE solution a UNIQUE id so
+        # duplicate solutions (bag semantics) mint distinct bnodes — a
+        # content hash would coincide them (and 64-bit-collide distinct
+        # ones).  localCheckpoint first so monotonically_increasing_id is
+        # computed once on materialized partitions and stays consistent
+        # across the per-template-triple select branches below.
+        import uuid
+
+        nonce = uuid.uuid4().hex[:8]  # fresh across requests too
+        sol_df = (sol_df.localCheckpoint(eager=True)
+                  .withColumn("__bnode_uid",
+                              F.concat(F.lit(nonce + "_"),
+                                       F.monotonically_increasing_id()
+                                       .cast("string"))))
+
     for g, tp in template:
         def pos(x):
             if isinstance(x, A.Var):
@@ -459,12 +477,12 @@ def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_
                     # template blank node: mint a FRESH bnode per WHERE
                     # solution (SPARQL 1.1 Update §3.1.3; reference
                     # ASTConstructIterator bnode minting).  Label =
-                    # template label + solution hash, so the same [] in
-                    # two template triples of one solution coincides.
-                    lex = F.concat(
-                        F.lit(x.name + "_"),
-                        F.abs(F.xxhash64(*[sol_df[c] for c in sol_df.columns]))
-                        .cast("string"))
+                    # template label + per-solution unique id, so the
+                    # same [] in two template triples of one solution
+                    # coincides while every solution — duplicates
+                    # included — gets its own node.
+                    lex = F.concat(F.lit(x.name + "_"),
+                                   sol_df["__bnode_uid"])
                     from bigdata_old_spark.model import KIND_BNODE
 
                     return F.struct(

@@ -480,3 +480,31 @@ def test_expand_sameas_bindings(spark):
     got2 = expand_sameas_bindings(res2, canonical.statements).collect()
     assert {r["who"]["lex"] for r in got2} == {EX + "clark", EX + "superman"}
     assert all(r["l"]["lex"] == "Clark Kent" for r in got2)
+
+
+def test_materialize_guard_raises_on_clique_mass(spark):
+    """rdfs_closure's materialize default guards against the crawl-
+    scale O(Σ clique²) blow-up: above sameas_pair_limit it raises with
+    an actionable pointer to sameas='canonical' instead of launching
+    the replication (r8 VERDICT: the silent 10¹⁰-pair footgun)."""
+    OWL = "http://www.w3.org/2002/07/owl#"
+    rows = [
+        (None, EX + "m0", OWL + "sameAs", Term.iri(EX + f"m{i}"))
+        for i in range(1, 50)
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    with pytest.raises(ValueError, match="canonical"):
+        rdfs_closure(st.statements, sameas_pair_limit=100)
+    # under the limit (50² = 2500) the materialization proceeds
+    closed = rdfs_closure(st.statements, sameas_pair_limit=10_000)
+    assert closed.where(F.col("p") == OWL + "sameAs").count() == 50 * 49
+
+
+def test_canonical_closure_rejects_nonpositive_rounds(spark):
+    """max_rounds < 1 must raise up front, not AttributeError later
+    (r8 ADVICE)."""
+    OWL = "http://www.w3.org/2002/07/owl#"
+    st = TripleStore.from_rows(
+        spark, [(None, EX + "a", OWL + "sameAs", Term.iri(EX + "b"))])
+    with pytest.raises(ValueError, match="max_rounds"):
+        rdfs_closure(st.statements, max_rounds=0, sameas="canonical")

@@ -1084,6 +1084,29 @@ def test_bm25_no_top_returns_all_matches_ranked(spark):
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
 
 
+def test_bm25_no_top_banded_rank_equals_global_order(spark):
+    """top=None rides the banded two-pass rank (r8 VERDICT nit) — the
+    ranking must be bit-identical to the global (score desc, id) order,
+    including ties, and the plan must carry no partitionless window
+    over the unbounded input (no ntile; every row_number window is
+    band-partitioned)."""
+    from bigdata_old_spark.pipeline.text import bm25_rank
+
+    rows = [(i, "token " * (1 + i % 7) + "filler " * (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_rank(df, ["token"], top=None)
+    got = [(r["doc_id"]) for r in out.orderBy("rank").collect()]
+    want = [r["doc_id"] for r in
+            out.orderBy(F.desc("score"), F.col("doc_id")).collect()]
+    assert got == want
+    assert [r["rank"] for r in out.orderBy("rank").collect()] == list(range(1, 201))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "ntile" not in plan
+    # the corpus-ranking window must be partitioned by the band key
+    assert "windowspecdefinition(__band" in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # Event funnel
 # ---------------------------------------------------------------------------

@@ -121,3 +121,22 @@ def test_pipeline_no_unbounded_partitionless_window(gate, spark):
         # window over the unbounded input (bounded top-k windows compile
         # to row_number over TakeOrderedAndProject instead)
         assert "ntile" not in p, name
+
+
+def test_quads_layout_graph_partition_pruning(gate, spark):
+    """The quads serving layout partitions by (p, g) — a GRAPH <const>
+    scan with a bound predicate must prune BOTH partition keys to
+    directories (VERDICT r8 #3: the 100 TB quads corpus reads one
+    (p, g) directory, not every graph's copy of the predicate)."""
+    import __spark_entry__ as m
+
+    st = m._quads_store(spark, SF_DIR)
+    df = st.query("""
+        SELECT ?s ?o WHERE {
+          GRAPH <urn:tpch:graph:nation> { ?s <urn:tpch:p:n_name> ?o }
+        }""")
+    p = plan_text(df)
+    mfilters = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert any("n_name" in f and "urn:tpch:graph:nation" in f
+               for f in mfilters), p
+    assert "CartesianProduct" not in p

@@ -168,3 +168,61 @@ def test_rdfxml_datatype_and_lang(st):
     )
     # quotes need no escaping in element text; & < > do
     assert 'xml:lang="en"' in doc2 and 'Bob, "the builder"' in doc2
+
+
+def test_trix_roundtrip(st, spark):
+    """TriX writer ↔ parser round-trip over every term shape (IRI,
+    bnode-free here, plain / lang / typed literals) — the conneg
+    format the reference serves via Sesame's TriXWriter/TriXParser
+    (ConnegUtil.java:122-144)."""
+    from bigdata_old_spark import serializers
+    from bigdata_old_spark.rio import parse_trix
+
+    doc = st.serialize(
+        P + "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }", format="trix")
+    assert doc.startswith('<?xml version="1.0"')
+    assert "<TriX xmlns=" in doc
+    rows = parse_trix(doc)
+    assert all(g is None for g, *_ in rows)
+    got = {(s, p, o.kind, o.lex, o.dt, o.lang) for g, s, p, o in rows}
+    src = st.statements.collect()
+    assert len(got) == len(src) == 4
+    assert (EX + "a", EX + "knows", 0, EX + "b", None, None) in got
+    lang = [t for t in got if t[5] is not None]
+    assert lang and lang[0][5] == "en"
+
+
+def test_trix_named_graph_blocks(spark):
+    """Rows with a g column serialize into named <graph> blocks and
+    parse back with their graph names."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.rio import parse_trix
+    from bigdata_old_spark.serializers import trix
+    from bigdata_old_spark.model import iri_col_to_term, obj_cols_to_term
+
+    st2 = TripleStore.from_turtle(spark, "").update(
+        P + 'INSERT DATA { GRAPH :g1 { :x :v "a" } GRAPH :g2 { :x :v 5 } }')
+    trip = st2.statements.select(
+        iri_col_to_term(F.col("s")).alias("s"),
+        iri_col_to_term(F.col("p")).alias("p"),
+        obj_cols_to_term("o_").alias("o"),
+        F.col("g"),
+    )
+    rows = parse_trix(trix(trip))
+    assert {g for g, *_ in rows} == {EX + "g1", EX + "g2"}
+    typed = [o for g, s, p, o in rows if g == EX + "g2"][0]
+    assert typed.dt == "http://www.w3.org/2001/XMLSchema#integer"
+    assert typed.lex == "5"
+
+
+def test_n3_writer_parses_as_turtle(st):
+    """N3 output (the Turtle subset Sesame's N3Writer emits for plain
+    statements) round-trips through the Turtle parser."""
+    from bigdata_old_spark.rio import parse_turtle
+
+    doc = st.serialize(
+        P + "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }", format="text/n3")
+    trips = parse_turtle(doc)
+    assert len(trips) == 4
+    assert (EX + "a", EX + "knows") in {(s, p) for s, p, o in trips}

@@ -733,3 +733,126 @@ def test_client_update_using_params(spark):
         assert [r["o"].lex for r in rows] == ["one"]
     finally:
         srv.shutdown()
+
+
+def test_conneg_q_zero_and_case(endpoint):
+    """RFC 7231 §5.3.1: q=0 = not acceptable (fall through to the
+    default), and the q parameter name is case-insensitive."""
+    base, _ = endpoint
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1")
+    # the only supported type carries q=0 → default json, not csv
+    _, ctype, _ = _get(f"{base}?query={q}", accept="text/csv;q=0")
+    assert ctype == "application/sparql-results+json"
+    # uppercase Q= must still be parsed as the quality parameter
+    _, ctype, _ = _get(f"{base}?query={q}",
+                       accept="text/csv;Q=0.9, application/sparql-results+xml;q=0.1")
+    assert ctype == "text/csv"
+
+
+TRIG_SCOPED_FIXTURE = """
+PREFIX : <http://example.org/>
+INSERT DATA {
+  :x :v "shared" .
+  GRAPH :g1 { :x :v "shared" . :x :v "only-g1" }
+  GRAPH :g2 { :x :v "shared" }
+}"""
+
+
+def _scoped_store(spark):
+    return TripleStore.from_turtle(spark, "").update(TRIG_SCOPED_FIXTURE)
+
+
+def test_delete_body_trig_keeps_context(spark):
+    """ADVICE r8 (medium): a TriG delete body scoping a triple to ONE
+    graph must delete only that quad (DeleteServlet's
+    RemoveStatementHandler uses stmt.getContext()); a context-less
+    statement still deletes from every graph (wildcard)."""
+    store = _scoped_store(spark).persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        trig = ('@prefix : <http://example.org/> . '
+                ':g1 { :x :v "shared" . }')
+        code, _, body = _post(f"{base}?delete", trig, "application/trig")
+        assert code == 200 and 'modified="1"' in body
+        left = store_rows(srv)
+        # g1 lost exactly its "shared"; default graph + g2 copies remain
+        assert (EX2 + "g1", "shared") not in left
+        assert (None, "shared") in left and (EX2 + "g2", "shared") in left
+        assert (EX2 + "g1", "only-g1") in left
+        # context-less body row → wildcard: remaining copies all go
+        code, _, body = _post(f"{base}?delete",
+                              '@prefix : <http://example.org/> . { :x :v "shared" . }',
+                              "application/trig")
+        assert code == 200 and 'modified="2"' in body
+        left = store_rows(srv)
+        assert all(v != "shared" for _, v in left)
+    finally:
+        srv.shutdown()
+
+
+def test_delete_body_context_uri_default(spark):
+    """context-uri gives context-less delete-body statements a default
+    graph instead of the wildcard."""
+    store = _scoped_store(spark).persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        nt = f'<{EX2}x> <{EX2}v> "shared" .'
+        g1 = urllib.parse.quote(f"<{EX2}g1>")
+        code, _, body = _post(f"{base}?delete&context-uri={g1}", nt,
+                              "application/n-triples")
+        assert code == 200 and 'modified="1"' in body
+        left = store_rows(srv)
+        assert (EX2 + "g1", "shared") not in left
+        assert (None, "shared") in left and (EX2 + "g2", "shared") in left
+    finally:
+        srv.shutdown()
+
+
+def test_update_with_query_body_keeps_context(spark):
+    """PUT ?query=CONSTRUCT with a TriG body: inserted statements keep
+    their own graph (UpdateServlet parity — the old path forced them
+    all into the default graph)."""
+    store = _scoped_store(spark).persist()
+    srv, _ = serve_background(store)
+    base = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        construct = urllib.parse.quote(
+            'PREFIX : <http://example.org/> '
+            'CONSTRUCT { :x :v "only-g1" } WHERE {}')
+        trig = ('@prefix : <http://example.org/> . '
+                ':g9 { :x :v "fresh" . } :x :v "plain" .')
+        req = urllib.request.Request(
+            f"{base}?query={construct}", data=trig.encode(), method="PUT",
+            headers={"Content-Type": "application/trig"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        left = store_rows(srv)
+        assert (EX2 + "g9", "fresh") in left     # scoped insert kept g9
+        assert (None, "plain") in left           # context-less → default
+        assert all(v != "only-g1" for _, v in left)  # query victims gone
+    finally:
+        srv.shutdown()
+
+
+EX2 = "http://example.org/"
+
+
+def store_rows(srv):
+    return {(r["g"], r["o_lex"]) for r in srv.store.statements.collect()}
+
+
+def test_conneg_trix_and_n3_construct(endpoint):
+    """Live conneg for the round-9 writers: Accept application/trix and
+    text/rdf+n3 on a CONSTRUCT (ConnegUtil registry parity), and a TriX
+    body POST inserts (TriXParser analog)."""
+    base, srv = endpoint
+    q = urllib.parse.quote(
+        "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } LIMIT 2")
+    code, ctype, body = _get(f"{base}?query={q}", accept="application/trix")
+    assert code == 200 and ctype == "application/trix"
+    assert "<TriX xmlns=" in body and "<triple>" in body
+    code, ctype, body = _get(f"{base}?query={q}", accept="text/rdf+n3")
+    assert code == 200 and ctype == "text/rdf+n3"
+    assert " ." in body

@@ -792,3 +792,33 @@ def test_using_insert(spark):
     )
     g3 = st.statements.where(F.col("g") == EX + "g3")
     assert [(r["s"], r["o_lex"]) for r in g3.collect()] == [(EX + "a", "A")]
+
+
+def test_template_bnode_minted_per_duplicate_solution(spark):
+    """SPARQL 1.1 Update §3.1.3: a template [] mints ONE fresh bnode per
+    WHERE solution under bag semantics — duplicate solutions (here the
+    self-UNION) must NOT coincide on one node (ADVICE r8: the old
+    content-hash label collapsed them)."""
+    st = fresh(spark).update(P + """
+        INSERT { ?x :tag [] }
+        WHERE { { ?x :linked :b } UNION { ?x :linked :b } }""")
+    tags = st.statements.where(F.col("p") == EX + "tag").collect()
+    assert len(tags) == 2
+    assert len({r["o_lex"] for r in tags}) == 2  # distinct bnodes
+    # and distinct requests mint distinct nodes too
+    st2 = st.update(P + "INSERT { ?x :tag [] } WHERE { ?x :linked :b }")
+    assert st2.statements.where(F.col("p") == EX + "tag").count() == 3
+
+
+def test_template_bnode_shared_within_solution(spark):
+    """The SAME template bnode label appearing in two template triples
+    of one solution is one node (ASTConstructIterator parity)."""
+    st = fresh(spark).update(P + """
+        INSERT { ?x :tag _:n . _:n rdfs:label "t" }
+        WHERE { ?x :linked :b }""")
+    tag = st.statements.where(F.col("p") == EX + "tag").collect()
+    lbl = st.statements.where(
+        (F.col("p") == "http://www.w3.org/2000/01/rdf-schema#label")
+        & (F.col("o_lex") == "t")).collect()
+    assert len(tag) == 1 and len(lbl) == 1
+    assert tag[0]["o_lex"] == lbl[0]["s"].removeprefix("_:")
