@@ -247,10 +247,11 @@ def rdfs_closure(
     an input-size gate, not a running invariant.
     """
     if sameas == "canonical":
-        return _canonical_closure(
+        out, _ = canonical_closure_with_map(
             statements, max_rounds=max_rounds, with_owl=with_owl,
             forward_chain_rdfs4=forward_chain_rdfs4,
         )
+        return out
     if sameas not in ("materialize", "off"):
         raise ValueError(f"unknown sameas mode: {sameas!r}")
     global FULL_CLOSURE_RUNS
@@ -706,18 +707,23 @@ def _compose_canon(old: DataFrame, new: DataFrame) -> DataFrame:
     return fwd.unionByName(fresh.select("member", "canon")).dropDuplicates()
 
 
-def _canonical_closure(
+def canonical_closure_with_map(
     statements: DataFrame,
-    max_rounds: int,
-    with_owl: bool,
-    forward_chain_rdfs4: bool,
-) -> DataFrame:
+    max_rounds: int = 50,
+    with_owl: bool = True,
+    forward_chain_rdfs4: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
     """rdfs_closure with sameas="canonical": alternate (canonicalize
     safe cliques → run the rule program with the sameAs block off) until
     no new safe pairs appear (Functional/InverseFunctionalProperty rules
     can mint sameAs mid-closure), then append the linear member↔canon
     mapping triples.  Unsafe (schema-positioned) cliques keep their
-    sameAs triples and are materialized exactly by the inner program."""
+    sameAs triples and are materialized exactly by the inner program.
+
+    Returns (closed statements, member→canon mapping) — the mapping is
+    None when no safe clique existed (the closure fell back to plain
+    materialization).  TripleStore.closure seeds its backchain cache
+    from the mapping so the first query pays no CC recompute."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     cur = statements
@@ -729,7 +735,7 @@ def _canonical_closure(
                 # no safe clique anywhere: plain materialized closure
                 return rdfs_closure(
                     cur, max_rounds=max_rounds, with_owl=with_owl,
-                    forward_chain_rdfs4=forward_chain_rdfs4)
+                    forward_chain_rdfs4=forward_chain_rdfs4), None
             # cur is already the fixpoint of the previous inner run and
             # produced no new safe pairs — done
             break
@@ -754,7 +760,7 @@ def _canonical_closure(
     # here without re-materializing any pairs
     return rdfs_closure(
         out, max_rounds=max_rounds, with_owl=with_owl,
-        forward_chain_rdfs4=forward_chain_rdfs4, sameas="off")
+        forward_chain_rdfs4=forward_chain_rdfs4, sameas="off"), mapping
 
 
 def expand_sameas_bindings(

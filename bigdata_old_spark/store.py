@@ -146,7 +146,8 @@ class TripleStore:
     # -- constructors --------------------------------------------------------
     @staticmethod
     def from_parquet(spark: SparkSession, path: str) -> "TripleStore":
-        return TripleStore(spark, spark.read.schema(STATEMENTS_SCHEMA).parquet(path))
+        st = TripleStore(spark, spark.read.schema(STATEMENTS_SCHEMA).parquet(path))
+        return TripleStore._apply_flags_sidecar(spark, path, st)
 
     @staticmethod
     def from_parquet_partitioned(spark: SparkSession, path: str) -> "TripleStore":
@@ -154,7 +155,8 @@ class TripleStore:
         schema inference picks up `p` as a partition column, so
         bound-predicate scans prune to single directories."""
         df = spark.read.parquet(path)
-        return TripleStore(spark, df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]))
+        st = TripleStore(spark, df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]))
+        return TripleStore._apply_flags_sidecar(spark, path, st)
 
     @staticmethod
     def from_rows(
@@ -376,12 +378,25 @@ class TripleStore:
         backchains alias constants and fans bindings back out per
         access path, so results match the materialized closure; use
         inference.expand_sameas only to materialize a bounded slice."""
-        from bigdata_old_spark.inference import rdfs_closure
+        from bigdata_old_spark.inference import (
+            canonical_closure_with_map,
+            rdfs_closure,
+        )
 
+        if sameas == "canonical":
+            closed, mapping = canonical_closure_with_map(self.statements)
+            st = self.with_statements(closed)
+            st.sameas_mode = "canonical" if mapping is not None else None
+            # no safe clique → the closure fell back to the full
+            # materialized fixpoint, which the TM paths may build on
+            st.closed = mapping is None
+            # seed the backchain cache — the first query then pays no
+            # CC recompute of the mapping it was closed with
+            st._sameas_canon_cache = mapping
+            return st
         st = self.with_statements(rdfs_closure(self.statements, sameas=sameas))
         # the TM incremental paths assume the MATERIALIZED fixpoint
         st.closed = sameas == "materialize"
-        st.sameas_mode = "canonical" if sameas == "canonical" else None
         return st
 
     # -- canonical sameAs mode: per-store lazy caches -------------------------
@@ -450,6 +465,35 @@ class TripleStore:
         if partition_by_predicate:
             w = w.partitionBy("p")
         w.parquet(path)
+        self._write_flags_sidecar(path)
+
+    def _write_flags_sidecar(self, path: str) -> None:
+        """Persist the store's semantics flags next to the data (an
+        underscore-prefixed subdir, invisible to the parquet reader —
+        the same Spark-text sidecar shape the IVF index uses for its
+        centroids), so from_parquet/from_bucketed reopen a canonical-
+        mode store as canonical without the caller re-flagging it."""
+        import json
+
+        flags = {"union_default_graph": self.union_default_graph,
+                 "sameas_mode": self.sameas_mode}
+        (self.spark.createDataFrame([(json.dumps(flags),)], "j string")
+         .coalesce(1).write.mode("overwrite").text(path + "/_bdos_flags"))
+
+    @staticmethod
+    def _apply_flags_sidecar(spark: SparkSession, path: str, st: "TripleStore") -> "TripleStore":
+        import json
+
+        try:
+            txt = "".join(r["j"] for r in spark.read.text(path + "/_bdos_flags")
+                          .withColumnRenamed("value", "j").collect())
+            flags = json.loads(txt)
+        except Exception:
+            return st  # no sidecar (pre-r9 store or bare parquet)
+        st.union_default_graph = flags.get(
+            "union_default_graph", st.union_default_graph)
+        st.sameas_mode = flags.get("sameas_mode")
+        return st
 
     def write_bucketed(self, table: str, buckets: int = 32, path: str | None = None,
                        partition_graph: bool = False) -> None:
@@ -490,6 +534,10 @@ class TripleStore:
         if path is not None:
             w = w.option("path", path)
         w.saveAsTable(table)
+        if path is not None:
+            # flags sidecar (see _write_flags_sidecar): underscore dir,
+            # ignored by both the parquet reader and RECOVER PARTITIONS
+            self._write_flags_sidecar(path)
 
     @staticmethod
     def register_bucketed(spark: SparkSession, table: str, path: str, buckets: int = 32,
@@ -533,7 +581,8 @@ class TripleStore:
         one-time graph probe."""
         TripleStore.register_bucketed(spark, table, path, buckets,
                                       partition_graph=partition_graph)
-        return TripleStore.from_table(spark, table, has_named_graphs=has_named_graphs)
+        st = TripleStore.from_table(spark, table, has_named_graphs=has_named_graphs)
+        return TripleStore._apply_flags_sidecar(spark, path, st)
 
     @staticmethod
     def from_table(

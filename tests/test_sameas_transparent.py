@@ -2,10 +2,11 @@
 
 Proves query-over-canonical-store ≡ query-over-materialized-store (set
 semantics) for queries that put ALIAS IRIs in subject/object constants,
-FILTER expressions, and VALUES blocks — the two halves of the
-reference's virtual sameAs closure (compile-side constant
-canonicalization + answer-side binding expansion), re-expressing
-bigdata-rdf inf/BackchainAccessPath.java's access-path backchain.
+FILTER expressions, and VALUES blocks — the access-path backchain of
+bigdata-rdf inf/BackchainAccessPath.java: every triple-pattern scan
+canonicalizes its alias constants through the stored mapping and fans
+its variable bindings back out across the cliques, so downstream
+FILTERs/joins/aggregates see materialized-equivalent bindings.
 """
 
 import pytest
@@ -121,3 +122,20 @@ def test_mutation_keeps_transparency(stores, spark):
     # resolves via the retained mapping triples for EXPANSION; constant
     # rewrite still works for pre-closure data
     assert _rows(st.query(P + "SELECT ?n WHERE { :alice2 :name ?n }"))
+
+
+def test_canonical_mode_survives_parquet_roundtrip(stores, spark, tmp_path):
+    """write_parquet stores a flags sidecar (underscore dir, invisible
+    to the parquet reader) so from_parquet reopens a canonical store as
+    canonical — alias-constant queries keep working in a new session."""
+    canon, mat = stores
+    path = str(tmp_path / "canon_store")
+    canon.write_parquet(path)
+    reopened = TripleStore.from_parquet(spark, path)
+    assert reopened.sameas_mode == "canonical"
+    q = P + "SELECT ?n WHERE { :alice2 :name ?n }"
+    assert _rows(reopened.query(q)) == _rows(mat.query(q))
+    # plain (non-canonical) stores round-trip with mode None
+    path2 = str(tmp_path / "mat_store")
+    mat.write_parquet(path2)
+    assert TripleStore.from_parquet(spark, path2).sameas_mode is None

@@ -11,10 +11,10 @@ Fixtures (test_estcard.ttl/.trig, test_delete_by_access_path.ttl,
 insert_triples_with_defaultContext.ttl) are the reference's own files,
 read in place.
 
-Documented skips: N3 and TriX interchange (no N3/TriX parser in this
-engine — Turtle covers the N3 subset the reference writes), the
-BINARY/CSV-parse result formats the reference itself disables
-(trac 714), and multi-part MIME update (disabled in the reference)."""
+Documented skips: the BINARY/CSV-parse result formats the reference
+itself disables (trac 714) and multi-part MIME update (disabled in the
+reference).  N3 and TriX interchange is covered since round 9
+(serializers.trix/n3 + rio.parse_trix)."""
 
 from __future__ import annotations
 
@@ -326,18 +326,21 @@ def _parse_graph(accept, body):
 
     if accept == "application/rdf+xml":
         return rio.parse_rdfxml(body)
-    if accept == "text/turtle":
+    if accept in ("text/turtle", "text/rdf+n3"):
         return rio.parse_turtle(body)
+    if accept == "application/trix":
+        return rio.parse_trix(body)
     return [ln for ln in body.splitlines() if ln.strip()]  # N-Triples
 
 
 @pytest.mark.parametrize("accept", [
-    "application/rdf+xml", "application/n-triples", "text/turtle"])
+    "application/rdf+xml", "application/n-triples", "text/turtle",
+    "application/trix", "text/rdf+n3"])
 @pytest.mark.parametrize("query,nexpected", [(DESCRIBE_Q, 3), (CONSTRUCT_Q, 1)])
 def test_describe_construct_conneg(repo, accept, query, nexpected):
     """GET DESCRIBE/CONSTRUCT in each served RDF interchange format
-    (test_GET_DESCRIBE_* / test_GET_CONSTRUCT_*; TRIX and N3 are
-    documented skips — not served by this engine)."""
+    (test_GET_DESCRIBE_* / test_GET_CONSTRUCT_* incl. the TRIX and NB/N3
+    variants, served since round 9)."""
     repo.add(_SETUP_NT, content_type="application/n-triples")
     ctype, body = _graph_via(repo, query, accept)
     assert ctype == accept
