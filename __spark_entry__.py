@@ -1317,6 +1317,32 @@ def _p_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", "is_keep")
 
 
+def _p_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (pipeline.dedup.url_dedup): two URL
+    spellings per page id (scheme/case/www/port/query/fragment/slash
+    noise) must canonicalize to one key; the min doc_id survives.  The
+    oracle replays the full canonicalization regex chain in SQL."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.dedup import url_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("https://WWW.Example.com/p/"),
+                     (F.col("doc_id") / F.lit(2)).cast("long").cast("string"),
+                     F.lit("/")),
+        ).otherwise(
+            F.concat(F.lit("HTTP://example.com:80/p/"),
+                     (F.col("doc_id") / F.lit(2)).cast("long").cast("string"),
+                     F.lit("?utm=1#f")),
+        ).alias("url"),
+    )
+    return url_dedup(urls).select("doc_id", "url")
+
+
 def _p_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream table (6 h gap),
     closed-form bounds (member min/max), epoch-seconds output."""
@@ -2108,6 +2134,35 @@ def _p_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIPELINE_QUERIES: dict[str, tuple] = {
+    "p49_url_dedup": (
+        _p_url_dedup,
+        r"""WITH urls AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 2 = 0
+                         THEN 'https://WWW.Example.com/p/' || (doc_id // 2) || '/'
+                         ELSE 'HTTP://example.com:80/p/' || (doc_id // 2) || '?utm=1#f'
+                    END AS url
+             FROM documents),
+           canon AS (
+             SELECT doc_id, url,
+                    regexp_replace(regexp_replace(
+                        lower(regexp_extract(
+                            regexp_replace(regexp_replace(regexp_replace(url,
+                                '#.*$', ''), '\?.*$', ''),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                            '^([^/?]*)', 1)),
+                        '^www\.', ''), ':(80|443)$', '')
+                    ||
+                    regexp_replace(regexp_extract(
+                        regexp_replace(regexp_replace(regexp_replace(url,
+                            '#.*$', ''), '\?.*$', ''),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                        '^[^/?]*([/?].*)?$', 1), '/$', '')
+                    AS k
+             FROM urls),
+           keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY k)
+           SELECT c.doc_id, c.url FROM canon c JOIN keep USING (doc_id)""",
+    ),
     "p46_tfidf_keywords": (
         _p_tfidf_keywords,
         r"""WITH toks AS (SELECT doc_id,

@@ -797,3 +797,26 @@ def edit_distance_pairs(
         )
         .where(F.col("edit_distance") >= 0)
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    keep_query: bool = False,
+) -> DataFrame:
+    """URL-level dedup — the FIRST pass of every crawl pipeline (one
+    page crawled under many URL spellings keeps one copy, min id wins):
+    key = :func:`bigdata_old_spark.pipeline.text.canonical_url`, then
+    one hash groupBy on the canonical key + a semi join back.  Scale
+    shape is identical to exact_dedup: the only shuffle is the slim
+    (key, min id) aggregate; the corpus itself never reshuffles."""
+    from bigdata_old_spark.pipeline.text import canonical_url
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        canonical_url(F.col(url_col), keep_query=keep_query).alias("__k"),
+    )
+    keep = (keyed.groupBy("__k").agg(F.min("__id").alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")

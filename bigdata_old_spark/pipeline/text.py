@@ -1084,3 +1084,35 @@ def top_ngrams(
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(k)
     )
+
+
+def canonical_url(url: Column, keep_query: bool = False) -> Column:
+    """Canonicalize a URL for crawl-dedup keying (the normalization
+    every crawl pipeline applies before URL-level dedup — one page, many
+    spellings): case-fold the scheme and host, treat http ≡ https (the
+    scheme is DROPPED from the key), strip a leading ``www.``, drop
+    default ports (:80/:443), strip the fragment, strip the query
+    (``keep_query=True`` retains it verbatim), and strip a trailing
+    slash from the path.  Pure Catalyst regexp expressions — runs
+    inside whole-stage codegen, no UDF.
+
+    ``canonical_url("HTTPS://WWW.Example.com:443/a/b/?utm=x#f")``
+    → ``example.com/a/b``."""
+    u = F.trim(url)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment never survives
+    if not keep_query:
+        u = F.regexp_replace(u, r"\?.*$", "")
+    # split off an explicit scheme (any RFC 3986 scheme token)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(rest, r"^[^/?]*([/?].*)?$", 1)
+    if keep_query:
+        # trailing slash strips only from the PATH part
+        path = F.concat(
+            F.regexp_replace(F.regexp_extract(path, r"^([^?]*)", 1), r"/$", ""),
+            F.regexp_extract(path, r"(\?.*)?$", 1))
+    else:
+        path = F.regexp_replace(path, r"/$", "")
+    return F.concat(hostport, path)

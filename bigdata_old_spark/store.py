@@ -411,13 +411,23 @@ class TripleStore:
                 self.statements).localCheckpoint(eager=True)
         return self._sameas_canon_cache
 
+    #: broadcast the clique-membership map into the per-pattern
+    #: backchain joins below this row count (~100 MB of 2-string rows);
+    #: a crawl-scale map above it falls back to shuffle joins, which is
+    #: the correct trade at that size
+    SAMEAS_MEM_BROADCAST_ROWS = 1_000_000
+
     def _sameas_mem(self):
-        """(term, cls) clique membership, computed once per store."""
+        """(term, cls) clique membership, computed once per store —
+        broadcast-hinted when small so the per-pattern backchain
+        expansion joins never shuffle the matched rows."""
         if self._sameas_mem_cache is None:
             from bigdata_old_spark.inference import _sameas_cliques
 
-            self._sameas_mem_cache = _sameas_cliques(
-                self.statements).localCheckpoint(eager=True)
+            mem = _sameas_cliques(self.statements).localCheckpoint(eager=True)
+            if mem.count() <= self.SAMEAS_MEM_BROADCAST_ROWS:
+                mem = F.broadcast(mem)
+            self._sameas_mem_cache = mem
         return self._sameas_mem_cache
 
     def canon_of_lex(self, lex: str) -> str | None:

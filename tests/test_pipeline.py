@@ -1602,3 +1602,38 @@ def test_top_ngrams(spark):
     # short docs (< n tokens) contribute nothing / no crash
     assert top_ngrams(spark.createDataFrame([(9, "one two")], ["doc_id", "text"]),
                       n=3, k=5).count() == 0
+
+
+def test_canonical_url_normalization(spark):
+    from bigdata_old_spark.pipeline.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.com:443/a/b/?utm=x#f", "example.com/a/b"),
+        ("http://example.com:80/a/b", "example.com/a/b"),
+        ("example.com/a/b/", "example.com/a/b"),          # scheme-less
+        ("https://example.com", "example.com"),
+        ("https://example.com/#top", "example.com"),
+        ("ftp://Files.example.com/x", "files.example.com/x"),
+        ("https://example.com:8080/x", "example.com:8080/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # keep_query retains the query but still strips fragment + slash
+    df2 = spark.createDataFrame([("https://a.com/p/?q=1#f",)], ["url"])
+    got2 = df2.select(canonical_url(F.col("url"), keep_query=True).alias("c")).collect()
+    assert got2[0]["c"] == "a.com/p?q=1"
+
+
+def test_url_dedup_keeps_min_id_per_page(spark):
+    from bigdata_old_spark.pipeline.dedup import url_dedup
+
+    rows = [
+        (1, "https://www.site.com/page/7/"),
+        (2, "HTTP://site.com:80/page/7?utm=x"),   # same page, worse spelling
+        (3, "https://site.com/page/8"),
+        (4, "https://site.com/page/8#frag"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert kept == [1, 3]

@@ -139,3 +139,18 @@ def test_canonical_mode_survives_parquet_roundtrip(stores, spark, tmp_path):
     path2 = str(tmp_path / "mat_store")
     mat.write_parquet(path2)
     assert TripleStore.from_parquet(spark, path2).sameas_mode is None
+
+
+def test_backchain_expansion_joins_broadcast(stores):
+    """The per-pattern clique fan-out joins must BROADCAST the (small)
+    membership map, never shuffle the matched rows — a shuffle per
+    triple pattern would be a 100 TB scale-killer."""
+    import re
+
+    canon, _ = stores
+    df = canon.query(P + "SELECT ?x ?y WHERE { ?x :knows ?y }")
+    plan = df._jdf.queryExecution().explainString(
+        canon.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"\(\d+\) Exchange\b", plan), plan
