@@ -37,6 +37,7 @@ MIME_FORMATS = {
     "text/turtle": "turtle",
     "application/rdf+xml": "rdfxml",
     "application/trix": "trix",
+    "application/trig": "trig",
     "text/rdf+n3": "n3",
     "text/n3": "n3",
 }
@@ -412,6 +413,37 @@ def trix(df: DataFrame) -> str:
     return "\n".join(out) + "\n"
 
 
+def trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+    """TriG writer (the quads counterpart of :func:`turtle`): rows with
+    a non-null flat-string ``g`` column group into named ``<g> { … }``
+    blocks, the rest serialize as top-level (default-graph) triples —
+    Sesame TriGWriter's shape, the format the reference both parses and
+    serves through its RIO registry."""
+    rows = df.select(
+        term_n3(F.col("s")).alias("s"),
+        term_n3(F.col("p")).alias("p"),
+        term_n3(F.col("o")).alias("o"),
+        (F.col("g") if "g" in df.columns
+         else F.lit(None).cast("string")).alias("g"),
+    ).collect()
+    prefixes = prefixes or {}
+    out = [f"@prefix {p}: <{ns}> ." for p, ns in prefixes.items()]
+    if out:
+        out.append("")
+    groups: dict[str | None, list] = {}
+    for r in rows:
+        groups.setdefault(r["g"], []).append((r["s"], r["p"], r["o"]))
+    for g in sorted(groups, key=lambda x: (x is not None, x or "")):
+        body = [f"  {s} {p} {o} ." for s, p, o in groups[g]]
+        if g is None:
+            out.extend(t.strip() for t in body)
+        else:
+            out.append(f"<{g}> {{")
+            out.extend(body)
+            out.append("}")
+    return "\n".join(out) + "\n"
+
+
 def n3(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
     """Notation3 writer.  Every Turtle document is valid N3 (Turtle is
     N3's RDF-only subset), and for statement-shaped data Sesame's
@@ -439,6 +471,7 @@ _STRING_WRITERS = {
     "turtle": turtle,
     "rdfxml": rdfxml,
     "trix": trix,
+    "trig": trig,
     "n3": n3,
 }
 

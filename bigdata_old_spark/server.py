@@ -56,6 +56,7 @@ _FORMAT_MIME = {
     "turtle": "text/turtle",
     "rdfxml": "application/rdf+xml",
     "trix": "application/trix",
+    "trig": "application/trig",
     "n3": "text/rdf+n3",
 }
 

@@ -226,3 +226,36 @@ def test_n3_writer_parses_as_turtle(st):
     trips = parse_turtle(doc)
     assert len(trips) == 4
     assert (EX + "a", EX + "knows") in {(s, p) for s, p, o in trips}
+
+
+def test_trig_writer_roundtrip_named_graphs(spark):
+    """TriG writer (the quads counterpart of turtle) round-trips through
+    the TriG parser, preserving graph scoping."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.model import iri_col_to_term, obj_cols_to_term
+    from bigdata_old_spark.rio import parse_trig
+    from bigdata_old_spark.serializers import trig
+
+    st2 = TripleStore.from_turtle(spark, "").update(
+        P + 'INSERT DATA { :d :v "top" GRAPH :g1 { :x :v "a"@en } }')
+    quads = st2.statements.select(
+        iri_col_to_term(F.col("s")).alias("s"),
+        iri_col_to_term(F.col("p")).alias("p"),
+        obj_cols_to_term("o_").alias("o"),
+        F.col("g"),
+    )
+    rows = parse_trig(trig(quads))
+    assert {(g, s) for g, s, p, o in rows} == {
+        (None, EX + "d"), (EX + "g1", EX + "x")}
+    lang = [o for g, s, p, o in rows if g is not None][0]
+    assert lang.lang == "en" and lang.lex == "a"
+
+
+def test_conneg_trig_construct(st):
+    from bigdata_old_spark.rio import parse_trig
+
+    doc = st.serialize(
+        P + "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+        format="application/trig")
+    assert len(parse_trig(doc)) == 4  # default-graph triples, no blocks
