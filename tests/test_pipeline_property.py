@@ -100,3 +100,40 @@ def test_duplicate_spans_matches_model(spark, texts, k):
         assert got[d]["n_dup_tokens"] == len(covered)
         expect_kept = " ".join(t for i, t in enumerate(ts) if i not in covered)
         assert got_strip[d]["text_stripped"] == expect_kept
+
+
+_scheme_st = st.sampled_from(["", "http://", "HTTPS://", "https://", "ftp://"])
+_host_st = st.sampled_from(["Example.com", "www.example.com", "a.b.org", "WWW.A.B.ORG"])
+_port_st = st.sampled_from(["", ":80", ":443", ":8080"])
+_path_st = st.sampled_from(["", "/", "/x", "/x/", "/x/Y", "/x/Y/"])
+_tail_st = st.sampled_from(["", "?q=1", "#f", "?q=1#f"])
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(
+    st.tuples(_scheme_st, _host_st, _port_st, _path_st, _tail_st)
+    .map(lambda t: "".join(t)), min_size=1, max_size=8))
+def test_canonical_url_idempotent_and_tail_free(spark, urls):
+    """canonical_url is IDEMPOTENT (canonicalizing a canonical URL is a
+    no-op — the key is a fixpoint, so re-keying an already-deduped
+    corpus never reshuffles groups) and its output carries no scheme,
+    leading www, default port, query, fragment, or trailing slash."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.pipeline.text import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    twice = once.select(canonical_url(F.col("url")).alias("c"))
+    a = [r["url"] for r in once.collect()]
+    b = [r["c"] for r in twice.collect()]
+    assert a == b
+    for c in a:
+        assert "://" not in c and "?" not in c and "#" not in c
+        assert not c.startswith("www.")
+        assert not c.endswith("/")
+        host = c.split("/", 1)[0]
+        assert not host.endswith(":80") and not host.endswith(":443")

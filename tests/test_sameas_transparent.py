@@ -64,6 +64,10 @@ EQUIV_QUERIES = [
     "SELECT ?n WHERE { :alice1 :knows ?b . ?b :name ?n }",
     # alias on both sides of an OPTIONAL
     "SELECT ?n ?a WHERE { :alice2 :name ?n OPTIONAL { :alice2 :age ?a } }",
+    # property path from an alias constant; the variable endpoint fans
+    # out at the path boundary (zero-length-capable paths over a
+    # canonical store are the one documented divergence — p+ avoids it)
+    "SELECT ?x WHERE { :alice2 :knows+ ?x }",
 ]
 
 
