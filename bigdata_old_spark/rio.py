@@ -384,6 +384,33 @@ def parse_trix(text: str) -> list[tuple]:
     return out
 
 
+def parse_rdfjson(text: str) -> list[tuple[str, str, "Term"]]:
+    """RDF/JSON → [(s_flat, p_iri, o_term)] — same shape as
+    ``parse_turtle`` (W3C Note "RDF 1.1 JSON Alternate Serialization";
+    the reference parses it via Sesame's sesame-rio-rdfjson)."""
+    import json
+
+    doc = json.loads(text)
+    if not isinstance(doc, dict):
+        raise ValueError("RDF/JSON document must be a JSON object")
+    out: list[tuple] = []
+    for s, preds in doc.items():
+        for p, vals in preds.items():
+            for v in vals:
+                t = v.get("type")
+                if t == "uri":
+                    o = Term.iri(v["value"])
+                elif t == "bnode":
+                    o = Term.bnode(v["value"].removeprefix("_:"))
+                elif t == "literal":
+                    o = Term.literal(v["value"], dt=v.get("datatype"),
+                                     lang=v.get("lang"))
+                else:
+                    raise ValueError(f"unknown RDF/JSON value type: {t}")
+                out.append((s, p, o))
+    return out
+
+
 def parse_ntriples_line(line: str):
     """One N-Triples line → (s, p, o Term) or None (blank/comment)."""
     line = line.strip()

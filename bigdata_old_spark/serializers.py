@@ -38,6 +38,7 @@ MIME_FORMATS = {
     "application/rdf+xml": "rdfxml",
     "application/trix": "trix",
     "application/trig": "trig",
+    "application/rdf+json": "rdfjson",
     "text/rdf+n3": "n3",
     "text/n3": "n3",
 }
@@ -444,6 +445,32 @@ def trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
     return "\n".join(out) + "\n"
 
 
+def rdfjson(df: DataFrame) -> str:
+    """RDF/JSON writer (the W3C Note "RDF 1.1 JSON Alternate
+    Serialization" — Sesame ships it as sesame-rio-rdfjson, so the
+    reference's conneg registry serves it): one top-level key per
+    subject (IRI, or "_:label" for bnodes), mapping predicate IRIs to
+    arrays of value objects {type, value, lang?, datatype?}."""
+    import json as _json
+
+    out: dict = {}
+    for r in df.select("s", "p", "o").collect():
+        s, p, o = r["s"], r["p"], r["o"]
+        skey = f"_:{s['lex']}" if s["kind"] == KIND_BNODE else s["lex"]
+        if o["kind"] == KIND_IRI:
+            val = {"type": "uri", "value": o["lex"]}
+        elif o["kind"] == KIND_BNODE:
+            val = {"type": "bnode", "value": f"_:{o['lex']}"}
+        else:
+            val = {"type": "literal", "value": o["lex"]}
+            if o["lang"]:
+                val["lang"] = o["lang"]
+            elif o["dt"] and o["dt"] != XSD_STRING:
+                val["datatype"] = o["dt"]
+        out.setdefault(skey, {}).setdefault(p["lex"], []).append(val)
+    return _json.dumps(out, indent=1)
+
+
 def n3(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
     """Notation3 writer.  Every Turtle document is valid N3 (Turtle is
     N3's RDF-only subset), and for statement-shaped data Sesame's
@@ -472,6 +499,7 @@ _STRING_WRITERS = {
     "rdfxml": rdfxml,
     "trix": trix,
     "trig": trig,
+    "rdfjson": rdfjson,
     "n3": n3,
 }
 

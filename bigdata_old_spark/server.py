@@ -57,6 +57,7 @@ _FORMAT_MIME = {
     "rdfxml": "application/rdf+xml",
     "trix": "application/trix",
     "trig": "application/trig",
+    "rdfjson": "application/rdf+json",
     "n3": "text/rdf+n3",
 }
 
@@ -74,6 +75,7 @@ _RDF_INSERT_TYPES = frozenset(
         "application/trig",
         "application/rdf+xml",
         "application/trix",
+        "application/rdf+json",
     }
 )
 
@@ -442,6 +444,8 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return [(None, s, pp, o) for s, pp, o in rio.parse_rdfxml(body)]
         if ctype == "application/trix":
             return rio.parse_trix(body)
+        if ctype == "application/rdf+json":
+            return [(None, s, pp, o) for s, pp, o in rio.parse_rdfjson(body)]
         raise LookupError(ctype)
 
     def _do_insert_body(self, p: dict, ctype: str, body: str) -> None:

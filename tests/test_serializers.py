@@ -259,3 +259,23 @@ def test_conneg_trig_construct(st):
         P + "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
         format="application/trig")
     assert len(parse_trig(doc)) == 4  # default-graph triples, no blocks
+
+
+def test_rdfjson_roundtrip_and_conneg(st):
+    """RDF/JSON writer ↔ parser round-trip (W3C Note shape: subject →
+    predicate → value objects) over IRI / plain / lang / typed
+    objects."""
+    import json
+
+    from bigdata_old_spark.rio import parse_rdfjson
+
+    doc = st.serialize(
+        P + "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }",
+        format="application/rdf+json")
+    parsed = json.loads(doc)
+    assert EX + "a" in parsed and EX + "knows" in parsed[EX + "a"]
+    rows = parse_rdfjson(doc)
+    assert len(rows) == 4
+    got = {(s, p, o.kind, o.lex, o.lang) for s, p, o in rows}
+    assert (EX + "a", EX + "knows", 0, EX + "b", None) in got
+    assert any(lang == "en" for *_, lang in got)
