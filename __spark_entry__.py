@@ -78,9 +78,13 @@ def _store(spark: SparkSession, sf_dir: str):
         tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
         table = f"bdos_{tag}_{ver}_bk"
         path = f"{tempfile.gettempdir()}/{table}"
-        # reuse a completed store across processes (marker = _SUCCESS);
-        # set BDOS_REBUILD=1 to force re-triplification
-        done = os.path.exists(f"{path}/_SUCCESS") and not os.environ.get("BDOS_REBUILD")
+        # reuse a completed store across processes (marker = _SUCCESS
+        # AND at least one p= partition dir — a racing concurrent
+        # builder can leave _SUCCESS over a truncated dir; never trust
+        # an empty layout); set BDOS_REBUILD=1 to force re-triplification
+        done = (os.path.exists(f"{path}/_SUCCESS")
+                and any(e.startswith("p=") for e in os.listdir(path))
+                and not os.environ.get("BDOS_REBUILD"))
         if not done:
             if spark.catalog.tableExists(table):
                 spark.sql(f"DROP TABLE `{table}`")
@@ -134,7 +138,9 @@ def _quads_store(spark: SparkSession, sf_dir: str):
         tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
         table = f"bdos_{tag}_{ver}_qk"
         path = f"{tempfile.gettempdir()}/{table}"
-        done = os.path.exists(f"{path}/_SUCCESS") and not os.environ.get("BDOS_REBUILD")
+        done = (os.path.exists(f"{path}/_SUCCESS")
+                and any(e.startswith("p=") for e in os.listdir(path))
+                and not os.environ.get("BDOS_REBUILD"))
         if not done:
             st = _store(spark, sf_dir)
             stmts = st.statements.withColumn(

@@ -153,7 +153,8 @@ def main() -> None:
     }))
 
 
-def qmph_main(n_clients: int = 4, duration_sec: float = 120.0) -> None:
+def qmph_main(n_clients: int = 4, duration_sec: float = 120.0,
+              writers: int = 0) -> None:
     """Concurrent-throughput mode (``bench.py --qmph [clients] [secs]``):
     N client threads fire the headline SPARQL mix at a live HTTP
     endpoint and the metric is QMpH — query MIXES per hour — the
@@ -162,7 +163,15 @@ def qmph_main(n_clients: int = 4, duration_sec: float = 120.0) -> None:
     HTTP GET + JSON parse (server + serializer + transport included).
     Only mixes COMPLETED before the deadline count; the run reports
     per-client mixes and total queries too.  Methodology notes and the
-    parameterization caveat live in BENCH_QMPH.md."""
+    parameterization caveat live in BENCH_QMPH.md.
+
+    ``writers`` > 0 adds that many UPDATE threads (the BSBM "explore
+    and update" shape): each loops SPARQL UPDATE requests — INSERT DATA
+    of a fresh marker triple, then DELETE DATA of it — through the
+    endpoint's POST update path, exercising the store_lock writer/
+    reader interleave under sustained read load.  Reported separately
+    (write_ops / write_errors) so reader QMpH stays comparable with the
+    read-only runs."""
     import threading
     import urllib.parse
     import urllib.request
@@ -190,6 +199,13 @@ def qmph_main(n_clients: int = 4, duration_sec: float = 120.0) -> None:
         with urllib.request.urlopen(req, timeout=600) as r:
             json.loads(r.read())
 
+    def run_update(sparql: str) -> None:
+        req = urllib.request.Request(
+            base, data=sparql.encode(),
+            headers={"Content-Type": "application/sparql-update"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            r.read()
+
     # warm-up: one full mix single-threaded (codegen + plan cache, the
     # BSBM warm-up-mix-then-measure shape)
     t0 = time.perf_counter()
@@ -200,18 +216,44 @@ def qmph_main(n_clients: int = 4, duration_sec: float = 120.0) -> None:
 
     mixes_done = [0] * n_clients
     queries_done = [0] * n_clients
+    errors = [0] * n_clients
     deadline = time.perf_counter() + duration_sec
 
     def client(i: int) -> None:
+        # a failed request (HTTP error / timeout) counts as an error and
+        # the mix is abandoned — NOT silent thread death, which would
+        # overstate QMpH by averaging only the surviving clients
         while time.perf_counter() < deadline:
+            ok = True
             for q in mix.values():
-                run_query(q)
+                try:
+                    run_query(q)
+                except Exception:
+                    errors[i] += 1
+                    ok = False
+                    break
                 queries_done[i] += 1
-            if time.perf_counter() <= deadline:
+            if ok and time.perf_counter() <= deadline:
                 mixes_done[i] += 1
+
+    write_ops = [0] * writers
+    write_errors = [0] * writers
+
+    def writer(i: int) -> None:
+        n = 0
+        while time.perf_counter() < deadline:
+            n += 1
+            marker = f"<http://bench/w{i}> <http://bench/op> {n}"
+            try:
+                run_update(f"INSERT DATA {{ {marker} }}")
+                run_update(f"DELETE DATA {{ {marker} }}")
+                write_ops[i] += 2
+            except Exception:
+                write_errors[i] += 1
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    threads += [threading.Thread(target=writer, args=(i,)) for i in range(writers)]
     for t in threads:
         t.start()
     for t in threads:
@@ -233,6 +275,11 @@ def qmph_main(n_clients: int = 4, duration_sec: float = 120.0) -> None:
         "wall_sec": round(wall, 2),
         "mixes_per_client": mixes_done,
         "queries_total": sum(queries_done),
+        "errors": sum(errors),
+        "errors_per_client": errors,
+        "writers": writers,
+        "write_ops": sum(write_ops),
+        "write_errors": sum(write_errors),
         "mix_queries": mix_names,
         "warmup_mix_sec": round(warm, 2),
         "loadavg_1_5_15": la,
@@ -245,6 +292,7 @@ if __name__ == "__main__":
         qmph_main(
             n_clients=int(pos[0]) if pos else 4,
             duration_sec=float(pos[1]) if len(pos) > 1 else 120.0,
+            writers=int(pos[2]) if len(pos) > 2 else 0,
         )
     else:
         main()

@@ -147,6 +147,52 @@ def _path_zeroable(p) -> bool:
     return False
 
 
+def _path_split_zero(p) -> tuple[object | None, bool]:
+    """Split a path into (non-zero-length part, exact) — the canonical
+    sameAs backchain evaluates the ≥1-length part in canonical space
+    (then fans bindings out) and seeds the ZERO-length solution with the
+    ORIGINAL, pre-canonicalization constant, matching ZeroLengthPathOp's
+    bind-the-same-term semantics over a materialized store
+    (paths/ZeroLengthPathOp.java:53 — zero length never replicates).
+
+    Returns (None, True) for a pure-zero path, (p', True) when p' is
+    exactly p minus the zero-length match, and (p, False) when the split
+    is not expressible (an all-zeroable SEQUENCE — its non-zero part is
+    a union over step subsets; that one shape keeps the documented
+    divergence)."""
+    if isinstance(p, A.PathStar):
+        inner, exact = (_path_split_zero(p.path) if _path_zeroable(p.path)
+                        else (p.path, True))
+        if not exact or inner is None:
+            # (pure-zero)* is pure zero; inexact inner stays inexact
+            return (None, True) if inner is None else (p, False)
+        if p.min_len == 0 and p.max_len == 0:
+            return None, True
+        # zero-steps of a zeroable inner are no-ops, so the non-zero
+        # part is ≥1 compositions of the inner's own non-zero part
+        import dataclasses as _dc
+
+        return _dc.replace(p, path=inner, min_len=max(p.min_len, 1)), True
+    if isinstance(p, A.PathInv):
+        inner, exact = _path_split_zero(p.path)
+        return (None, True) if inner is None else (A.PathInv(inner), exact)
+    if isinstance(p, A.PathAlt):
+        parts, exact = [], True
+        for a in p.alts:
+            nz, ex = _path_split_zero(a)
+            exact = exact and ex
+            if nz is not None:
+                parts.append(nz)
+        if not parts:
+            return None, exact
+        return (parts[0] if len(parts) == 1 else A.PathAlt(tuple(parts))), exact
+    if isinstance(p, A.PathSeq):
+        if _path_zeroable(p):
+            return p, False  # all-zeroable sequence: no exact split
+        return p, True
+    return p, True  # link / negated set / constant: not zeroable
+
+
 def _fresh(prefix: str = "v") -> str:
     return f"__{prefix}{next(_ids)}"
 
@@ -777,6 +823,8 @@ class QueryCompiler:
             out.certain, out.flat)
 
     def compile_triple(self, t: A.TriplePattern, graph, ranges: dict | None = None) -> Compiled:
+        from bigdata_old_spark.inference import OWL_SAMEAS
+
         if not isinstance(t.p, (A.Var, Term)):
             return self.compile_path_triple(t, graph)
         if (
@@ -786,8 +834,83 @@ class QueryCompiler:
         ):
             return self._compile_reif_triple(t)
         if self._backchain_mem is not None:
+            # sameAs-PREDICATE patterns read the VIRTUAL pair relation
+            # (the reference's OwlSameAsPropertiesExpandingIterator):
+            # the stored linear mapping rows stand for the full
+            # non-reflexive clique pair set, each pair ONCE — expanding
+            # their endpoints like ordinary bindings would cross-product
+            # the mapping rows into reflexive pairs and duplicates.
+            # Constants stay ORIGINAL here (two distinct aliases of one
+            # clique ARE sameAs; a term is never sameAs itself).
+            if isinstance(t.p, Term) and t.p.lex == OWL_SAMEAS:
+                return self._compile_triple_core(
+                    t, self._sameas_backchain_scan(graph), graph, ranges)
+            if isinstance(t.p, A.Var):
+                tc = self._canon_pattern_consts(t)
+                a = self._backchain_expand(
+                    self._compile_triple_core(
+                        tc,
+                        self._scan(graph).where(F.col("p") != OWL_SAMEAS),
+                        graph, ranges),
+                    tc)
+                b = self._compile_triple_core(
+                    t, self._sameas_backchain_scan(graph), graph, ranges)
+                return Compiled(a.df.unionByName(b.df),
+                                a.certain & b.certain, a.flat)
             t = self._canon_pattern_consts(t)
-        df = self._scan(graph)
+            return self._backchain_expand(
+                self._compile_triple_core(t, self._scan(graph), graph, ranges), t)
+        return self._compile_triple_core(t, self._scan(graph), graph, ranges)
+
+    def _sameas_backchain_scan(self, graph) -> DataFrame:
+        """The owl:sameAs access path over a canonical store: stored
+        sameAs rows MINUS the safe-clique linear mapping rows, UNION the
+        virtual full pair set generated from the broadcast membership
+        map (non-reflexive, each pair once — RuleOwlSameAs1's exact
+        output).  Unsafe-clique rows pass through stored (they were
+        materialized exactly).  The pair join is per-query and
+        constant-filtered downstream — never a stored O(clique²) blowup.
+        Virtual rows live in the default graph like every closure
+        inference, so GRAPH-scoped scans serve stored rows only."""
+        from bigdata_old_spark.inference import OWL_SAMEAS
+
+        base = self._scan(graph).where(F.col("p") == OWL_SAMEAS)
+        mem = self._backchain_mem
+        mt = mem.select(F.col("term").alias("__mt"))
+        stored = base.join(mt, base["s"] == F.col("__mt"), "left_anti")
+        if graph is not None:
+            return stored
+        a = mem.select(F.col("cls").alias("__cls"), F.col("term").alias("__a"))
+        b = mem.select(F.col("cls").alias("__cls"), F.col("term").alias("__b"))
+        pairs = a.join(b, "__cls").where(F.col("__a") != F.col("__b"))
+        av, bv = F.col("__a"), F.col("__b")
+        cols = []
+        for c in stored.columns:
+            if c == "s":
+                cols.append(av.alias("s"))
+            elif c == "p":
+                cols.append(F.lit(OWL_SAMEAS).alias("p"))
+            elif c == "o_kind":
+                cols.append(
+                    F.when(bv.startswith("_:"), F.lit(KIND_BNODE))
+                    .otherwise(F.lit(KIND_IRI)).cast("tinyint").alias("o_kind"))
+            elif c == "o_lex":
+                cols.append(
+                    F.when(bv.startswith("_:"),
+                           bv.substr(F.lit(3), F.length(bv)))
+                    .otherwise(bv).alias("o_lex"))
+            elif c == "stype":
+                from bigdata_old_spark.model import STYPE_INFERRED
+
+                cols.append(F.lit(STYPE_INFERRED).cast("tinyint").alias("stype"))
+            else:
+                f = dict(stored.dtypes)[c]
+                cols.append(F.lit(None).cast(f).alias(c))
+        return stored.unionByName(pairs.select(*cols))
+
+    def _compile_triple_core(
+        self, t: A.TriplePattern, df: DataFrame, graph, ranges: dict | None = None
+    ) -> Compiled:
         cond = []
         proj: dict[str, Column] = {}
         flat_vars: set[str] = set()
@@ -847,10 +970,7 @@ class QueryCompiler:
             out = df.select(F.lit(1).alias("__unit")).limit(1)
             return Compiled(out, frozenset())
         out = df.select(*[c.alias(v) for v, c in proj.items()])
-        unit = Compiled(out, frozenset(proj), frozenset(flat_vars))
-        if self._backchain_mem is not None:
-            unit = self._backchain_expand(unit, t)
-        return unit
+        return Compiled(out, frozenset(proj), frozenset(flat_vars))
 
     #: query-hint namespace (reference ASTQueryHintOptimizer.java; the
     #: hint: triples are stripped from the pattern and recorded —
@@ -1147,15 +1267,11 @@ class QueryCompiler:
         shape for direct-mapped relational data."""
         from collections import defaultdict
 
-        if self._backchain_mem is not None:
-            # canonical-sameAs backchain expands bindings per triple
-            # pattern (compile_triple); the one-pass star scan has no
-            # per-pattern seam to expand at, so BGPs over a canonical
-            # store take the plain join path
-            return [], triples
         by_subj: dict = defaultdict(list)
         rest: list = []
         reif_active = self.store.sid_map is not None
+        from bigdata_old_spark.inference import OWL_SAMEAS
+
         for t in triples:
             if (
                 isinstance(t.s, A.Var)
@@ -1163,6 +1279,10 @@ class QueryCompiler:
                 # virtual-reification patterns must route through
                 # _compile_reif_triple (SID map), never a star scan
                 and not (reif_active and t.p.lex in self._REIF_PREDS)
+                # sameAs patterns over a canonical store read the
+                # VIRTUAL pair relation, never the statements scan
+                and not (self._backchain_mem is not None
+                         and t.p.lex == OWL_SAMEAS)
                 and (isinstance(t.o, Term) or (isinstance(t.o, A.Var) and t.o.name != t.s.name))
             ):
                 by_subj[t.s.name].append(t)
@@ -1196,7 +1316,17 @@ class QueryCompiler:
         collect_list+explode: a single first(when(...)) scalar keeps
         the aggregate a plain HashAggregate with no array buffers, the
         SPOStarJoin economics the reference gets from its one-pass SPO
-        scan."""
+        scan.
+
+        Under the canonical sameAs backchain (r10) the star compiles
+        normally — constants canonicalize up front, and the star-group
+        OUTPUT is the single expansion seam: the star binds s and each
+        o exactly like the joined per-triple group would, so one
+        expand_member_bindings pass over its bound vars reproduces the
+        per-pattern fan-out (same bag semantics: per-triple expansion
+        fans s before the joins, which multiply identically)."""
+        if self._backchain_mem is not None:
+            patterns = [self._canon_pattern_consts(t) for t in patterns]
         preds = sorted({t.p.lex for t in patterns})
         df = self._scan(graph).where(F.col("p").isin(preds))
         keys = [F.col("s")]
@@ -1257,7 +1387,20 @@ class QueryCompiler:
             proj.append(F.col("g").alias(graph.name))
             names.append(graph.name)
             flat_vars.add(graph.name)
-        return Compiled(g.select(*proj), frozenset(names), frozenset(flat_vars))
+        unit = Compiled(g.select(*proj), frozenset(names), frozenset(flat_vars))
+        if self._backchain_mem is not None:
+            # the single star-group expansion seam (VERDICT r9 #1):
+            # fan the star's bound vars out across their cliques exactly
+            # like the joined per-triple group would — graph vars never
+            # expand (graphs are not renamed)
+            from bigdata_old_spark.inference import expand_member_bindings
+
+            cols = [(s_name, True)] + [
+                (v, False) for _, v in var_scalars + var_lists]
+            unit = Compiled(
+                expand_member_bindings(unit.df, self._backchain_mem, cols),
+                unit.certain, unit.flat)
+        return unit
 
     def _join_units(self, units: list[Compiled], triples) -> Compiled:
         """Greedy cardinality-ordered join (the static analog of the
@@ -1697,13 +1840,43 @@ class QueryCompiler:
         ArbitraryLengthPathOp fixpoint (paths/ArbitraryLengthPathOp.java:87)
         as a driver-side semi-naive loop with localCheckpoint.
         """
+        zero_orig = None
         if self._backchain_mem is not None:
             # backchain constant endpoints to canonical ids; variable
             # endpoints fan out at the path boundary below (the path
             # interior runs in canonical space — reachability there
             # equals materialized reachability, since canonicalization
             # merges exactly the clique-interchangeable nodes)
+            t_orig = t
             t = self._canon_pattern_consts(t)
+            if (isinstance(t.p, A.PathStar) and _path_zeroable(t.p)
+                    and not (isinstance(t.s, A.Var) and isinstance(t.o, A.Var))):
+                # ZERO-length semantics with a constant endpoint: the
+                # materialized store binds the OTHER endpoint to the
+                # SAME term — never to its clique (zero length is not a
+                # statement, so sameAs replication can't apply).  Run
+                # the ≥1-length part in canonical space (fan-out below),
+                # then union one zero-length row seeded from the
+                # ORIGINAL constant, un-expanded.  Top-level closures
+                # only: their output is a deduplicated set, so the
+                # set-union below is exact (an alternation branch would
+                # need bag accounting).
+                p_nz, exact = _path_split_zero(t.p)
+                if exact:
+                    import dataclasses as _dc
+
+                    zero_orig = t_orig
+                    if p_nz is None:  # pure-zero path (p{0,0})
+                        zu = self._path_zero_unit(t_orig, *_path_ends_resource(t.p))
+                        if zu is None:
+                            zu = self.store.spark.range(0).select(
+                                F.lit(1).alias("__unit"))
+                            return Compiled(zu, frozenset())
+                        names = [c for c in zu.columns if c != "__unit"]
+                        flat = frozenset(n for n, d in zu.dtypes
+                                         if n in names and d == "string")
+                        return Compiled(zu, frozenset(names), flat)
+                    t = _dc.replace(t, p=p_nz)
         s_name = t.s.name if isinstance(t.s, A.Var) else _fresh("ps")
         o_name = t.o.name if isinstance(t.o, A.Var) else _fresh("po")
         # endpoint bindings from already-joined sibling patterns widen
@@ -1759,7 +1932,46 @@ class QueryCompiler:
         unit = Compiled(out, frozenset(names), frozenset(flat))
         if self._backchain_mem is not None:
             unit = self._backchain_expand(unit, t)
+        if zero_orig is not None:
+            zu = self._path_zero_unit(zero_orig, src_res, dst_res)
+            if zu is not None:
+                # a top-level closure's output is a deduplicated set, so
+                # set-union the zero-length row (which a ≥1-length cycle
+                # may independently reach)
+                unit = Compiled(unit.df.unionByName(zu).dropDuplicates(),
+                                unit.certain, unit.flat)
         return unit
+
+    def _path_zero_unit(self, t: A.TriplePattern, src_res: bool, dst_res: bool):
+        """The zero-length solution row of a zeroable path whose pattern
+        has ≥1 constant endpoint — built from the ORIGINAL constants
+        (ZeroLengthPathOp.java:53: a bound endpoint binds the other to
+        the SAME term; the sameAs backchain never expands it, because a
+        zero-length path is not a statement).  Returns None when there
+        is no zero-length solution (two distinct constants)."""
+        one = self.store.spark.range(1)
+        if isinstance(t.s, A.Var) and not isinstance(t.o, A.Var):
+            name, res, const = t.s.name, src_res, t.o
+        elif isinstance(t.o, A.Var) and not isinstance(t.s, A.Var):
+            name, res, const = t.o.name, dst_res, t.s
+        else:  # both constant: solution iff the very same term
+            if t.s.as_row() == t.o.as_row():
+                return one.select(F.lit(1).alias("__unit"))
+            return None
+        if res:
+            col = _key_from_term(term_lit(const))
+        elif const.kind == KIND_LITERAL:
+            # same construction as _term_from_key's literal branch (a
+            # foldable literal routed through the split-decode trips
+            # constant folding on the out-of-range array probe)
+            tl = term_lit(const)
+            col = SF.term_from_flat(
+                F.lit(KIND_LITERAL).cast("byte"), tl["lex"],
+                tl["dt"], tl["lang"], tl["dtm"])
+        else:
+            flat = const.lex if const.kind == KIND_IRI else "_:" + const.lex
+            col = iri_col_to_term(F.lit(flat))
+        return one.select(col.alias(name))
 
     def _path_pairs(
         self,

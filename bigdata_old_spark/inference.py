@@ -159,13 +159,19 @@ def _flip(rel: DataFrame) -> DataFrame:
     return rel.select(F.col("o").alias("s"), F.col("s").alias("o"))
 
 
-def _mk_triples_flat_obj(df: DataFrame, s="s", p=None, o="o") -> DataFrame:
+def _mk_triples_flat_obj(df: DataFrame, s="s", p=None, o="o",
+                         g: str | None = None) -> DataFrame:
     """Inferred statements whose object arrives as a flat resource
-    string ("_:label" or IRI) — splits the bnode prefix back out."""
+    string ("_:label" or IRI) — splits the bnode prefix back out.
+    ``g`` names a column to carry the source row's graph (sameAs
+    replication is graph-local — see the sameAs3 rule); default NULL
+    (inferences live in the default graph)."""
     oc = F.col(o)
-    g, stype = _g_stype_cols()
+    gc, stype = _g_stype_cols()
+    if g is not None:
+        gc = F.col(g).alias("g")
     return df.select(
-        g,
+        gc,
         F.col(s).alias("s"),
         (F.lit(p) if isinstance(p, str) else p).cast("string").alias("p"),
         F.when(oc.startswith("_:"), F.lit(1)).otherwise(F.lit(KIND_IRI)).cast("tinyint").alias("o_kind"),
@@ -513,15 +519,22 @@ def rdfs_closure(
                     ).select(*cur.columns)
                 )
                 # sameAs3: (x P y), (y sameAs z) → (x P z) for resource
-                # objects; replacement may itself be a bnode (_:label)
+                # objects; replacement may itself be a bnode (_:label).
+                # g carried through like sameAs2's — sameAs replication
+                # is GRAPH-LOCAL (a graph asserting x P y sees its own
+                # replicated forms), which is also what the canonical
+                # mode's in-place rewrite preserves, so canonical ≡
+                # materialized holds inside GRAPH scopes
                 res = not_sa.where(F.col("o_kind") != 2).select(
-                    "s", "p",
+                    "g", "s", "p",
                     _obj_flat().alias("oy"),
                 )
                 j3 = res.join(eqr, res["oy"] == eqr["__eq_s"]).select(
-                    F.col("s"), F.col("p"), F.col("__eq_o").alias("oz")
+                    F.col("g"), F.col("s"), F.col("p"),
+                    F.col("__eq_o").alias("oz")
                 )
-                fresh.append(_mk_triples_flat_obj(j3, s="s", p=F.col("p"), o="oz"))
+                fresh.append(_mk_triples_flat_obj(j3, s="s", p=F.col("p"),
+                                                  o="oz", g="g"))
 
         # rdfs3: (x P y), (P range C), y is IRI/bnode → (y type C)
         j = (
@@ -712,6 +725,7 @@ def canonical_closure_with_map(
     max_rounds: int = 50,
     with_owl: bool = True,
     forward_chain_rdfs4: bool = False,
+    sameas_pair_limit: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """rdfs_closure with sameas="canonical": alternate (canonicalize
     safe cliques → run the rule program with the sameAs block off) until
@@ -723,7 +737,13 @@ def canonical_closure_with_map(
     Returns (closed statements, member→canon mapping) — the mapping is
     None when no safe clique existed (the closure fell back to plain
     materialization).  TripleStore.closure seeds its backchain cache
-    from the mapping so the first query pays no CC recompute."""
+    from the mapping so the first query pays no CC recompute.
+
+    ``sameas_pair_limit`` defaults to None HERE (unlike rdfs_closure's
+    materialize default): the caller already chose the canonical path,
+    and whatever the inner rounds materialize is exactly the unsafe
+    (schema-positioned) remainder that canonical mode cannot compress —
+    raising "use sameas='canonical'" at them would be circular advice."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     cur = statements
@@ -735,7 +755,8 @@ def canonical_closure_with_map(
                 # no safe clique anywhere: plain materialized closure
                 return rdfs_closure(
                     cur, max_rounds=max_rounds, with_owl=with_owl,
-                    forward_chain_rdfs4=forward_chain_rdfs4), None
+                    forward_chain_rdfs4=forward_chain_rdfs4,
+                    sameas_pair_limit=sameas_pair_limit), None
             # cur is already the fixpoint of the previous inner run and
             # produced no new safe pairs — done
             break
@@ -744,7 +765,8 @@ def canonical_closure_with_map(
         cur = _canonicalize(cur, canon)
         cur = rdfs_closure(
             cur, max_rounds=max_rounds, with_owl=with_owl,
-            forward_chain_rdfs4=forward_chain_rdfs4, sameas="materialize")
+            forward_chain_rdfs4=forward_chain_rdfs4, sameas="materialize",
+            sameas_pair_limit=sameas_pair_limit)
     pairs = mapping
     sa_fwd = _mk_triples_flat_obj(
         pairs.select(F.col("member").alias("s"), F.col("canon").alias("o")),

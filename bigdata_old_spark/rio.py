@@ -411,6 +411,98 @@ def parse_rdfjson(text: str) -> list[tuple[str, str, "Term"]]:
     return out
 
 
+def parse_jsonld(text: str) -> list[tuple]:
+    """JSON-LD (EXPANDED form) → [(g_flat | None, s_flat, p_iri,
+    o_term)] — same shape as ``parse_trig``.  Accepts a top-level node
+    array, a single node object, or a {"@graph": [...]} wrapper; nodes
+    may nest {"@id": g, "@graph": [...]} named-graph objects, @type
+    (string or array), value objects ({"@value"/@language/@type}), node
+    references ({"@id"}), and embedded node objects (parsed in place,
+    @id-less ones mint fresh bnodes).  JSON native values coerce per
+    the JSON-LD data model (number → xsd:integer/xsd:double, boolean →
+    xsd:boolean).  Compacted documents are rejected up front: there is
+    no @context processor here (the reference runs Sesame's full
+    JSONLDParser; expanded form is its lossless interchange profile and
+    round-trips this engine's own writer exactly)."""
+    import json
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    doc = json.loads(text)
+    out: list[tuple] = []
+    bn = iter(range(1, 1 << 30))
+
+    def flat(t: Term) -> str:
+        return f"_:{t.lex}" if t.kind == 1 else t.lex
+
+    def as_list(v):
+        return v if isinstance(v, list) else [v]
+
+    def subj_of(obj) -> Term:
+        sid = obj.get("@id")
+        if sid is None:
+            return Term.bnode(f"jld{next(bn)}")
+        return Term.bnode(sid[2:]) if sid.startswith("_:") else Term.iri(sid)
+
+    def value_term(v, g):
+        if isinstance(v, dict):
+            if "@value" in v:
+                val, dt, lang = v["@value"], v.get("@type"), v.get("@language")
+                if isinstance(val, bool):
+                    return Term.literal("true" if val else "false",
+                                        dt=dt or XSD + "boolean")
+                if isinstance(val, int):
+                    return Term.literal(str(val), dt=dt or XSD + "integer")
+                if isinstance(val, float):
+                    return Term.literal(repr(val), dt=dt or XSD + "double")
+                return Term.literal(val, dt=dt, lang=lang)
+            if "@list" in v:
+                raise ValueError("JSON-LD @list is not supported")
+            if "@id" in v and len([k for k in v if k != "@id"]) == 0:
+                sid = v["@id"]
+                return (Term.bnode(sid[2:]) if sid.startswith("_:")
+                        else Term.iri(sid))
+            # embedded node object: emit its triples, reference its id
+            return node(v, g)
+        if isinstance(v, str):
+            # expanded form always wraps values; tolerate a bare IRI
+            return Term.iri(v)
+        raise ValueError(f"unsupported JSON-LD value: {v!r}")
+
+    def node(obj: dict, g: str | None) -> Term:
+        if "@context" in obj:
+            raise ValueError(
+                "compacted JSON-LD (@context) is not supported — "
+                "expand the document first")
+        s = subj_of(obj)
+        sf = flat(s)
+        for k, vals in obj.items():
+            if k == "@id":
+                continue
+            if k == "@graph":
+                gname = obj.get("@id")
+                for child in as_list(vals):
+                    node(child, gname)
+                continue
+            if k == "@type":
+                for tv in as_list(vals):
+                    out.append((g, sf, RDF_TYPE, Term.iri(tv)))
+                continue
+            if k.startswith("@"):
+                raise ValueError(f"unsupported JSON-LD keyword: {k}")
+            for v in as_list(vals):
+                out.append((g, sf, k, value_term(v, g)))
+        return s
+
+    if isinstance(doc, dict):
+        doc = [doc]
+    if not isinstance(doc, list):
+        raise ValueError("JSON-LD document must be an array or object")
+    for obj in doc:
+        node(obj, None)
+    return out
+
+
 def parse_ntriples_line(line: str):
     """One N-Triples line → (s, p, o Term) or None (blank/comment)."""
     line = line.strip()

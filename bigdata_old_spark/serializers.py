@@ -39,6 +39,7 @@ MIME_FORMATS = {
     "application/trix": "trix",
     "application/trig": "trig",
     "application/rdf+json": "rdfjson",
+    "application/ld+json": "jsonld",
     "text/rdf+n3": "n3",
     "text/n3": "n3",
 }
@@ -439,7 +440,11 @@ def trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
         if g is None:
             out.extend(t.strip() for t in body)
         else:
-            out.append(f"<{g}> {{")
+            # same resource rendering as term_n3: bnode graph labels
+            # ("_:b…", legal in TriG) print as-is, IRIs bracketed —
+            # f"<{g}>" would emit the invalid <_:b…>
+            label = g if g.startswith("_:") else f"<{g}>"
+            out.append(f"{label} {{")
             out.extend(body)
             out.append("}")
     return "\n".join(out) + "\n"
@@ -468,6 +473,49 @@ def rdfjson(df: DataFrame) -> str:
             elif o["dt"] and o["dt"] != XSD_STRING:
                 val["datatype"] = o["dt"]
         out.setdefault(skey, {}).setdefault(p["lex"], []).append(val)
+    return _json.dumps(out, indent=1)
+
+
+def jsonld(df: DataFrame) -> str:
+    """JSON-LD writer — EXPANDED, FLATTENED form (no @context; the
+    profile Sesame's JSONLDWriter emits by default, which is what the
+    reference serves through ConnegUtil's registry,
+    ConnegUtil.java:122-144): a top-level array of node objects keyed
+    by @id, rdf:type as @type, literals as {"@value", "@language"? ,
+    "@type"?} arrays, bnodes as "_:label" ids.  Rows with a non-null
+    flat-string ``g`` column group into {"@id": g, "@graph": [...]}
+    named-graph objects."""
+    import json as _json
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    has_g = "g" in df.columns
+    cols = ["s", "p", "o"] + (["g"] if has_g else [])
+    graphs: dict = {}
+    for r in df.select(*cols).collect():
+        s, p, o = r["s"], r["p"], r["o"]
+        g = r["g"] if has_g else None
+        skey = f"_:{s['lex']}" if s["kind"] == KIND_BNODE else s["lex"]
+        node = graphs.setdefault(g, {}).setdefault(skey, {"@id": skey})
+        if p["lex"] == RDF_TYPE and o["kind"] == KIND_IRI:
+            node.setdefault("@type", []).append(o["lex"])
+            continue
+        if o["kind"] == KIND_IRI:
+            val = {"@id": o["lex"]}
+        elif o["kind"] == KIND_BNODE:
+            val = {"@id": f"_:{o['lex']}"}
+        else:
+            val = {"@value": o["lex"]}
+            if o["lang"]:
+                val["@language"] = o["lang"]
+            elif o["dt"] and o["dt"] != XSD_STRING:
+                val["@type"] = o["dt"]
+        node.setdefault(p["lex"], []).append(val)
+    out: list = []
+    default = graphs.pop(None, {})
+    out.extend(default[k] for k in sorted(default))
+    for g in sorted(graphs):
+        out.append({"@id": g,
+                    "@graph": [graphs[g][k] for k in sorted(graphs[g])]})
     return _json.dumps(out, indent=1)
 
 
@@ -500,6 +548,7 @@ _STRING_WRITERS = {
     "trix": trix,
     "trig": trig,
     "rdfjson": rdfjson,
+    "jsonld": jsonld,
     "n3": n3,
 }
 

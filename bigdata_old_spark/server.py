@@ -58,6 +58,7 @@ _FORMAT_MIME = {
     "trix": "application/trix",
     "trig": "application/trig",
     "rdfjson": "application/rdf+json",
+    "jsonld": "application/ld+json",
     "n3": "text/rdf+n3",
 }
 
@@ -76,6 +77,7 @@ _RDF_INSERT_TYPES = frozenset(
         "application/rdf+xml",
         "application/trix",
         "application/rdf+json",
+        "application/ld+json",
     }
 )
 
@@ -446,6 +448,8 @@ class SparqlHandler(BaseHTTPRequestHandler):
             return rio.parse_trix(body)
         if ctype == "application/rdf+json":
             return [(None, s, pp, o) for s, pp, o in rio.parse_rdfjson(body)]
+        if ctype == "application/ld+json":
+            return rio.parse_jsonld(body)
         raise LookupError(ctype)
 
     def _do_insert_body(self, p: dict, ctype: str, body: str) -> None:

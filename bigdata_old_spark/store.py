@@ -85,6 +85,9 @@ class TripleStore:
         self._sameas_canon_cache = None  # (member, canon) DataFrame
         self._sameas_mem_cache = None    # (term, cls) DataFrame
         self._canon_lex_cache: dict = {}  # IRI lex → canon | None
+        # member→canon driver dict when the map fits the broadcast
+        # bound (canon_of_lex); False = probed and too big
+        self._canon_dict_cache: dict | bool | None = None
 
     _merged_cache: DataFrame | None = None
 
@@ -418,13 +421,28 @@ class TripleStore:
     SAMEAS_MEM_BROADCAST_ROWS = 1_000_000
 
     def _sameas_mem(self):
-        """(term, cls) clique membership, computed once per store —
+        """(term, cls) membership of the SAFE cliques only — derived from
+        the stored member→canonical mapping, computed once per store and
         broadcast-hinted when small so the per-pattern backchain
-        expansion joins never shuffle the matched rows."""
-        if self._sameas_mem_cache is None:
-            from bigdata_old_spark.inference import _sameas_cliques
+        expansion joins never shuffle the matched rows.
 
-            mem = _sameas_cliques(self.statements).localCheckpoint(eager=True)
+        Deliberately NOT _sameas_cliques(statements): UNSAFE
+        (schema-positioned) cliques keep the exact materialized
+        RuleOwlSameAs replication in a canonical closure, so their rows
+        are already fanned out in the data — expanding them again at the
+        access path would duplicate SELECT rows and break the exact bag
+        semantics (COUNT/SUM) the backchain guarantees.  The safe map is
+        also what _canon_pattern_consts rewrites constants through, so
+        both backchain halves see the same clique set."""
+        if self._sameas_mem_cache is None:
+            cm = self._sameas_canon_map()
+            mem = (
+                cm.select(F.col("member").alias("term"), F.col("canon").alias("cls"))
+                .unionByName(cm.select(F.col("canon").alias("term"),
+                                       F.col("canon").alias("cls")))
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
             if mem.count() <= self.SAMEAS_MEM_BROADCAST_ROWS:
                 mem = F.broadcast(mem)
             self._sameas_mem_cache = mem
@@ -432,9 +450,25 @@ class TripleStore:
 
     def canon_of_lex(self, lex: str) -> str | None:
         """Canonical id for an IRI that is a mapped (safe-clique) member,
-        else None — memoized per store; each miss is one filtered take(1)
-        on the cached linear mapping, never a driver-side copy of it."""
-        if lex not in self._canon_lex_cache:
+        else None — memoized per store.  Below SAMEAS_MEM_BROADCAST_ROWS
+        the whole linear mapping is collected ONCE into a driver dict
+        (same ≤1M-row memory bound as the broadcast hint), so a query
+        with many distinct alias constants pays one job total instead of
+        one filtered take(1) per constant; above the threshold each miss
+        stays a filtered take(1) — never a driver copy of a crawl-scale
+        map."""
+        if lex in self._canon_lex_cache:
+            return self._canon_lex_cache[lex]
+        if self._canon_dict_cache is None:
+            cm = self._sameas_canon_map()
+            head = cm.limit(self.SAMEAS_MEM_BROADCAST_ROWS + 1).collect()
+            if len(head) <= self.SAMEAS_MEM_BROADCAST_ROWS:
+                self._canon_dict_cache = {r["member"]: r["canon"] for r in head}
+            else:
+                self._canon_dict_cache = False  # too big — point lookups
+        if self._canon_dict_cache is not False:
+            self._canon_lex_cache[lex] = self._canon_dict_cache.get(lex)
+        else:
             rows = self._sameas_canon_map().where(
                 F.col("member") == lex).take(1)
             self._canon_lex_cache[lex] = rows[0]["canon"] if rows else None
@@ -477,18 +511,47 @@ class TripleStore:
         w.parquet(path)
         self._write_flags_sidecar(path)
 
+    def _flags_json(self) -> str:
+        import json
+
+        return json.dumps({"union_default_graph": self.union_default_graph,
+                           "sameas_mode": self.sameas_mode})
+
     def _write_flags_sidecar(self, path: str) -> None:
         """Persist the store's semantics flags next to the data (an
         underscore-prefixed subdir, invisible to the parquet reader —
         the same Spark-text sidecar shape the IVF index uses for its
         centroids), so from_parquet/from_bucketed reopen a canonical-
         mode store as canonical without the caller re-flagging it."""
+        (self.spark.createDataFrame([(self._flags_json(),)], "j string")
+         .coalesce(1).write.mode("overwrite").text(path + "/_bdos_flags"))
+
+    def _write_flags_tblproperties(self, table: str) -> None:
+        """Persist the semantics flags IN the table definition
+        (TBLPROPERTIES), so a MANAGED table (write_bucketed with no
+        path — no directory to drop a sidecar into) round-trips
+        sameas_mode/union_default_graph through from_table.  External
+        tables get both (the sidecar survives catalog loss; the
+        property serves same-catalog reopens)."""
+        flags = self._flags_json().replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE `{table}` SET TBLPROPERTIES ('bdos.flags' = '{flags}')")
+
+    @staticmethod
+    def _apply_flags_tblproperties(spark: SparkSession, table: str,
+                                   st: "TripleStore") -> "TripleStore":
         import json
 
-        flags = {"union_default_graph": self.union_default_graph,
-                 "sameas_mode": self.sameas_mode}
-        (self.spark.createDataFrame([(json.dumps(flags),)], "j string")
-         .coalesce(1).write.mode("overwrite").text(path + "/_bdos_flags"))
+        try:
+            rows = spark.sql(f"SHOW TBLPROPERTIES `{table}`").collect()
+            props = {r["key"]: r["value"] for r in rows}
+            flags = json.loads(props["bdos.flags"])
+        except Exception:
+            return st  # pre-r10 table or no flags property
+        st.union_default_graph = flags.get(
+            "union_default_graph", st.union_default_graph)
+        st.sameas_mode = flags.get("sameas_mode")
+        return st
 
     @staticmethod
     def _apply_flags_sidecar(spark: SparkSession, path: str, st: "TripleStore") -> "TripleStore":
@@ -544,6 +607,7 @@ class TripleStore:
         if path is not None:
             w = w.option("path", path)
         w.saveAsTable(table)
+        self._write_flags_tblproperties(table)
         if path is not None:
             # flags sidecar (see _write_flags_sidecar): underscore dir,
             # ignored by both the parquet reader and RECOVER PARTITIONS
@@ -602,11 +666,12 @@ class TripleStore:
         so subject joins skip the shuffle (verify: no Exchange in
         explain)."""
         df = spark.read.table(table)
-        return TripleStore(
+        st = TripleStore(
             spark,
             df.select(*[f.name for f in STATEMENTS_SCHEMA.fields]),
             has_named_graphs=has_named_graphs,
         )
+        return TripleStore._apply_flags_tblproperties(spark, table, st)
 
 
 def _apply_load_closure(st: "TripleStore", closure: str) -> "TripleStore":

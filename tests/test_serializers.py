@@ -261,6 +261,83 @@ def test_conneg_trig_construct(st):
     assert len(parse_trig(doc)) == 4  # default-graph triples, no blocks
 
 
+def test_jsonld_roundtrip_and_conneg(st):
+    """JSON-LD writer ↔ parser round-trip (expanded/flattened form, the
+    Sesame JSONLDWriter default profile served via ConnegUtil) over
+    IRI / typed / lang-tagged objects, including rdf:type → @type."""
+    import json
+
+    from bigdata_old_spark.rio import parse_jsonld
+
+    doc = st.serialize(
+        P + "CONSTRUCT { ?s ?p ?o . ?s a :Thing } WHERE { ?s ?p ?o }",
+        format="application/ld+json")
+    parsed = json.loads(doc)
+    assert isinstance(parsed, list)
+    by_id = {n["@id"]: n for n in parsed}
+    assert by_id[EX + "a"]["@type"] == [EX + "Thing"]
+    assert {"@id": EX + "b"} in by_id[EX + "a"][EX + "knows"]
+    rows = parse_jsonld(doc)
+    got = {(g, s, p, o.kind, o.lex, o.dt, o.lang) for g, s, p, o in rows}
+    assert (None, EX + "a", EX + "knows", 0, EX + "b", None, None) in got
+    assert (None, EX + "a",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            0, EX + "Thing", None, None) in got
+    typed = [t for t in got if t[5] is not None]
+    assert ("http://www.w3.org/2001/XMLSchema#integer"
+            in {t[5] for t in typed})
+    assert any(t[6] == "en" for t in got)
+    # round-trip is lossless: re-serializing the parsed rows through
+    # the store equals the source statement set
+    assert len(rows) == 6  # 4 statements + 2 rdf:type
+
+
+def test_jsonld_named_graphs_and_native_values(spark):
+    """Named graphs nest under {"@id": g, "@graph": [...]}; JSON native
+    values in hand-written documents coerce per the JSON-LD data
+    model."""
+    from bigdata_old_spark.rio import parse_jsonld
+    from bigdata_old_spark.serializers import jsonld
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.model import iri_col_to_term, obj_cols_to_term
+
+    st2 = TripleStore.from_turtle(spark, "").update(
+        P + 'INSERT DATA { :d :v "top" GRAPH :g1 { :x :v "a"@en } }')
+    quads = st2.statements.select(
+        iri_col_to_term(F.col("s")).alias("s"),
+        iri_col_to_term(F.col("p")).alias("p"),
+        obj_cols_to_term("o_").alias("o"),
+        F.col("g"),
+    )
+    rows = parse_jsonld(jsonld(quads))
+    assert {(g, s) for g, s, p, o in rows} == {
+        (None, EX + "d"), (EX + "g1", EX + "x")}
+    lang = [o for g, s, p, o in rows if g is not None][0]
+    assert lang.lang == "en" and lang.lex == "a"
+    # hand-written document with JSON natives + embedded node
+    doc = """[{"@id": "http://e/x", "http://e/n": [{"@value": 5}],
+               "http://e/f": [{"@value": 2.5}],
+               "http://e/b": [{"@value": true}],
+               "http://e/r": [{"@id": "http://e/y",
+                               "http://e/name": [{"@value": "inner"}]}]}]"""
+    got = {(s, p, o.kind, o.lex, o.dt) for g, s, p, o in parse_jsonld(doc)}
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert ("http://e/x", "http://e/n", 2, "5", XSD + "integer") in got
+    assert ("http://e/x", "http://e/b", 2, "true", XSD + "boolean") in got
+    assert ("http://e/x", "http://e/r", 0, "http://e/y", None) in got
+    assert ("http://e/y", "http://e/name", 2, "inner", None) in got or \
+           ("http://e/y", "http://e/name", 2, "inner", XSD + "string") in got
+
+
+def test_jsonld_rejects_compacted(spark):
+    from bigdata_old_spark.rio import parse_jsonld
+
+    with pytest.raises(ValueError, match="@context"):
+        parse_jsonld('{"@context": {"n": "http://e/n"}, '
+                     '"@id": "http://e/x", "n": "v"}')
+
+
 def test_rdfjson_roundtrip_and_conneg(st):
     """RDF/JSON writer ↔ parser round-trip (W3C Note shape: subject →
     predicate → value objects) over IRI / plain / lang / typed

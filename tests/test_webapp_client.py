@@ -330,21 +330,34 @@ def _parse_graph(accept, body):
         return rio.parse_turtle(body)
     if accept == "application/trix":
         return rio.parse_trix(body)
+    if accept == "application/ld+json":
+        return rio.parse_jsonld(body)
     return [ln for ln in body.splitlines() if ln.strip()]  # N-Triples
 
 
 @pytest.mark.parametrize("accept", [
     "application/rdf+xml", "application/n-triples", "text/turtle",
-    "application/trix", "text/rdf+n3"])
+    "application/trix", "text/rdf+n3", "application/ld+json"])
 @pytest.mark.parametrize("query,nexpected", [(DESCRIBE_Q, 3), (CONSTRUCT_Q, 1)])
 def test_describe_construct_conneg(repo, accept, query, nexpected):
     """GET DESCRIBE/CONSTRUCT in each served RDF interchange format
     (test_GET_DESCRIBE_* / test_GET_CONSTRUCT_* incl. the TRIX and NB/N3
-    variants, served since round 9)."""
+    variants served since round 9, JSON-LD since round 10)."""
     repo.add(_SETUP_NT, content_type="application/n-triples")
     ctype, body = _graph_via(repo, query, accept)
     assert ctype == accept
     assert len(_parse_graph(accept, body)) == nexpected
+
+
+def test_insert_jsonld_body(repo):
+    """POST-with-body bulk insert accepts application/ld+json
+    (InsertServlet.doPostWithBody through the RIO registry)."""
+    doc = ('[{"@id": "%sMike", "%slikes": [{"@id": "%sJSONLD"}],'
+           ' "@type": ["%sPerson"]}]') % (BD, BD, BD, BD)
+    n = repo.add(doc, content_type="application/ld+json")
+    assert n == 2
+    assert repo.boolean_query(
+        f"ASK {{ <{BD}Mike> <{BD}likes> <{BD}JSONLD> }}") is True
 
 
 # -- atomic PUT update-with-query ----------------------------------------------------
