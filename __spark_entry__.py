@@ -1952,6 +1952,40 @@ def _q_sameas_backchain_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k")["num"].cast("bigint").alias("k"))
 
 
+def _q_sameas_canonical_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical sameAs × QUADS composition (VERDICT r9 #5): the data
+    triples live in per-region NAMED graphs, the sameAs cliques in the
+    default graph.  An alias constant inside GRAPH ?g must canonicalize
+    and match, ?g must bind the GRAPH NAME (graphs are never renamed or
+    expanded), and the per-graph rows must fan back out exactly like
+    the graph-local materialized replication (sameAs2/3 carry g)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.model import Term, statements_df_from_terms
+    from bigdata_old_spark.store import TripleStore
+
+    sa = _sameas_clique_statements(spark, sf_dir)
+    rows = (
+        _read(spark, sf_dir, "nation")
+        .join(_read(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "r_name", "n_nationkey").collect()
+    )
+    data = statements_df_from_terms(
+        [(f"urn:tpch:g:{r['r_name']}", f"urn:tpch:nation:{r['n_name']}",
+          "urn:tpch:p:key", Term.integer(int(r["n_nationkey"])))
+         for r in rows],
+        spark,
+    )
+    st = TripleStore(spark, sa.unionByName(data)).closure(sameas="canonical")
+    df = st.query(
+        "SELECT ?g ?k WHERE { GRAPH ?g { "
+        "<urn:tpch:region:AMERICA> <urn:tpch:p:key> ?k } }")
+    return df.select(
+        F.col("g")["lex"].alias("g"),
+        F.col("k")["num"].cast("bigint").alias("k"))
+
+
 _SAMEAS_MEM_SQL = """mem AS (
              SELECT r_regionkey AS cid, 'urn:tpch:region:' || r_name AS t
              FROM region
@@ -1986,6 +2020,12 @@ _FORM_QUERIES: dict[str, tuple] = {
         f"""WITH {_SAMEAS_MEM_SQL}
            SELECT m.t AS x, d.n_nationkey AS k
            FROM nation d JOIN mem m ON d.n_regionkey = m.cid""",
+    ),
+    "q40_sameas_canonical_quads": (
+        _q_sameas_canonical_quads,
+        """SELECT 'urn:tpch:g:' || r_name AS g, n_nationkey AS k
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'AMERICA'""",
     ),
     "q34_weighted_sssp": (
         _q_weighted_sssp,
