@@ -301,10 +301,25 @@ class SparqlHandler(BaseHTTPRequestHandler):
             new_store = self._get_store().update(
                 sparql_update, change_log=cache, dataset=dataset
             )
+            self._warm_mutated(new_store)
             self._set_store(new_store)
             if cache is not None:
                 cache.rebind(new_store)
         self._reply(200, "", "text/plain")
+
+    @staticmethod
+    def _warm_mutated(store) -> None:
+        """Pay the new store's one-time per-swap costs in the WRITER
+        request (stats dirty-predicate recompute, named-graph probe)
+        instead of taxing the first reader of every swap — the OLTP
+        half of the r10 writer-mix fix (the library update path stays
+        lazy; only the server pre-warms)."""
+        try:
+            if store._stats is not None or store._stats_dirty:
+                store.stats()
+            _ = store.has_named_graphs
+        except Exception:
+            pass  # warming must never fail the mutation
 
     # -- NanoSparqlServer REST extensions ------------------------------------
     # (QueryServlet ESTCARD/CONTEXTS/uuid, InsertServlet POST-with-body,
@@ -429,6 +444,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
                     and cache is not None:
                 cache.change_event(ChangeSet("rest", added=added, removed=removed))
                 cache.rebind(store)
+            self._warm_mutated(store)
             self._set_store(store)
         return n
 

@@ -213,43 +213,95 @@ class TripleStore:
 
     # -- statistics (lazy, cached) ----------------------------------------------
     _stats = None
+    _stats_dirty: set | None = None
 
     def stats(self) -> dict:
         """Cardinality statistics for join ordering: total triples and,
         per predicate, (count, ndv(subject), ndv(object)).  The Spark
         replacement for the reference's rangeCount-based estimates
         (AccessPath.rangeCount, ASTRangeCountOptimizer) — one
-        aggregation pass, cached; ~#predicates rows on the driver."""
-        if self._stats is None:
-            from pyspark.sql import functions as F
+        aggregation pass, cached; ~#predicates rows on the driver.
 
-            rows = (
-                self.statements.groupBy("p")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.approx_count_distinct("s").alias("ns"),
-                    F.approx_count_distinct("o_lex").alias("no"),
-                )
-                .collect()
-            )
-            # exact functionality test per predicate (star-join planning
-            # must NOT guess: first(when) on a multi-valued predicate
-            # would drop solutions).  max statements per (p,s) == 1 ⇔
-            # strictly functional; two-phase agg, one pass, cached.
-            fn_rows = (
-                self.statements.groupBy("p", "s")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .groupBy("p")
-                .agg(F.max("c").alias("maxn"))
-                .collect()
-            )
-            maxn = {r["p"]: r["maxn"] for r in fn_rows}
-            by_p = {
-                r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1), maxn.get(r["p"], 1))
-                for r in rows
-            }
+        Mutations carry the cache forward with a DIRTY-predicate set
+        (_carry_stats_from): the next stats() call re-aggregates only
+        the touched predicates' pruned partitions instead of the whole
+        corpus — without this, a server doing small UPDATEs makes every
+        subsequent read pay two corpus aggregations per store swap."""
+        if self._stats is None:
+            by_p = self._stats_by_p(None)
             self._stats = {"total": sum(v[0] for v in by_p.values()), "by_p": by_p}
+        elif self._stats_dirty:
+            upd = self._stats_by_p(sorted(self._stats_dirty))
+            by_p = self._stats["by_p"]
+            for p in self._stats_dirty:
+                by_p.pop(p, None)
+            by_p.update(upd)
+            self._stats = {"total": sum(v[0] for v in by_p.values()), "by_p": by_p}
+            self._stats_dirty = set()
         return self._stats
+
+    def _stats_by_p(self, preds: list | None) -> dict:
+        """(count, ndv(s), ndv(o), max-per-(p,s)) per predicate — over
+        all predicates (preds=None) or a pruned subset."""
+        from pyspark.sql import functions as F
+
+        df = self.statements
+        if preds is not None:
+            if not preds:
+                return {}
+            df = df.where(F.col("p").isin(*preds))
+        rows = (
+            df.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("s").alias("ns"),
+                F.approx_count_distinct("o_lex").alias("no"),
+            )
+            .collect()
+        )
+        # exact functionality test per predicate (star-join planning
+        # must NOT guess: first(when) on a multi-valued predicate
+        # would drop solutions).  max statements per (p,s) == 1 ⇔
+        # strictly functional; two-phase agg, one pass, cached.
+        fn_rows = (
+            df.groupBy("p", "s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("p")
+            .agg(F.max("c").alias("maxn"))
+            .collect()
+        )
+        maxn = {r["p"]: r["maxn"] for r in fn_rows}
+        return {
+            r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1), maxn.get(r["p"], 1))
+            for r in rows
+        }
+
+    #: after this many CHAINED mutations the statements plan compacts
+    #: (localCheckpoint) — each mutation layers a (small, checkpointed)
+    #: union/anti-join onto the read plan, and an unbounded chain makes
+    #: reads linear in mutation count.  This is the OLTP analog of the
+    #: reference's journal compaction; a production deployment would
+    #: periodically rewrite the serving layout instead (write_bucketed).
+    MUTATION_COMPACT_DEPTH = 8
+    _mut_depth = 0
+
+    def _bump_mutation_depth(self, src: "TripleStore") -> "TripleStore":
+        self._mut_depth = getattr(src, "_mut_depth", 0) + 1
+        if self._mut_depth >= self.MUTATION_COMPACT_DEPTH:
+            self.statements = self.statements.localCheckpoint(eager=True)
+            self._mut_depth = 0
+        return self
+
+    def _carry_stats_from(self, src: "TripleStore", dirty_preds) -> None:
+        """Carry the source store's cached stats across a mutation whose
+        touched-predicate set is known (driver-side, from the UPDATE
+        op's ground quads / constant-predicate templates).  ``None`` =
+        unknown touch set — no carry, next stats() recomputes fully."""
+        if src._stats is None or dirty_preds is None:
+            return
+        self._stats = {"total": src._stats["total"],
+                       "by_p": dict(src._stats["by_p"])}
+        self._stats_dirty = set(src._stats_dirty or ()) | set(dirty_preds)
 
     # -- full-text index (lazy, cached) ----------------------------------------
     _text_index = None
@@ -474,8 +526,42 @@ class TripleStore:
             self._canon_lex_cache[lex] = rows[0]["canon"] if rows else None
         return self._canon_lex_cache[lex]
 
+    #: prune the add()/InsertData dedup probe to the incoming rows'
+    #: predicate partitions when they number at most this many (an
+    #: isin() of hundreds of literals stops helping the pruner)
+    ADD_PROBE_PRED_CAP = 64
+
     def add(self, other: DataFrame) -> "TripleStore":
-        return self.with_statements(self.statements.unionByName(other).dropDuplicates())
+        """Set-semantics insert as a DELTA overlay: the incoming rows
+        dedup internally, anti-join ONCE (eagerly, predicate-pruned)
+        against the current statements, and union in WITHOUT a
+        corpus-wide dropDuplicates.  The old unionByName+dropDuplicates
+        stacked a full-corpus dedup aggregate into EVERY subsequent
+        read plan — after a handful of server mutations, reads
+        re-evaluated the whole mutation chain per query (r10: a
+        1-writer QMpH run wedged the readers exactly that way).  Here
+        the write pays one bounded job (probe pruned to the touched
+        predicates' partitions) and reads pay a plain union with a
+        small checkpointed delta."""
+        cand = other.select(*self.statements.columns).dropDuplicates()
+        preds = [r["p"] for r in cand.select("p").distinct().collect()]
+        if not preds:
+            return self.with_statements(self.statements)
+        probe = self.statements
+        if len(preds) <= self.ADD_PROBE_PRED_CAP:
+            probe = probe.where(F.col("p").isin(*preds))
+        cond = None
+        for c in self.statements.columns:
+            e = F.col(f"__n.{c}").eqNullSafe(F.col(f"__b.{c}"))
+            cond = e if cond is None else (cond & e)
+        new = (
+            cand.alias("__n")
+            .join(probe.alias("__b"), cond, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        st = self.with_statements(self.statements.unionByName(new))
+        st._carry_stats_from(self, preds)
+        return st._bump_mutation_depth(self)
 
     def remove(self, other: DataFrame) -> "TripleStore":
         # null-SAFE key equality: joining on bare column names uses
@@ -491,10 +577,16 @@ class TripleStore:
         for c in right.columns:
             e = F.col(f"__st.{c}").eqNullSafe(F.col(f"__rm.{c}"))
             cond = e if cond is None else (cond & e)
-        return self.with_statements(
+        st = self.with_statements(
             left.join(right, cond, "left_anti"),
             has_named_graphs=self._has_ng and None,
         )
+        if self._stats is not None:
+            # carry the stats cache across the removal — the victim
+            # rows' predicates (request-bound) are the only dirty ones
+            preds = [r["p"] for r in right.select("p").distinct().collect()]
+            st._carry_stats_from(self, preds)
+        return st._bump_mutation_depth(self)
 
     def persist(self) -> "TripleStore":
         self.statements = self.statements.persist()

@@ -367,27 +367,39 @@ def _ground_quads_df(spark, quads: list, default_graph: str | None = None,
     return spark.createDataFrame(rows, STATEMENTS_SCHEMA)
 
 
-def _victim_cond(base: DataFrame, v: DataFrame, wild_g: bool):
-    """Join condition matching base rows to victim rows.  ``wild_g``
-    implements the reference's unioned-default-graph removal semantics
-    (BigdataSail quads mode; Sesame removeStatements with a null
-    context): a victim with NO graph deletes the (s,p,o) from EVERY
-    graph, while a graph-scoped victim deletes exactly its quad.
-    Ported behavior pinned by TestSparqlUpdate.testDeleteInsertWhere /
-    testDeleteData (data lives only in named graphs; the unscoped
-    delete must remove it)."""
+def _victim_cond(base: DataFrame, v: DataFrame, keys=_KEYS):
+    """Conjunctive null-safe equality on ``keys`` — a HASH-JOINABLE
+    condition (Spark plans <=> keys as BroadcastHashJoin/SMJ).  The
+    old form folded the wild-graph wildcard in as an OR disjunct,
+    which forced BroadcastNestedLoopJoin — a full corpus × victims
+    scan per mutation layer in every subsequent read plan."""
     cond = None
-    for k in _KEYS:
+    for k in keys:
         c = base[k].eqNullSafe(v[f"__v_{k}"])
-        if k == "g" and wild_g:
-            c = v["__v_g"].isNull() | base["g"].eqNullSafe(v["__v_g"])
         cond = c if cond is None else (cond & c)
     return cond
 
 
+_KEYS_NOG = [k for k in _KEYS if k != "g"]
+
+
 def _anti_remove(base: DataFrame, victims: DataFrame, wild_g: bool = False) -> DataFrame:
+    """Remove victim rows from base.  ``wild_g`` implements the
+    reference's unioned-default-graph removal semantics (BigdataSail
+    quads mode; Sesame removeStatements with a null context): a victim
+    with NO graph deletes the (s,p,o) from EVERY graph, while a
+    graph-scoped victim deletes exactly its quad — expressed as TWO
+    hash anti-joins (graph-bound victims on all keys, null-graph
+    victims on the g-less keys) so neither degrades to a nested loop.
+    Ported behavior pinned by TestSparqlUpdate.testDeleteInsertWhere /
+    testDeleteData."""
     v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
-    return base.join(v, _victim_cond(base, v, wild_g), "left_anti")
+    if not wild_g:
+        return base.join(v, _victim_cond(base, v), "left_anti")
+    vb = v.where(F.col("__v_g").isNotNull())
+    vn = v.where(F.col("__v_g").isNull())
+    out = base.join(vb, _victim_cond(base, vb), "left_anti")
+    return out.join(vn, _victim_cond(out, vn, _KEYS_NOG), "left_anti")
 
 
 def _sid_cascade(base: DataFrame, gone: DataFrame) -> DataFrame:
@@ -439,9 +451,19 @@ def _sid_cascade(base: DataFrame, gone: DataFrame) -> DataFrame:
 
 def _semi_match(base: DataFrame, victims: DataFrame, wild_g: bool = False) -> DataFrame:
     """Rows of base that match a victim — the ACTUAL removal delta
-    (requested-but-absent victims drop out)."""
+    (requested-but-absent victims drop out).  Same two-hash-join split
+    as _anti_remove; the two match sets are made disjoint (a row
+    matching a graph-bound victim is excluded from the null-graph
+    probe) so the union stays duplicate-free."""
     v = victims.select(*[F.col(k).alias(f"__v_{k}") for k in _KEYS]).dropDuplicates()
-    return base.join(v, _victim_cond(base, v, wild_g), "left_semi")
+    if not wild_g:
+        return base.join(v, _victim_cond(base, v), "left_semi")
+    vb = v.where(F.col("__v_g").isNotNull())
+    vn = v.where(F.col("__v_g").isNull())
+    m1 = base.join(vb, _victim_cond(base, vb), "left_semi")
+    rest = base.join(vb, _victim_cond(base, vb), "left_anti")
+    m2 = rest.join(vn, _victim_cond(rest, vn, _KEYS_NOG), "left_semi")
+    return m1.unionByName(m2)
 
 
 def _template_to_statements(sol_df: DataFrame, template: list, resolve, default_graph: str | None) -> DataFrame:
@@ -559,6 +581,7 @@ def execute_update(store, text: str, change_log=None, dataset=None):
         change_log.transaction_begin()
     try:
         for op in ops:
+            prev = store
             if store.truth_maintenance and isinstance(
                 op, (InsertData, DeleteData, DeleteInsert, LoadOp, ClearOp, DropOp, CopyOp)
             ):
@@ -566,6 +589,8 @@ def execute_update(store, text: str, change_log=None, dataset=None):
             else:
                 store = _execute_one(store, op, change_log)
             store.union_default_graph = union_flag
+            if store is not prev:
+                store._bump_mutation_depth(prev)
     except Exception:
         if change_log is not None:
             change_log.transaction_aborted()
@@ -726,19 +751,40 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
 
     if isinstance(op, InsertData):
         add = _ground_quads_df(spark, op.quads)
-        delta = snap(_anti_new_stmts(add, df))
-        out = store.with_statements(df.unionByName(delta))
+        preds = sorted({t.p.lex for _, t in op.quads})
+        probe = df
+        if 0 < len(preds) <= store.ADD_PROBE_PRED_CAP:
+            # the dedup probe reads only the touched predicates'
+            # pruned partitions — the write pays one bounded job
+            probe = df.where(F.col("p").isin(*preds))
+        # ALWAYS checkpointed (not snap): a lazy delta makes every
+        # later read replay the anti-join, and each further update
+        # compounds the chain — the r10 writer-mix wedge
+        delta = _anti_new_stmts(add, probe).localCheckpoint(eager=True)
+        # has_named_graphs carries driver-side: the op's quads say
+        # whether a named graph can appear (no per-swap corpus probe)
+        ng = True if any(isinstance(g, Term) for g, _ in op.quads) \
+            else store._has_ng
+        out = store.with_statements(df.unionByName(delta), has_named_graphs=ng)
+        out._carry_stats_from(store, preds)
         emit("InsertData", added=delta)
         return _maintain_text_index(store, out, added=delta)
     if isinstance(op, DeleteData):
         victims = _ground_quads_df(spark, op.quads, forbid_bnodes=True)
         wild = store.union_default_graph
         if store.sid_map is not None:
+            # cascade victims' predicates are unknown driver-side —
+            # no stats carry in SIDs mode
             gone = _sid_cascade(df, _semi_match(df, victims, wild))
             out = store.with_statements(_anti_remove(df, gone))
         else:
             gone = snap(_semi_match(df, victims, wild))
-            out = store.with_statements(_anti_remove(df, victims, wild))
+            # a delete never CREATES a named graph: True stays
+            # (conservatively — merged-scan correctness is unaffected),
+            # False stays False; no per-swap probe either way
+            out = store.with_statements(_anti_remove(df, victims, wild),
+                                        has_named_graphs=store._has_ng)
+            out._carry_stats_from(store, sorted({t.p.lex for _, t in op.quads}))
         emit("DeleteData", removed=gone)
         return _maintain_text_index(store, out, removed=gone)
     if isinstance(op, DeleteInsert):
@@ -773,9 +819,28 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
                 out = _anti_remove(out, victims, wild)
         if op.insert_template:
             adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
-            adds_delta = snap(_anti_new_stmts(adds, out))
+            ipreds = {tp.p for _, tp in op.insert_template}
+            probe = out
+            if (all(isinstance(p_, Term) for p_ in ipreds)
+                    and 0 < len(ipreds) <= store.ADD_PROBE_PRED_CAP):
+                probe = out.where(
+                    F.col("p").isin(*sorted(p_.lex for p_ in ipreds)))
+            # always checkpointed — bounded by solutions × template,
+            # and a lazy anti-join would replay per read (see InsertData)
+            adds_delta = _anti_new_stmts(adds, probe).localCheckpoint(eager=True)
             out = out.unionByName(adds_delta)
-        new_store = store.with_statements(out)
+        # named-graph flag carries driver-side; a template writing into
+        # any graph position (or under WITH) flips it to a conservative
+        # True — merged-scan correctness never depends on a False here
+        ng = store._has_ng
+        if op.insert_template and (op.with_graph or any(
+                g_ is not None for g_, _ in op.insert_template)):
+            ng = True
+        new_store = store.with_statements(out, has_named_graphs=ng)
+        tmpl = list(op.delete_template or []) + list(op.insert_template or [])
+        tpreds = {tp.p for _, tp in tmpl}
+        if store.sid_map is None and all(isinstance(p_, Term) for p_ in tpreds):
+            new_store._carry_stats_from(store, sorted(p_.lex for p_ in tpreds))
         emit("DeleteInsert", added=adds_delta, removed=gone)
         return _maintain_text_index(store, new_store, added=adds_delta, removed=gone)
     if isinstance(op, ClearOp) or isinstance(op, DropOp):

@@ -822,3 +822,66 @@ def test_template_bnode_shared_within_solution(spark):
         & (F.col("o_lex") == "t")).collect()
     assert len(tag) == 1 and len(lbl) == 1
     assert tag[0]["o_lex"] == lbl[0]["s"].removeprefix("_:")
+
+
+# -- round 10: OLTP mutation-path scale fixes ---------------------------------
+
+def test_insert_updates_functional_stats(spark):
+    """Stats carry across mutations with a DIRTY-predicate recompute —
+    and the recompute must be EXACT: an insert that makes a previously
+    functional predicate multi-valued must flip the star-join planner
+    off the first(when) scalar path, or the second value silently
+    drops."""
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://example.org/> .
+        :a :v 1 . :a :w 2 . :a :u 3 .
+        :b :v 9 . :b :w 8 . :b :u 7 .
+    """)
+    st.stats()  # prime the cache: :v is functional here
+    assert st.stats()["by_p"][EX + "v"][3] == 1
+    st2 = st.update(P + "INSERT DATA { :a :v 99 }")
+    rows = st2.query(
+        P + "SELECT ?x ?v ?w ?u WHERE { ?x :v ?v . ?x :w ?w . ?x :u ?u }"
+    ).collect()
+    vals = {(r["x"]["lex"], r["v"]["lex"]) for r in rows}
+    assert (EX + "a", "1") in vals and (EX + "a", "99") in vals
+    assert st2.stats()["by_p"][EX + "v"][3] == 2  # recomputed, exact
+
+
+def test_mutation_chain_compacts(spark):
+    """Chained small updates must not grow the read plan without bound:
+    the statements plan compacts every MUTATION_COMPACT_DEPTH ops (the
+    journal-compaction analog) and the data stays exact."""
+    st = fresh(spark)
+    n0 = st.statements.count()
+    for i in range(TripleStore.MUTATION_COMPACT_DEPTH + 2):
+        st = st.update(P + f"INSERT DATA {{ :x{i} :linked :b }}")
+    assert st._mut_depth < TripleStore.MUTATION_COMPACT_DEPTH
+    assert st.statements.count() == n0 + TripleStore.MUTATION_COMPACT_DEPTH + 2
+
+
+def test_wildcard_delete_plans_hash_join(spark):
+    """The unioned-default-graph wildcard delete must compile to HASH
+    anti-joins (graph-bound and null-graph victim sets split), never a
+    BroadcastNestedLoopJoin — a corpus × victims nested loop per
+    mutation layer wedged the r10 writer-mix benchmark."""
+    st = fresh(spark).update(P + 'INSERT DATA { GRAPH :g1 { :q :linked :b } }')
+    assert st.union_default_graph
+    st2 = st.update(P + "DELETE DATA { :q :linked :b }")  # wildcard ctx
+    assert st2.query(P + "ASK { :q :linked :b }").collect()[0]["ask"] is False
+    plan = st2.statements._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_reader_store_unaffected_by_lazy_victims(spark):
+    """DELETE DATA of an absent triple leaves results exact (the lazy
+    victim anti-join matches nothing) and repeated inserts of the SAME
+    triple stay idempotent through the pruned dedup probe."""
+    st = fresh(spark)
+    st = st.update(P + "DELETE DATA { :nosuch :linked :b }")
+    st = st.update(P + "INSERT DATA { :a :linked :b }")  # already present
+    st = st.update(P + "INSERT DATA { :a :linked :b }")
+    assert st.statements.where(
+        (F.col("s") == EX + "a") & (F.col("p") == EX + "linked")).count() == 1
