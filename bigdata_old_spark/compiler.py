@@ -812,7 +812,11 @@ class QueryCompiler:
 
         cols: list = []
         if isinstance(t.s, A.Var) and t.s.name in out.vars:
-            cols.append((t.s.name, True))
+            # s is a flat key in triple-scan units but a term STRUCT in
+            # zeroable-path units (zero-length endpoints range over
+            # every node) — trust the unit's own flat set, not the
+            # position
+            cols.append((t.s.name, t.s.name in out.flat))
         if (isinstance(t.o, A.Var) and t.o.name in out.vars
                 and all(t.o.name != n for n, _ in cols)):
             cols.append((t.o.name, t.o.name in out.flat))
@@ -1841,6 +1845,8 @@ class QueryCompiler:
         as a driver-side semi-naive loop with localCheckpoint.
         """
         zero_orig = None
+        zero_vv_inner = None  # var-var split: inner path for the zero diagonal
+        zero_vv_pure = False
         if self._backchain_mem is not None:
             # backchain constant endpoints to canonical ids; variable
             # endpoints fan out at the path boundary below (the path
@@ -1877,6 +1883,29 @@ class QueryCompiler:
                                          if n in names and d == "string")
                         return Compiled(zu, frozenset(names), flat)
                     t = _dc.replace(t, p=p_nz)
+            elif (isinstance(t.p, A.PathStar) and _path_zeroable(t.p)
+                    and isinstance(t.s, A.Var) and isinstance(t.o, A.Var)
+                    and t.s.name != t.o.name):
+                # var-var ZERO-length rows are a DIAGONAL — the per-column
+                # fan-out below would cross-product a canonical-space
+                # (c, c) row into spurious (alias_i, alias_j) pairs no
+                # materialized store returns.  Split the zero part out:
+                # the ≥1-length closure runs in canonical space (where
+                # per-column fan-out IS correct — edge replication makes
+                # every member pair reachable), and the zero diagonal is
+                # rebuilt at ALIAS level below (expand the vertex SET,
+                # then pair each member with itself).  Same-var patterns
+                # (?x p* ?x) stay on the plain path: their single output
+                # column fans out correctly.
+                p_nz, exact = _path_split_zero(t.p)
+                if exact:
+                    import dataclasses as _dc
+
+                    zero_vv_inner = t.p.path
+                    if p_nz is None:  # pure-zero: the diagonal IS the result
+                        zero_vv_pure = True
+                    else:
+                        t = _dc.replace(t, p=p_nz)
         s_name = t.s.name if isinstance(t.s, A.Var) else _fresh("ps")
         o_name = t.o.name if isinstance(t.o, A.Var) else _fresh("po")
         # endpoint bindings from already-joined sibling patterns widen
@@ -1894,6 +1923,16 @@ class QueryCompiler:
                 for p_ in parts[1:]:
                     extra_zero = extra_zero.unionByName(p_)
                 extra_zero = extra_zero.dropDuplicates()
+        if zero_vv_pure:
+            # pure-zero var-var (p{0,0}): the alias-level diagonal IS
+            # the whole result
+            src_res, dst_res = _path_ends_resource(t.p)
+            zu = self._path_zero_vv_diag(
+                zero_vv_inner, graph, extra_zero, s_name, o_name,
+                src_res, dst_res)
+            flat = frozenset(
+                n for n, r in ((s_name, src_res), (o_name, dst_res)) if r)
+            return Compiled(zu, frozenset((s_name, o_name)), flat)
         src_b = t.s if not isinstance(t.s, A.Var) else None
         dst_b = t.o if not isinstance(t.o, A.Var) else None
         pairs = self._path_pairs(t.p, graph, src_b, dst_b, extra_zero)
@@ -1940,7 +1979,39 @@ class QueryCompiler:
                 # may independently reach)
                 unit = Compiled(unit.df.unionByName(zu).dropDuplicates(),
                                 unit.certain, unit.flat)
+        if zero_vv_inner is not None:
+            # var-var: union the alias-level zero diagonal (set
+            # semantics at the closure boundary, as above)
+            zu = self._path_zero_vv_diag(
+                zero_vv_inner, graph, extra_zero, s_name, o_name,
+                src_res, dst_res)
+            unit = Compiled(unit.df.unionByName(zu).dropDuplicates(),
+                            unit.certain, unit.flat)
         return unit
+
+    def _path_zero_vv_diag(self, inner, graph, extra_zero, s_name, o_name,
+                           src_res: bool, dst_res: bool) -> DataFrame:
+        """The var-var ZERO-length diagonal over a canonical store, at
+        ALIAS level: the inner path's edge vertices (canonical space)
+        fan out across their cliques as a SET — then each member pairs
+        with ITSELF (ZeroLengthPathOp.java:53 binds both endpoints to
+        the same term; the materialized store's edge replication makes
+        every clique member a vertex, so the expanded vertex SET is the
+        materialized vertex set).  Sibling-pipelined endpoint bindings
+        (ticket739) join the domain as bound — already alias-level."""
+        from bigdata_old_spark.inference import expand_member_bindings
+
+        e = self._path_pairs(inner, graph)
+        verts = (e.select(F.col("__src").alias("__n"))
+                 .unionByName(e.select(F.col("__dst").alias("__n"))))
+        verts = expand_member_bindings(
+            verts, self._backchain_mem, [("__n", True)])
+        if extra_zero is not None:
+            verts = verts.unionByName(extra_zero)
+        verts = verts.dropDuplicates()
+        scol = F.col("__n") if src_res else _term_from_key(F.col("__n"))
+        ocol = F.col("__n") if dst_res else _term_from_key(F.col("__n"))
+        return verts.select(scol.alias(s_name), ocol.alias(o_name))
 
     def _path_zero_unit(self, t: A.TriplePattern, src_res: bool, dst_res: bool):
         """The zero-length solution row of a zeroable path whose pattern

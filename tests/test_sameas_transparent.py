@@ -75,7 +75,31 @@ EQUIV_QUERIES = [
     "SELECT ?x WHERE { :alice2 :knows? ?x }",
     "SELECT ?x WHERE { ?x :knows* :alice3 }",
     "SELECT ?x WHERE { ?x :knows? :alice1 }",
+    # var-var zeroable paths (r10): the zero-length rows are a DIAGONAL
+    # — per-column fan-out of a canonical (c, c) row would invent
+    # (alias_i, alias_j) pairs; the diagonal is rebuilt at alias level
+    "SELECT ?x ?y WHERE { ?x :knows* ?y }",
+    "SELECT ?x ?y WHERE { ?x :knows? ?y }",
+    # same-var zeroable path: single output column, plain fan-out
+    "SELECT ?x WHERE { ?x :knows* ?x }",
+    # sibling-pipelined bindings widen the zero domain (ticket739) —
+    # :nosuchprop has no edges, so the domain is exactly the ?x bindings
+    'SELECT ?x ?y WHERE { ?x :name "Alice" . ?x :nosuchprop* ?y }',
 ]
+
+
+def test_varvar_zero_diagonal_no_cross_pairs(stores):
+    """`?x :p* ?y` must NOT pair two different aliases of one clique:
+    there is no :knows path between the alice aliases, and zero-length
+    binds both ends to the SAME term."""
+    canon, mat = stores
+    q = P + "SELECT ?x ?y WHERE { ?x :knows* ?y }"
+    got = _rows(canon.query(q))
+    assert got == _rows(mat.query(q))
+    a1 = (0, "http://example.org/alice1", None, None)
+    a2 = (0, "http://example.org/alice2", None, None)
+    assert (a1, a2) not in got and (a2, a1) not in got
+    assert (a1, a1) in got and (a2, a2) in got
 
 
 def test_zero_length_path_binds_alias_not_canonical(stores):
