@@ -478,6 +478,20 @@ class QueryCompiler:
         self._named_sets: dict[str, Compiled] = {}
         # query hints collected from hint: triples (ASTQueryHintOptimizer)
         self.hints: dict[str, str] = {}
+        # plan-cache carry bookkeeping (store.query / _carry_oltp_base):
+        # the constant predicates every scan was restricted to, and
+        # whether the compiled plan depends ONLY on those predicates'
+        # rows (False as soon as any scan is predicate-unbounded or the
+        # plan reads other per-store state — text index, SID map,
+        # solution sets, DESCRIBE expansion, sameAs caches).  A
+        # carry-safe entry stays valid across any mutation whose touched
+        # predicates are disjoint from scan_preds, so the server can
+        # keep serving the SAME compiled DataFrame (and its reusable
+        # shuffle stages) across writer swaps.
+        self.scan_preds: set[str] = set()
+        self.cache_carry_safe = True
+        if self._backchain_mem is not None:
+            self.cache_carry_safe = False  # per-store clique caches
 
     # -- pattern dispatch ---------------------------------------------------
     def compile_pattern(self, node, graph=None) -> Compiled:
@@ -547,6 +561,7 @@ class QueryCompiler:
                 # dataset rules mirror _scan exactly: FROM without
                 # FROM NAMED → empty named-graph set; FROM NAMED VIRTUAL
                 # GRAPH → membership semi-join
+                self.cache_carry_safe = False
                 base = self.store.statements.where(F.col("g").isNotNull())
                 ds = self.dataset
                 g = node.graph
@@ -588,6 +603,7 @@ class QueryCompiler:
                 # durable named solution sets on the store (reference
                 # ISolutionSetManager / SolutionSetManager — INCLUDE of a
                 # pre-materialized set, TestInclude.java:144)
+                self.cache_carry_safe = False
                 df = self.store.solution_sets.get(node.name)
                 if df is not None:
                     c = Compiled(df, frozenset())
@@ -609,6 +625,8 @@ class QueryCompiler:
         failure into the unit solution per spec."""
         from bigdata_old_spark.model import BDS
         from bigdata_old_spark.registry import lookup_service, resolve_service_alias
+
+        self.cache_carry_safe = False
 
         if isinstance(node.iri, Term) and node.iri.lex == BDS + "search":
             # SERVICE bds:search { ?lit bds:search "q" . … } — the
@@ -645,12 +663,22 @@ class QueryCompiler:
             raise
 
     # -- scans / BGP ---------------------------------------------------------
-    def _scan(self, graph) -> DataFrame:
+    def _scan(self, graph, preds=None) -> DataFrame:
         """Statements scan restricted to the graph scope.  Constant
         positions become Parquet-pushable flat-column filters (the
         Spark analog of choosing the best SPO/POS/OSP key order,
-        reference SPOAccessPath.java:41)."""
-        df = self.store.statements
+        reference SPOAccessPath.java:41).
+
+        ``preds`` names the constant predicate(s) the caller will
+        filter to: when a mutation chain is layered on a base store and
+        none of them was touched, the scan serves the BASE plan
+        (store.scan_source) — identical rows, and the bucketed store's
+        zero-Exchange plan shape survives writer swaps."""
+        if preds is None:
+            self.cache_carry_safe = False
+        else:
+            self.scan_preds.update([preds] if isinstance(preds, str) else preds)
+        df = self.store.scan_source(preds)
         ds = self.dataset
         if graph is None:
             if ds is not None and (ds.default_graphs is not None or ds.virtual_default):
@@ -729,6 +757,7 @@ class QueryCompiler:
         map (provenance mode) — the virtual reification access path.
         Strictly more than the reference, which cannot reverse-map a SID
         (AbstractTripleStore.java:757); here the map is one slim DF."""
+        self.cache_carry_safe = False
         m = self.store.sid_map
         role = self._REIF_PREDS[t.p.lex]
         df = m
@@ -766,6 +795,7 @@ class QueryCompiler:
 
     def _vg_members(self, vgs) -> DataFrame:
         """Member graphs of the given virtual graphs, as a 1-col DF."""
+        self.cache_carry_safe = False
         st = self.store.statements
         return (
             st.where(
@@ -863,8 +893,12 @@ class QueryCompiler:
                                 a.certain & b.certain, a.flat)
             t = self._canon_pattern_consts(t)
             return self._backchain_expand(
-                self._compile_triple_core(t, self._scan(graph), graph, ranges), t)
-        return self._compile_triple_core(t, self._scan(graph), graph, ranges)
+                self._compile_triple_core(
+                    t, self._scan(graph, t.p.lex if isinstance(t.p, Term)
+                                  else None), graph, ranges), t)
+        return self._compile_triple_core(
+            t, self._scan(graph, t.p.lex if isinstance(t.p, Term) else None),
+            graph, ranges)
 
     def _sameas_backchain_scan(self, graph) -> DataFrame:
         """The owl:sameAs access path over a canonical store: stored
@@ -878,7 +912,7 @@ class QueryCompiler:
         inference, so GRAPH-scoped scans serve stored rows only."""
         from bigdata_old_spark.inference import OWL_SAMEAS
 
-        base = self._scan(graph).where(F.col("p") == OWL_SAMEAS)
+        base = self._scan(graph, OWL_SAMEAS).where(F.col("p") == OWL_SAMEAS)
         mem = self._backchain_mem
         mt = mem.select(F.col("term").alias("__mt"))
         stored = base.join(mt, base["s"] == F.col("__mt"), "left_anti")
@@ -1070,6 +1104,7 @@ class QueryCompiler:
         across graphs, like _scan's RDF-merge)."""
         from bigdata_old_spark.search import TextIndex
 
+        self.cache_carry_safe = False
         ti = self.store.text_index()
         df, ds = ti.df, self.dataset
         g_name = None
@@ -1332,7 +1367,7 @@ class QueryCompiler:
         if self._backchain_mem is not None:
             patterns = [self._canon_pattern_consts(t) for t in patterns]
         preds = sorted({t.p.lex for t in patterns})
-        df = self._scan(graph).where(F.col("p").isin(preds))
+        df = self._scan(graph, preds).where(F.col("p").isin(preds))
         keys = [F.col("s")]
         if isinstance(graph, A.Var):
             keys.append(F.col("g"))
@@ -2065,7 +2100,7 @@ class QueryCompiler:
         if isinstance(p, Term):
             p = A.PathLink(p.lex)
         if isinstance(p, A.PathLink):
-            df = self._scan(graph).where(F.col("p") == p.iri)
+            df = self._scan(graph, p.iri).where(F.col("p") == p.iri)
             if src_bound is not None:
                 df = df.where(F.col("s") == _key_from_term(term_lit(src_bound)))
             return df.select(F.col("s").alias("__src"), _key_from_obj().alias("__dst"))
@@ -2771,6 +2806,7 @@ class QueryCompiler:
             or getattr(q, "mode", None)
             or "SymmetricOneStep"
         )
+        self.cache_carry_safe = False  # DESCRIBE expands over all predicates
         stmts = self.store.statements
         symmetric = mode in ("SymmetricOneStep", "SCBD")
         bnode_closure = mode in ("CBD", "SCBD")

@@ -767,6 +767,7 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
             else store._has_ng
         out = store.with_statements(df.unionByName(delta), has_named_graphs=ng)
         out._carry_stats_from(store, preds)
+        out._carry_oltp_base(store, preds)
         emit("InsertData", added=delta)
         return _maintain_text_index(store, out, added=delta)
     if isinstance(op, DeleteData):
@@ -784,7 +785,9 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
             # False stays False; no per-swap probe either way
             out = store.with_statements(_anti_remove(df, victims, wild),
                                         has_named_graphs=store._has_ng)
-            out._carry_stats_from(store, sorted({t.p.lex for _, t in op.quads}))
+            dpreds = sorted({t.p.lex for _, t in op.quads})
+            out._carry_stats_from(store, dpreds)
+            out._carry_oltp_base(store, dpreds)
         emit("DeleteData", removed=gone)
         return _maintain_text_index(store, out, removed=gone)
     if isinstance(op, DeleteInsert):
@@ -841,6 +844,7 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         tpreds = {tp.p for _, tp in tmpl}
         if store.sid_map is None and all(isinstance(p_, Term) for p_ in tpreds):
             new_store._carry_stats_from(store, sorted(p_.lex for p_ in tpreds))
+            new_store._carry_oltp_base(store, sorted(p_.lex for p_ in tpreds))
         emit("DeleteInsert", added=adds_delta, removed=gone)
         return _maintain_text_index(store, new_store, added=adds_delta, removed=gone)
     if isinstance(op, ClearOp) or isinstance(op, DropOp):
