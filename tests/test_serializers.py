@@ -252,6 +252,39 @@ def test_trig_writer_roundtrip_named_graphs(spark):
     assert lang.lang == "en" and lang.lex == "a"
 
 
+def test_trig_writer_bnode_graph_label(spark):
+    """A bnode graph name must serialize as the bare label (`_:g {`),
+    never the invalid `<_:g>` — and round-trip through the parser."""
+    from pyspark.sql import functions as F
+
+    from bigdata_old_spark.model import iri_col_to_term, obj_cols_to_term
+    from bigdata_old_spark.rio import parse_trig
+    from bigdata_old_spark.serializers import trig
+    from bigdata_old_spark.store import TripleStore
+
+    st2 = TripleStore.from_turtle(spark, "")
+    quads = st2.statements.limit(0).sparkSession.createDataFrame(
+        [(EX + "s", EX + "v", "x")], "s string, p string, o_lex string")
+    quads = quads.select(
+        iri_col_to_term(F.col("s")).alias("s"),
+        iri_col_to_term(F.col("p")).alias("p"),
+        F.struct(
+            F.lit(2).cast("tinyint").alias("kind"), F.col("o_lex").alias("lex"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("decimal(38,18)").alias("num"),
+            F.lit(None).cast("double").alias("dbl"),
+            F.lit(None).cast("timestamp").alias("dtm"),
+            F.lit(None).cast("boolean").alias("bool"),
+        ).alias("o"),
+        F.lit("_:gb1").alias("g"),
+    )
+    doc = trig(quads)
+    assert "_:gb1 {" in doc and "<_:gb1>" not in doc
+    rows = parse_trig(doc)
+    assert rows and rows[0][0] == "_:gb1"
+
+
 def test_conneg_trig_construct(st):
     from bigdata_old_spark.rio import parse_trig
 
