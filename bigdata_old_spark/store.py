@@ -323,8 +323,12 @@ class TripleStore:
         # (and its already-computed shuffle stages) stays exact on the
         # new store — readers keep warm latencies across writer swaps
         ps = set(preds)
+        # list() snapshots the source cache in one C-level pass — server
+        # reader threads may still be inserting into it while the writer
+        # thread builds the new store (a bare dict comprehension over
+        # .items() can raise "dict changed size during iteration")
         self._plan_cache = {
-            k: v for k, v in src._plan_cache.items()
+            k: v for k, v in list(src._plan_cache.items())
             if v[1] is not None and v[1].isdisjoint(ps)
         }
 
