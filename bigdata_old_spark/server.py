@@ -168,6 +168,21 @@ class SparqlHandler(BaseHTTPRequestHandler):
     def _is_namespace_admin(self) -> bool:
         return urlparse(self.path).path.rstrip("/") == "/namespace"
 
+    def _tag_scheduler_pool(self) -> None:
+        """Tag this request thread's Spark jobs with a per-request pool
+        so that, under ``spark.scheduler.mode=FAIR``
+        (``SPARK_GRAFT_SCHEDULER_MODE`` in session.py), concurrent
+        requests share executor cores instead of head-of-line queueing
+        behind one request's stage burst.  Under the default FIFO
+        scheduler the property is ignored — a no-op tag."""
+        import threading
+
+        try:
+            self.server.store.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"req-{threading.get_ident()}")
+        except Exception:
+            pass  # tagging must never fail a request
+
     def _get_store(self):
         ns = getattr(self, "_ns", None)
         if ns is None or ns == self.server.default_namespace:
@@ -560,6 +575,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         (DeleteServlet.doDeleteWithAccessPath; response shape
         reportModifiedCount) — or destroy a namespace
         (/namespace/NS)."""
+        self._tag_scheduler_pool()
         import time as _time
 
         path = urlparse(self.path).path
@@ -758,6 +774,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         self._reply(200, f'<data modified="{n}"/>', "application/xml")
 
     def do_PUT(self) -> None:  # noqa: N802
+        self._tag_scheduler_pool()
         self._ns = self._route_ns()
         try:
             self._get_store()
@@ -944,6 +961,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
 
     # -- verbs --------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        self._tag_scheduler_pool()
         if urlparse(self.path).path.rstrip("/") == "/status":
             self._do_status(self._params())
             return
@@ -1023,6 +1041,7 @@ class SparqlHandler(BaseHTTPRequestHandler):
         self._reply(200, body, "text/turtle")
 
     def do_POST(self) -> None:  # noqa: N802
+        self._tag_scheduler_pool()
         p = self._params()
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
         length = int(self.headers.get("Content-Length") or 0)
