@@ -100,9 +100,26 @@ class TripleStore:
         this is one bounded job amortized across every query on the
         store."""
         if self._merged_cache is None:
-            self._merged_cache = self.statements.dropDuplicates(
-                ["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
-            ).persist()
+            keys = ["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+            if self._oltp_base_merged is not None and self._oltp_dirty:
+                # the (s,p,o)-dedup groups BY p, so it distributes over
+                # the predicate partitioning: clean predicates' merged
+                # rows equal the base's (already persisted) merged rows,
+                # and only the dirty predicates' rows re-dedup — a
+                # mutation costs the touched partitions, never a
+                # corpus-wide re-merge per store swap
+                dirty = sorted(self._oltp_dirty)
+                dm = (self.statements.where(F.col("p").isin(*dirty))
+                      .dropDuplicates(keys).persist())
+                # persist ONLY the dirty part: the clean side reads the
+                # base's already-persisted merged blocks (no double
+                # caching), the union stays lazy
+                self._merged_cache = (
+                    self._oltp_base_merged.where(~F.col("p").isin(*dirty))
+                    .unionByName(dm))
+            else:
+                self._merged_cache = self.statements.dropDuplicates(
+                    keys).persist()
         return self._merged_cache
 
     @property
@@ -301,6 +318,12 @@ class TripleStore:
     #: stops paying (isin() of hundreds of literals defeats pruning)
     OLTP_DIRTY_PRED_CAP = 64
 
+    #: the BASE's merged default-graph view (quads union scans) — set at
+    #: chain start from the pristine store's cache so merged_default_graph
+    #: can rebuild per swap as clean-from-base ∪ dedup(dirty rows)
+    #: instead of a corpus-wide re-merge
+    _oltp_base_merged: DataFrame | None = None
+
     def _carry_oltp_base(self, src: "TripleStore", preds) -> None:
         """Track the mutation chain's base plan and touched-predicate
         set.  ``preds=None`` = unknown touch set — the base is dropped
@@ -308,15 +331,22 @@ class TripleStore:
         if preds is None:
             self._oltp_base = None
             self._oltp_dirty = None
+            self._oltp_base_merged = None
             return
         base = src._oltp_base if src._oltp_base is not None else src.statements
         dirty = set(src._oltp_dirty or ()) | set(preds)
         if len(dirty) > self.OLTP_DIRTY_PRED_CAP:
             self._oltp_base = None
             self._oltp_dirty = None
+            self._oltp_base_merged = None
             return
         self._oltp_base = base
         self._oltp_dirty = dirty
+        # the merged view that corresponds to _oltp_base: the pristine
+        # store's cache at chain start, kept verbatim thereafter
+        self._oltp_base_merged = (
+            src._merged_cache if src._oltp_base is None
+            else src._oltp_base_merged)
         # carry every compiled plan whose predicate footprint is
         # disjoint from THIS mutation's touched set: its scans read
         # rows this mutation did not change, so the cached DataFrame

@@ -106,6 +106,38 @@ def test_compaction_with_base_stays_exact(store):
     assert got == {str(i) for i in range(TripleStore.MUTATION_COMPACT_DEPTH + 2)}
 
 
+def test_merged_view_rebuilds_from_base(spark):
+    """A union-default-graph QUADS store's merged view must rebuild per
+    swap as clean-from-base ∪ dedup(dirty rows) — exact (the (s,p,o)
+    dedup groups by p, so it distributes over the predicate
+    partitioning) and anchored on the pristine store's persisted merged
+    blocks instead of a corpus-wide re-merge."""
+    st = TripleStore.from_turtle(spark, TTL).update(
+        P + "INSERT DATA { GRAPH :g { :a :p :b . :a :r :c } }")
+    st._oltp_base = None  # treat this as the pristine chain start
+    st._oltp_dirty = None
+    assert st.union_default_graph and st.has_named_graphs
+    base_merged = st.merged_default_graph()  # prime + persist
+
+    st2 = st.update(P + "INSERT DATA { :n :r :m }")
+    assert st2._oltp_base_merged is base_merged
+    keys = ["s", "p", "o_kind", "o_lex", "o_dt", "o_lang"]
+
+    def rows(df):
+        return {tuple(r[k] for k in keys) for r in df.select(*keys).collect()}
+
+    assert rows(st2.merged_default_graph()) == rows(
+        st2.statements.dropDuplicates(keys))
+    # union-default-graph query sees the duplicate-collapsed rows plus
+    # the new dirty-predicate row
+    got = {(r["s"]["lex"], r["o"]["lex"]) for r in st2.query(
+        P + "SELECT ?s ?o WHERE { ?s :r ?o }").collect()}
+    assert got == {(EX + "a", EX + "c"), (EX + "n", EX + "m")}
+    # the clean predicate still collapses the cross-graph duplicate
+    assert st2.query(
+        P + "SELECT ?o WHERE { :a :p ?o }").count() == 1
+
+
 def test_gsp_add_remove_carry(spark, store):
     """The Graph Store Protocol path (store.add/remove) tracks the same
     base/dirty bookkeeping as SPARQL UPDATE."""
