@@ -180,6 +180,11 @@ def qmph_main(n_clients: int = 4, duration_sec: float = 120.0,
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # concurrent serving wants FAIR job scheduling (per-request pools —
+    # BENCH_QMPH.md addendum 3: +34% read-only, writer cost 1.5×→1.05×);
+    # single-job batch (main()) stays on the FIFO default, which the
+    # alternating A/B measured 15-25% faster for one-query-at-a-time
+    os.environ.setdefault("SPARK_GRAFT_SCHEDULER_MODE", "FAIR")
     spark = get_spark("bench-qmph")
     spark.sparkContext.setLogLevel("ERROR")
 

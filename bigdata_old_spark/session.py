@@ -54,18 +54,17 @@ def get_spark(app_name: str = "bigdata-old-spark", shuffle_partitions: int | Non
         # building thousands of Column expressions per query wants this
         # off; errors still carry the JVM-side context.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        # FAIR lets the server's concurrent request threads (each tags
-        # its jobs with a per-request pool — server.SparqlHandler) share
-        # executor cores instead of head-of-line queueing behind one
-        # request's stage burst.  Measured on the sf0.1 QMpH harness:
-        # read-only 685.8 → 921.0 QMpH @ 4 clients, and the 1-writer
-        # mix 452.5 → 654.1 (writer cost to readers ~1.05×, was 1.5×).
-        # Single-job batch use (bench main, the oracle gate) is
-        # unaffected — one job in one pool schedules identically
-        # (batch A/B: 5.387 s FAIR vs 5.498 s FIFO medians, same
-        # session) — so FAIR is the default; set
-        # SPARK_GRAFT_SCHEDULER_MODE=FIFO to compare.
+        # Scheduler mode is workload-dependent: FAIR + per-request pools
+        # (server.SparqlHandler tags them) lifts CONCURRENT serving
+        # substantially — read-only 685.8 → 921.0 QMpH @ 4 clients and
+        # the 1-writer mix 452.5 → 654.1 on the sf0.1 harness
+        # (BENCH_QMPH.md addendum 3; bench.py --qmph sets FAIR) — but an
+        # alternating fresh-process A/B measured FAIR 15-25% SLOWER for
+        # single-threaded batch (headline medians 6.6-8.1 s vs FIFO
+        # 5.0-6.1 s interleaved on one box session), so the default
+        # stays FIFO and concurrent deployments opt in with
+        # SPARK_GRAFT_SCHEDULER_MODE=FAIR.
         .config("spark.scheduler.mode",
-                os.environ.get("SPARK_GRAFT_SCHEDULER_MODE", "FAIR"))
+                os.environ.get("SPARK_GRAFT_SCHEDULER_MODE", "FIFO"))
     )
     return builder.getOrCreate()
