@@ -654,7 +654,10 @@ class TripleStore:
         the write pays one bounded job (probe pruned to the touched
         predicates' partitions) and reads pay a plain union with a
         small checkpointed delta."""
-        cand = other.select(*self.statements.columns).dropDuplicates()
+        from bigdata_old_spark.update import _canonize_delta
+
+        cand = _canonize_delta(
+            self, other.select(*self.statements.columns)).dropDuplicates()
         preds = [r["p"] for r in cand.select("p").distinct().collect()]
         if not preds:
             return self.with_statements(self.statements)
@@ -681,6 +684,17 @@ class TripleStore:
         # NULL field (every literal's o_lang, g of the default graph…)
         # would never match its own removal row
         left = self.statements
+        if self.sameas_mode == "canonical":
+            # canonical store: deleting any ALIAS form retracts the
+            # canonical FACT (the backchain serves the replicas from it)
+            from bigdata_old_spark.model import STYPE_EXPLICIT
+            from bigdata_old_spark.update import _canonize_delta
+
+            src = other
+            if "stype" not in src.columns:
+                src = src.withColumn(
+                    "stype", F.lit(STYPE_EXPLICIT).cast("tinyint"))
+            other = _canonize_delta(self, src.select(*self.statements.columns))
         right = other.select(
             *[c for c in self.statements.columns if c != "stype"]
         ).dropDuplicates().alias("__rm")

@@ -367,6 +367,31 @@ def _ground_quads_df(spark, quads: list, default_graph: str | None = None,
     return spark.createDataFrame(rows, STATEMENTS_SCHEMA)
 
 
+def _canonize_delta(store, df: DataFrame) -> DataFrame:
+    """Rewrite a mutation delta into canonical space over a
+    ``sameas_mode == "canonical"`` store: subjects/resource objects map
+    through the stored member→canonical mapping, so an insert (or
+    delete) through an ALIAS lands on the canonical FACT the query-time
+    backchain serves — the reference's semantics, where the store holds
+    explicit facts and BackchainAccessPath expands them at read
+    (inserting `alias :p :b` must answer `canon :p ?y` AND
+    `otherAlias :p ?y`; deleting any alias form retracts the fact the
+    replicas derive from).  Explicit owl:sameAs assertions store RAW:
+    extending the clique structure requires re-running
+    closure(sameas="canonical") — the same contract as the reference's
+    backchain, whose sameAs structures are rebuilt, not incrementally
+    patched.  No-op on non-canonical stores."""
+    if getattr(store, "sameas_mode", None) != "canonical":
+        return df
+    from bigdata_old_spark.inference import OWL_SAMEAS, _canonicalize
+
+    cm = store._sameas_canon_map()
+    sa = df.where(F.col("p") == OWL_SAMEAS)
+    rest = df.where(F.col("p") != OWL_SAMEAS)
+    return _canonicalize(rest, cm).select(*df.columns).unionByName(
+        sa.select(*df.columns))
+
+
 def _victim_cond(base: DataFrame, v: DataFrame, keys=_KEYS):
     """Conjunctive null-safe equality on ``keys`` — a HASH-JOINABLE
     condition (Spark plans <=> keys as BroadcastHashJoin/SMJ).  The
@@ -750,7 +775,7 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
             change_log.change_event(ChangeSet(opname, added=added, removed=removed))
 
     if isinstance(op, InsertData):
-        add = _ground_quads_df(spark, op.quads)
+        add = _canonize_delta(store, _ground_quads_df(spark, op.quads))
         preds = sorted({t.p.lex for _, t in op.quads})
         probe = df
         if 0 < len(preds) <= store.ADD_PROBE_PRED_CAP:
@@ -771,7 +796,8 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         emit("InsertData", added=delta)
         return _maintain_text_index(store, out, added=delta)
     if isinstance(op, DeleteData):
-        victims = _ground_quads_df(spark, op.quads, forbid_bnodes=True)
+        victims = _canonize_delta(
+            store, _ground_quads_df(spark, op.quads, forbid_bnodes=True))
         wild = store.union_default_graph
         if store.sid_map is not None:
             # cascade victims' predicates are unknown driver-side —
@@ -812,7 +838,8 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
         out = df
         gone = adds_delta = None
         if op.delete_template:
-            victims = _template_to_statements(sol, op.delete_template, resolve, op.with_graph)
+            victims = _canonize_delta(store, _template_to_statements(
+                sol, op.delete_template, resolve, op.with_graph))
             wild = store.union_default_graph
             if store.sid_map is not None:
                 gone = _sid_cascade(out, _semi_match(out, victims, wild))
@@ -821,7 +848,8 @@ def _execute_one(store, op, change_log=None, pattern_store=None):
                 gone = snap(_semi_match(out, victims, wild))
                 out = _anti_remove(out, victims, wild)
         if op.insert_template:
-            adds = _template_to_statements(sol, op.insert_template, resolve, op.with_graph)
+            adds = _canonize_delta(store, _template_to_statements(
+                sol, op.insert_template, resolve, op.with_graph))
             ipreds = {tp.p for _, tp in op.insert_template}
             probe = out
             if (all(isinstance(p_, Term) for p_ in ipreds)

@@ -177,9 +177,9 @@ def test_mutation_keeps_transparency(stores, spark):
     canon, _ = stores
     st = canon.update(P + "INSERT DATA { :dave :knows :alice1 }")
     assert st.sameas_mode == "canonical"
-    # the new triple was inserted with the raw alias id, but the alias
-    # resolves via the retained mapping triples for EXPANSION; constant
-    # rewrite still works for pre-closure data
+    # the alias-object insert canonicalizes into the stored fact space
+    # (r10 _canonize_delta); constant rewrite still works for
+    # pre-closure data
     assert _rows(st.query(P + "SELECT ?n WHERE { :alice2 :name ?n }"))
 
 
@@ -429,3 +429,62 @@ def test_backchain_expansion_joins_broadcast(stores):
         .fromString("formatted"))
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+
+
+# -- round 10: mutations over a canonical store -------------------------------
+
+def test_canonical_insert_through_alias(stores, spark):
+    """INSERT DATA through an ALIAS subject must land on the canonical
+    FACT (the backchain serves replicas from it — BackchainAccessPath
+    semantics): every alias form of the query sees the new triple, and
+    results equal a full re-closure of the materialized store with the
+    same assertion."""
+    canon, _ = stores
+    st2 = canon.update(P + "INSERT DATA { :alice3 :hobby :chess }")
+    for a in ("alice1", "alice2", "alice3"):
+        assert st2.query(
+            P + f"ASK {{ :{a} :hobby :chess }}").collect()[0][0] is True, a
+    mat2 = TripleStore.from_turtle(
+        spark, TTL + ":alice3 :hobby :chess .").closure()
+    q = "SELECT ?x WHERE { ?x :hobby :chess }"
+    assert _rows(st2.query(P + q)) == _rows(mat2.query(P + q))
+
+
+def test_canonical_insert_alias_object(stores, spark):
+    """Alias in OBJECT position canonicalizes too: asking through any
+    other member of the clique finds the fact."""
+    canon, _ = stores
+    st2 = canon.update(P + "INSERT DATA { :dave :likes :alice2 }")
+    assert st2.query(
+        P + "ASK { :dave :likes :alice1 }").collect()[0][0] is True
+    mat2 = TripleStore.from_turtle(
+        spark, TTL + ":dave :likes :alice2 .").closure()
+    q = "SELECT ?x WHERE { :dave :likes ?x }"
+    assert _rows(st2.query(P + q)) == _rows(mat2.query(P + q))
+
+
+def test_canonical_delete_through_other_alias(stores):
+    """DELETE DATA through a DIFFERENT alias retracts the fact for the
+    whole clique — the stored row is the fact the replicas derive from,
+    so removing any alias form removes them all (the reference's
+    backchain behaves identically: replicas are read-time expansions of
+    the one explicit row)."""
+    canon, _ = stores
+    st2 = canon.update(P + "INSERT DATA { :alice1 :hobby :go }")
+    assert st2.query(P + "ASK { :alice2 :hobby :go }").collect()[0][0] is True
+    st3 = st2.update(P + "DELETE DATA { :alice3 :hobby :go }")
+    for a in ("alice1", "alice2", "alice3"):
+        assert st3.query(
+            P + f"ASK {{ :{a} :hobby :go }}").collect()[0][0] is False, a
+
+
+def test_canonical_delete_insert_where(stores):
+    """DELETE/INSERT WHERE over a canonical store: the WHERE binds at
+    alias level (backchain fan-out), and the instantiated templates
+    canonicalize — the rewrite stays in canonical space."""
+    canon, _ = stores
+    # copy every :knows edge of alice (bound via an alias) to :met
+    st2 = canon.update(
+        P + "INSERT { ?x :met ?y } WHERE { ?x :knows ?y . "
+        'FILTER(?x = :alice1) }')
+    assert st2.query(P + "ASK { :alice2 :met :bob2 }").collect()[0][0] is True
