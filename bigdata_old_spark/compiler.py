@@ -35,6 +35,7 @@ from bigdata_old_spark.model import (
     KIND_BNODE,
     KIND_IRI,
     KIND_LITERAL,
+    TERM_FIELD_NAMES,
     TERM_TYPE,
     Term,
     iri_col_to_term,
@@ -1057,7 +1058,8 @@ class QueryCompiler:
         # below, silently pinning every BGP to syntactic join order
         has_search = bool(search_units)
         units = list(search_units)
-        units += [self.compile_star(s_name, ts, graph) for s_name, ts in star_groups]
+        units += [self.compile_star(s_name, ts, graph, ranges)
+                  for s_name, ts in star_groups]
         units += [self.compile_triple(t, graph, ranges) for t in plain]
         reps = ([ts[0] for _, ts in star_groups] + plain) if not has_search else None
         acc = None
@@ -1344,7 +1346,8 @@ class QueryCompiler:
                 rest.extend(ts)
         return stars, rest
 
-    def compile_star(self, s_name: str, patterns: list, graph) -> Compiled:
+    def compile_star(self, s_name: str, patterns: list, graph,
+                     ranges: dict | None = None) -> Compiled:
         """One subject, many constant predicates: scan p∈{…}, groupBy
         subject, collect each predicate's values, explode back (keeps
         RDF multi-value cross-product semantics).  Constant objects
@@ -1368,6 +1371,21 @@ class QueryCompiler:
             patterns = [self._canon_pattern_consts(t) for t in patterns]
         preds = sorted({t.p.lex for t in patterns})
         df = self._scan(graph, preds).where(F.col("p").isin(preds))
+        # range pushdown at the star scan (RangeBOp analog — the join
+        # path gets this per-pattern in _compile_triple_core): a
+        # top-level FILTER range on a member var drops that pattern's
+        # non-matching rows BEFORE the subject aggregate.  Sound for
+        # the same reason as the per-triple push (the predicate is
+        # implied by the filter, which still runs afterwards): a
+        # dropped row either nulls the member's existence marker —
+        # dropping the subject exactly like the post-agg FILTER would —
+        # or removes one multi-value, exactly the exploded row the
+        # FILTER would reject.
+        if ranges:
+            for t in patterns:
+                if isinstance(t.o, A.Var) and t.o.name in ranges:
+                    for flat_cond in ranges[t.o.name]:
+                        df = df.where((F.col("p") != t.p.lex) | flat_cond)
         keys = [F.col("s")]
         if isinstance(graph, A.Var):
             keys.append(F.col("g"))
@@ -1398,9 +1416,23 @@ class QueryCompiler:
                 aggs.append(F.max(F.when(m, 1).otherwise(0)).alias(f"__c{i}"))
                 const_flags.append(f"__c{i}")
             elif functional(t.p.lex):
-                aggs.append(
-                    F.first(F.when(cond, obj_cols_to_term()), ignorenulls=True).alias(f"__v{i}")
-                )
+                # PER-FIELD firsts, not first(struct(all 8 object
+                # columns)): a struct-valued aggregate pins every
+                # object column into ReadSchema (q03 read 10 columns
+                # for a 4-column query) and widens the sort rows.
+                # Field-wise firsts rebuild the term struct AFTER the
+                # aggregate, so SimplifyExtractValueOps turns each
+                # downstream `var.field` into its own first() column
+                # and ColumnPruning drops the untouched fields all the
+                # way into the parquet scan.  Exact for FUNCTIONAL
+                # predicates: at most one row matches (p,s), so the
+                # fields can never mix across rows, and o_kind — never
+                # NULL on a statement — is the row-existence marker.
+                for fname in TERM_FIELD_NAMES:
+                    aggs.append(
+                        F.first(F.when(cond, F.col(f"o_{fname}")),
+                                ignorenulls=True).alias(f"__v{i}_{fname}")
+                    )
                 var_scalars.append((f"__v{i}", t.o.name))
             else:
                 aggs.append(F.collect_list(F.when(cond, obj_cols_to_term())).alias(f"__l{i}"))
@@ -1410,14 +1442,20 @@ class QueryCompiler:
             g = g.where(F.col(flag) == 1)
         for col, _ in var_scalars:
             # pattern must match: a subject missing the predicate drops
-            g = g.where(F.col(col).isNotNull())
+            # (kind is the existence marker — see the per-field aggs)
+            g = g.where(F.col(f"{col}_kind").isNotNull())
         for list_col, var in var_lists:
             g = g.select("*", F.explode(list_col).alias(f"__e_{var}")).drop(list_col)
         proj = [F.col("s").alias(s_name)]
         names = [s_name]
         flat_vars = {s_name}
         for col, var in var_scalars:
-            proj.append(F.col(col).alias(var))
+            # reassemble the term struct from the per-field firsts —
+            # rows here all matched (kind filtered non-null above), so
+            # the plain struct is exactly the old first(struct) value
+            proj.append(F.struct(
+                *[F.col(f"{col}_{fn}").alias(fn) for fn in TERM_FIELD_NAMES]
+            ).alias(var))
             names.append(var)
         for _, var in var_lists:
             proj.append(F.col(f"__e_{var}").alias(var))

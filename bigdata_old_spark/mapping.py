@@ -157,13 +157,35 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: explode target: one triplify task per ~this many OUTPUT statements.
+#: The explode multiplies rows by ~(columns + 1), so Spark's input-split
+#: sizing (bytes of the narrow relational parquet) under-provisions the
+#: scan by that factor — at sf0.1 the whole 12M-statement explode ran in
+#: 3 tasks, one 37 s lineitem straggler holding 29 idle cores (r10 stage
+#: profile).  Scale-adaptive: derived from the parquet footer row count,
+#: capped at 2x the session parallelism; a no-op once the source is
+#: already split finer (the 100 TB case).
+TRIPLIFY_ROWS_PER_TASK = 250_000
+
+
 def triplify_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> DataFrame:
     """Triplify every mapped table under a testdata scale-factor dir."""
     tables = tables or list(TPCH_KEYS)
-    dfs = [
-        triplify_table(read_table(spark, f"{sf_dir}/{t}.parquet"), t)
-        for t in tables
-    ]
+    par = spark.sparkContext.defaultParallelism
+    dfs = []
+    for t in tables:
+        path = f"{sf_dir}/{t}.parquet"
+        df = read_table(spark, path)
+        try:
+            import pyarrow.parquet as pq
+
+            est_out = pq.read_metadata(path).num_rows * (len(df.columns) + 1)
+            want = min(max(est_out // TRIPLIFY_ROWS_PER_TASK, 1), 2 * par)
+            if want > df.rdd.getNumPartitions():
+                df = df.repartition(int(want))
+        except Exception:
+            pass  # directory inputs / missing footer: keep the scan split
+        dfs.append(triplify_table(df, t))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

@@ -275,14 +275,14 @@ class IVFIndex:
     def save(self, path: str) -> "IVFIndex":
         import json
 
+        from bigdata_old_spark.fsio import write_text_dir
+
         spark = self.assignments.sparkSession
         # write the (tiny) model state FIRST, with overwrite semantics —
-        # saveAsTextFile would refuse an existing dir, making a rebuild
-        # at the same path fail AFTER the lists were replaced and
-        # leaving new lists paired with old centroids
-        spark.createDataFrame(
-            [(json.dumps(self.centroids),)], "j string"
-        ).coalesce(1).write.mode("overwrite").text(path + "/centroids")
+        # a failed rebuild at the same path must not leave new lists
+        # paired with old centroids.  Direct FS write, not a 1-row
+        # Spark text job (fsio rationale).
+        write_text_dir(spark, path + "/centroids", json.dumps(self.centroids))
         self.assignments.write.mode("overwrite").partitionBy("cid").parquet(
             path + "/lists"
         )
@@ -292,9 +292,9 @@ class IVFIndex:
 def load_ivf_index(spark, path: str) -> IVFIndex:
     import json
 
-    centroids = json.loads(
-        "".join(r["value"] for r in spark.read.text(path + "/centroids").collect())
-    )
+    from bigdata_old_spark.fsio import read_text_dir
+
+    centroids = json.loads(read_text_dir(spark, path + "/centroids"))
     lists = spark.read.parquet(path + "/lists").select(
         F.col("cid").cast("int").alias("cid"), "vec_id", "v"
     )
@@ -570,9 +570,9 @@ def append_to_ivf_index(
     :func:`dedup.append_to_dedup_index`."""
     import json
 
-    centroids = json.loads(
-        "".join(r["value"] for r in spark.read.text(path + "/centroids").collect())
-    )
+    from bigdata_old_spark.fsio import read_text_dir
+
+    centroids = json.loads(read_text_dir(spark, path + "/centroids"))
     assignments = (
         new_embeddings.select(
             F.col(id_col).alias("vec_id"),

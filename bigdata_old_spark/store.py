@@ -16,6 +16,27 @@ from pyspark.sql import functions as F
 from bigdata_old_spark.model import STATEMENTS_SCHEMA, statements_df_from_terms
 
 
+def _reserve_optimized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Re-wrap a compiled query over its OPTIMIZED logical plan.
+
+    Every DataFrame ACTION re-runs Catalyst analysis+optimization from
+    the raw logical plan; a SPARQL-compiled tree is thousands of nested
+    projections, so each repeat `.count()`/`.collect()` paid 50-160 ms
+    of single-threaded driver planning (r10 measurement; ~2× cheaper
+    over the already-minimal optimized tree).  Optimizing once at
+    compile time and serving the optimized plan is plan caching, not
+    result caching — no data is materialized, every action still
+    executes from the parquet inputs.  Falls back to the original
+    DataFrame if the JVM surface is unavailable."""
+    try:
+        jopt = df._jdf.queryExecution().optimizedPlan()
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, jopt)
+        return DataFrame(jdf, spark)
+    except Exception:
+        return df
+
+
 class TripleStore:
     """Quad store over a flat statements DataFrame.
 
@@ -492,6 +513,7 @@ class TripleStore:
                 pass
         comp = QueryCompiler(self, backchain=expand_sameas)
         df = comp.compile_query(q)
+        df = _reserve_optimized(self.spark, df)
         if len(self._plan_cache) >= 256:  # bounded; oldest-first evict
             self._plan_cache.pop(next(iter(self._plan_cache)))
         # entry = (df, carried-predicate set | None).  A non-None set
@@ -742,9 +764,17 @@ class TripleStore:
         underscore-prefixed subdir, invisible to the parquet reader —
         the same Spark-text sidecar shape the IVF index uses for its
         centroids), so from_parquet/from_bucketed reopen a canonical-
-        mode store as canonical without the caller re-flagging it."""
-        (self.spark.createDataFrame([(self._flags_json(),)], "j string")
-         .coalesce(1).write.mode("overwrite").text(path + "/_bdos_flags"))
+        mode store as canonical without the caller re-flagging it.
+
+        Written through the Hadoop FileSystem API directly (works on
+        any Spark-supported FS), NOT as a 1-row Spark text job: the
+        old ``createDataFrame([...]).write.text`` spun up a Python
+        worker + daemon just to serialize one literal row — measured
+        ~10 s cold inside every bulk load (r10 stage profile)."""
+        from bigdata_old_spark.fsio import write_text_dir
+
+        write_text_dir(self.spark, path + "/_bdos_flags",
+                       self._flags_json() + "\n")
 
     def _write_flags_tblproperties(self, table: str) -> None:
         """Persist the semantics flags IN the table definition
@@ -775,12 +805,16 @@ class TripleStore:
 
     @staticmethod
     def _apply_flags_sidecar(spark: SparkSession, path: str, st: "TripleStore") -> "TripleStore":
+        """Read the flags sidecar through the Hadoop FS API — one
+        driver-side open, no Spark job per store-open.  Accepts both
+        the new direct layout and dirs written by the old 1-row Spark
+        text job (part-* files)."""
         import json
 
+        from bigdata_old_spark.fsio import read_text_dir
+
         try:
-            txt = "".join(r["j"] for r in spark.read.text(path + "/_bdos_flags")
-                          .withColumnRenamed("value", "j").collect())
-            flags = json.loads(txt)
+            flags = json.loads(read_text_dir(spark, path + "/_bdos_flags"))
         except Exception:
             return st  # no sidecar (pre-r9 store or bare parquet)
         st.union_default_graph = flags.get(
