@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 from bigdata_old_spark.model import KIND_LITERAL
 
 
+def _pin_edges(edges: DataFrame) -> DataFrame:
+    """Materialize the edge table PARTITIONED BY src for a fixpoint
+    loop.  ``persist`` (not ``localCheckpoint``) because only an
+    InMemoryRelation advertises its outputPartitioning to Catalyst —
+    a checkpointed frame loses it (measured: the frontier⨝edges join
+    re-shuffled the WHOLE edge table by src every round; with the
+    pinned cache only the frontier side moves, guide §2.4).  Callers
+    unpersist before returning — every returned frame is checkpointed,
+    so nothing downstream re-reads the cache."""
+    e = edges.repartition(F.col("src")).persist()
+    e.count()
+    return e
+
+
 def edges_of(statements: DataFrame, predicate: str | None = None) -> DataFrame:
     """(src, dst) edge DataFrame from resource-object triples."""
     df = statements.where(F.col("o_kind") != KIND_LITERAL)
@@ -40,27 +54,30 @@ def bfs(edges: DataFrame, source: str, max_depth: int | None = None, directed: b
     spark = edges.sparkSession
     if not directed:
         edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates()
-    edges = edges.localCheckpoint(eager=True)
-    visited = spark.createDataFrame([(source, 0, None)], "v string, depth int, pred string")
-    frontier = visited.select("v")
-    depth = 0
-    while max_depth is None or depth < max_depth:
-        nxt = (
-            frontier.join(edges, frontier["v"] == edges["src"])
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("src").alias("pred"))  # deterministic predecessor
-        )
-        depth += 1
-        nxt = (
-            nxt.join(visited.select("v"), "v", "left_anti")
-            .select("v", F.lit(depth).alias("depth"), "pred")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("v")
-    return visited
+    edges = _pin_edges(edges)
+    try:
+        visited = spark.createDataFrame([(source, 0, None)], "v string, depth int, pred string")
+        frontier = visited.select("v")
+        depth = 0
+        while max_depth is None or depth < max_depth:
+            nxt = (
+                frontier.join(edges, frontier["v"] == edges["src"])
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("src").alias("pred"))  # deterministic predecessor
+            )
+            depth += 1
+            nxt = (
+                nxt.join(visited.select("v"), "v", "left_anti")
+                .select("v", F.lit(depth).alias("depth"), "pred")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("v")
+        return visited
+    finally:
+        edges.unpersist()
 
 
 def sssp(edges: DataFrame, source: str, directed: bool = True) -> DataFrame:
@@ -73,36 +90,39 @@ def sssp(edges: DataFrame, source: str, directed: bool = True) -> DataFrame:
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Undirected CC by label propagation to the min vertex id
     (reference CC.java:71).  Returns: v | component."""
-    und = edges.unionByName(
+    und = _pin_edges(edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates().localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("src").alias("v"))
-        .unionByName(und.select(F.col("dst").alias("v")))
-        .dropDuplicates()
-        .withColumn("component", F.col("v"))
-    )
-    for _ in range(max_iter):
-        msgs = (
-            labels.join(und, labels["v"] == und["src"])
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("component").alias("nbr_min"))
+    ).dropDuplicates())
+    try:
+        labels = (
+            und.select(F.col("src").alias("v"))
+            .unionByName(und.select(F.col("dst").alias("v")))
+            .dropDuplicates()
+            .withColumn("component", F.col("v"))
         )
-        new_labels = (
-            labels.join(msgs, "v", "left")
-            .select("v", F.least(F.col("component"), F.col("nbr_min")).alias("component"),
-                    (F.col("nbr_min") < F.col("component")).alias("chg"))
-            # checkpoint FIRST (one job computes the round), then probe
-            # convergence on the materialized frame — probing before the
-            # checkpoint would recompute the round's join lineage, 2×
-            # cost per round (VERDICT r6 #8)
-            .localCheckpoint(eager=True)
-        )
-        changed = not new_labels.where(F.col("chg")).isEmpty()
-        labels = new_labels.select("v", "component")
-        if not changed:
-            break
-    return labels
+        for _ in range(max_iter):
+            msgs = (
+                labels.join(und, labels["v"] == und["src"])
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(msgs, "v", "left")
+                .select("v", F.least(F.col("component"), F.col("nbr_min")).alias("component"),
+                        (F.col("nbr_min") < F.col("component")).alias("chg"))
+                # checkpoint FIRST (one job computes the round), then probe
+                # convergence on the materialized frame — probing before the
+                # checkpoint would recompute the round's join lineage, 2×
+                # cost per round (VERDICT r6 #8)
+                .localCheckpoint(eager=True)
+            )
+            changed = not new_labels.where(F.col("chg")).isEmpty()
+            labels = new_labels.select("v", "component")
+            if not changed:
+                break
+        return labels
+    finally:
+        und.unpersist()
 
 
 def pagerank(
@@ -119,40 +139,43 @@ def pagerank(
     as a join of two already-checkpointed (LogicalRDD) frames — a tiny
     extra job with no lineage recomputation, instead of a per-round
     driver action."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = _pin_edges(edges)
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    outdeg = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
-    ranks = verts.withColumn("rank", F.lit(1.0))
-    for i in range(max_iter):
-        contrib = (
-            ranks.join(outdeg, "v")
-            .join(edges, F.col("v") == edges["src"])
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
-        )
-        new_ranks = (
-            verts.join(contrib, "v", "left")
-            .select("v", (F.lit(1 - damping) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"))
-            .localCheckpoint(eager=True)
-        )
-        if tol is not None and (i % check_every == check_every - 1 or i == max_iter - 1):
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "v")
-                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .collect()[0][0]
+    try:
+        outdeg = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+        ranks = verts.withColumn("rank", F.lit(1.0))
+        for i in range(max_iter):
+            contrib = (
+                ranks.join(outdeg, "v")
+                .join(edges, F.col("v") == edges["src"])
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
             )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = new_ranks
-    return ranks
+            new_ranks = (
+                verts.join(contrib, "v", "left")
+                .select("v", (F.lit(1 - damping) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+            if tol is not None and (i % check_every == check_every - 1 or i == max_iter - 1):
+                delta = (
+                    new_ranks.alias("n")
+                    .join(ranks.alias("o"), "v")
+                    .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                    .collect()[0][0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
+        return ranks
+    finally:
+        edges.unpersist()
 
 
 def gas_iterate(state: DataFrame, edges: DataFrame, round_fn, max_iter: int = 50) -> DataFrame:
@@ -192,35 +215,38 @@ def weighted_sssp(
         edges = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
-    edges = edges.localCheckpoint(eager=True)
-    if not edges.where(F.col("weight") < 0).isEmpty():
-        raise ValueError("weighted_sssp requires non-negative edge weights")
-    dist = spark.createDataFrame([(source, 0.0)], "v string, dist double")
-    frontier = dist
-    for _ in range(max_iter):
-        cand = (
-            frontier.join(edges, frontier["v"] == edges["src"])
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
-        )
-        improved = (
-            cand.join(dist.withColumnRenamed("dist", "od").withColumnRenamed("v", "v2"),
-                      cand["v"] == F.col("v2"), "left")
-            .where(F.col("od").isNull() | (F.col("nd") < F.col("od")))
-            .select("v", F.col("nd").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        if improved.isEmpty():
-            break
-        dist = (
-            dist.join(improved.select(F.col("v").alias("iv")), dist["v"] == F.col("iv"), "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
-    else:
-        raise RuntimeError(
-            f"weighted_sssp did not converge within max_iter={max_iter} "
-            "rounds; distances would be truncated — raise max_iter"
-        )
-    return dist
+    edges = _pin_edges(edges)
+    try:
+        if not edges.where(F.col("weight") < 0).isEmpty():
+            raise ValueError("weighted_sssp requires non-negative edge weights")
+        dist = spark.createDataFrame([(source, 0.0)], "v string, dist double")
+        frontier = dist
+        for _ in range(max_iter):
+            cand = (
+                frontier.join(edges, frontier["v"] == edges["src"])
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min(F.col("dist") + F.col("weight")).alias("nd"))
+            )
+            improved = (
+                cand.join(dist.withColumnRenamed("dist", "od").withColumnRenamed("v", "v2"),
+                          cand["v"] == F.col("v2"), "left")
+                .where(F.col("od").isNull() | (F.col("nd") < F.col("od")))
+                .select("v", F.col("nd").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            dist = (
+                dist.join(improved.select(F.col("v").alias("iv")), dist["v"] == F.col("iv"), "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        else:
+            raise RuntimeError(
+                f"weighted_sssp did not converge within max_iter={max_iter} "
+                "rounds; distances would be truncated — raise max_iter"
+            )
+        return dist
+    finally:
+        edges.unpersist()

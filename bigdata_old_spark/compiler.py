@@ -1398,12 +1398,24 @@ class QueryCompiler:
             # silently drop multi-value solutions.
             return st is not None and len(st) > 3 and st[3] == 1
 
+        # one predicate-ordinal column per row: the per-field firsts
+        # below need a per-pattern match test, and long shared-prefix
+        # IRI string compares × (patterns × 8 fields) dominated the
+        # aggregate (q03: 20 string CASEs/row measured +0.7 s over the
+        # struct form).  One 5-way string CASE per row, then every
+        # aggregate matches a tinyint.
+        pred_ord = {p: n for n, p in enumerate(preds)}
+        pi = None
+        for p_iri, n in pred_ord.items():
+            pi = (F.when(F.col("p") == p_iri, n) if pi is None
+                  else pi.when(F.col("p") == p_iri, n))
+        df = df.withColumn("__pi", pi.cast("tinyint"))
         aggs = []
         const_flags = []
         var_lists = []
         var_scalars = []
         for i, t in enumerate(patterns):
-            cond = F.col("p") == t.p.lex
+            cond = F.col("__pi") == pred_ord[t.p.lex]
             if isinstance(t.o, Term):
                 o = t.o
                 if o.kind == KIND_LITERAL:
@@ -1726,8 +1738,18 @@ class QueryCompiler:
         shared = set(l.vars) & set(r.vars)
         if not shared:
             return l
-        rdf = r.df.select(*[F.col(v).alias(f"__r_{v}") for v in shared]).dropDuplicates()
         certain_shared = shared & l.certain & r.certain
+        # struct side → flat resource key BEFORE the distinct where the
+        # comparison is key-based anyway (mixed certain): dedups narrow
+        # strings, prunes the scan to kind+lex (see _exists_marker)
+        pre_keyed = {
+            v for v in certain_shared
+            if (v in l.flat) != (v in r.flat) and v not in r.flat
+        }
+        rdf = r.df.select(*[
+            (term_to_resource_key(F.col(v)) if v in pre_keyed
+             else F.col(v)).alias(f"__r_{v}")
+            for v in shared]).dropDuplicates()
         compat = None
         overlap = None
         for v in sorted(shared):
@@ -1738,7 +1760,9 @@ class QueryCompiler:
             # verdict as struct inequality), else the struct side wins
             # (a NULL key would masquerade as unbound in the compat test)
             mixed = (v in l.flat) != (v in r.flat)
-            if mixed and v in certain_shared:
+            if v in pre_keyed:
+                lc2, rc2 = lc, rc  # rc already keyed; lc already flat
+            elif mixed and v in certain_shared:
                 lc2 = lc if v in l.flat else term_to_resource_key(lc)
                 rc2 = rc if v in r.flat else term_to_resource_key(rc)
             elif mixed:
@@ -1820,15 +1844,33 @@ class QueryCompiler:
                 .agg((F.count(F.lit(1)) > 0).alias(marker))
             )
             return c.df.crossJoin(F.broadcast(probe)), F.col(marker)
-        keys = sub.df.select(*[F.col(v).alias(f"__r_{v}") for v in shared]).dropDuplicates()
         eq_shared = sorted(set(c.vars) & set(sub.vars))
+        # project the struct side down to its flat resource key BEFORE
+        # the distinct when the comparison is key-based anyway (mixed
+        # certain, no correlated filter keeps the struct alive): the
+        # distinct then dedups narrow strings instead of 8-field term
+        # structs and column pruning reaches the scan (kind+lex only) —
+        # q07's subquery side read all 10 statement columns for an
+        # anti-join decided by the resource key.
+        pre_keyed = set()
+        if not corr:
+            for v in eq_shared:
+                if ((v in c.flat) != (v in sub.flat) and v not in sub.flat
+                        and v in c.certain and v in sub.certain):
+                    pre_keyed.add(v)
+        keys = sub.df.select(*[
+            (term_to_resource_key(F.col(v)) if v in pre_keyed
+             else F.col(v)).alias(f"__r_{v}")
+            for v in shared]).dropDuplicates()
         all_certain = all(v in c.certain and v in sub.certain for v in eq_shared)
         compat = None
         for v in eq_shared:
             lc, rc = c.df[v], keys[f"__r_{v}"]
             mixed = (v in c.flat) != (v in sub.flat)
             certain = v in c.certain and v in sub.certain
-            if mixed and certain:
+            if v in pre_keyed:
+                pass  # rc is already the flat key; lc is already flat
+            elif mixed and certain:
                 # flat resource keys (literal → NULL, never matches)
                 lc = lc if v in c.flat else term_to_resource_key(lc)
                 rc = rc if v in sub.flat else term_to_resource_key(rc)

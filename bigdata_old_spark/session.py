@@ -66,5 +66,18 @@ def get_spark(app_name: str = "bigdata-old-spark", shuffle_partitions: int | Non
         # SPARK_GRAFT_SCHEDULER_MODE=FAIR.
         .config("spark.scheduler.mode",
                 os.environ.get("SPARK_GRAFT_SCHEDULER_MODE", "FIFO"))
+        # file:// without client-side .crc twins: the default
+        # ChecksumFileSystem doubles every file create, and with no
+        # native-hadoop lib each create's setPermission FORKS a chmod
+        # (jstack'd: RawLocalFileSystem.setPermission → Shell.execCommand
+        # inside every parquet-writer open).  A 1,824-file bucketed
+        # store write spent 23 of 28 s/task blocked in those forks;
+        # RawLocalFileSystem cut the write stage 28 → 7 s/task (now
+        # CPU-bound).  Parquet pages carry their own checksums and real
+        # clusters checksum at the storage layer (HDFS/S3), so local
+        # client-side CRC is pure overhead; only the file:// scheme is
+        # affected.
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     return builder.getOrCreate()
