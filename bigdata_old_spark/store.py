@@ -288,26 +288,39 @@ class TripleStore:
             if not preds:
                 return {}
             df = df.where(F.col("p").isin(*preds))
-        rows = (
-            df.groupBy("p")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct("s").alias("ns"),
-                F.approx_count_distinct("o_lex").alias("no"),
+        # the two aggregation passes are independent full scans — run
+        # them as concurrent jobs so the second back-fills the first's
+        # straggler tail (guide §2.6); one-time per store, halves the
+        # stats wall that every cold query session pays
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _card():
+            return (
+                df.groupBy("p")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct("s").alias("ns"),
+                    F.approx_count_distinct("o_lex").alias("no"),
+                )
+                .collect()
             )
-            .collect()
-        )
+
         # exact functionality test per predicate (star-join planning
         # must NOT guess: first(when) on a multi-valued predicate
         # would drop solutions).  max statements per (p,s) == 1 ⇔
         # strictly functional; two-phase agg, one pass, cached.
-        fn_rows = (
-            df.groupBy("p", "s")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("p")
-            .agg(F.max("c").alias("maxn"))
-            .collect()
-        )
+        def _fn():
+            return (
+                df.groupBy("p", "s")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("p")
+                .agg(F.max("c").alias("maxn"))
+                .collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_card, f_fn = pool.submit(_card), pool.submit(_fn)
+            rows, fn_rows = f_card.result(), f_fn.result()
         maxn = {r["p"]: r["maxn"] for r in fn_rows}
         return {
             r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1), maxn.get(r["p"], 1))

@@ -508,3 +508,21 @@ def test_canonical_closure_rejects_nonpositive_rounds(spark):
         spark, [(None, EX + "a", OWL + "sameAs", Term.iri(EX + "b"))])
     with pytest.raises(ValueError, match="max_rounds"):
         rdfs_closure(st.statements, max_rounds=0, sameas="canonical")
+
+
+def test_gas_pinned_edges_unpersisted_after_return(spark):
+    """The fixpoint loops pin a src-partitioned edge cache for the
+    round joins (r10) — it must be freed before the algorithm returns,
+    and the returned frame must stay computable afterwards (it is
+    checkpointed, so nothing re-reads the cache)."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    out = bfs(e, "a")
+    # localCheckpoint RDDs remain (they ARE the results); the
+    # DataFrame-level edge cache must not
+    assert cache_mgr.isEmpty(), "edge cache leaked from bfs"
+    assert out.count() == 4  # still computable post-unpersist
+    cc = connected_components(e)
+    assert cache_mgr.isEmpty(), "edge cache leaked from connected_components"
+    assert cc.where(F.col("component") == "a").count() == 4

@@ -140,3 +140,38 @@ def test_quads_layout_graph_partition_pruning(gate, spark):
     assert any("n_name" in f and "urn:tpch:graph:nation" in f
                for f in mfilters), p
     assert "CartesianProduct" not in p
+
+
+def test_star_scan_prunes_unused_term_fields(gate, spark):
+    """compile_star aggregates PER TERM FIELD (r10): object fields the
+    query never touches must vanish from the star scan's ReadSchema —
+    the old first(struct(all 8 columns)) pinned every object column
+    into the read."""
+    m, _ = gate
+    p = plan_text(m.queries()["q03_tpch_q1"](spark, SF_DIR))
+    scan_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert scan_schemas, p
+    # q03 touches num/dbl/dtm/lex/dt/lang/kind via its aggregates and
+    # flat group keys, but never a boolean object field
+    assert all("o_bool" not in s for s in scan_schemas), p
+
+
+def test_star_scan_range_pushdown(gate, spark):
+    """A top-level FILTER range on a star member pre-filters the star
+    scan (RangeBOp analog, r10) — the shipdate bound must appear in a
+    scan-side Filter condition, not only after the subject aggregate."""
+    m, _ = gate
+    p = plan_text(m.queries()["q03_tpch_q1"](spark, SF_DIR))
+    assert re.search(r"Condition : [^\n]*l_shipdate[^\n]*o_dtm", p), p
+
+
+def test_not_exists_subquery_scan_prunes_to_key_fields(gate, spark):
+    """The NOT EXISTS subquery side dedups the flat resource key, not
+    the 8-field term struct (r10): its scan must read only the graph
+    column plus the kind/lex fields the key needs."""
+    m, _ = gate
+    p = plan_text(m.queries()["q07_not_exists"](spark, SF_DIR))
+    scan_schemas = [set(re.findall(r"(\w+):", s))
+                    for s in re.findall(r"ReadSchema: struct<([^>]*)>", p)]
+    assert any(s <= {"g", "s", "o_kind", "o_lex"} and "o_kind" in s
+               for s in scan_schemas), p
