@@ -140,13 +140,15 @@ def pagerank(
     extra job with no lineage recomputation, instead of a per-round
     driver action."""
     edges = _pin_edges(edges)
-    verts = (
-        edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
     try:
+        # inside the try: a failure materializing verts must not leak
+        # the pinned edge cache (ADVICE r10)
+        verts = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
         outdeg = edges.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
         ranks = verts.withColumn("rank", F.lit(1.0))
         for i in range(max_iter):

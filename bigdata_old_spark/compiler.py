@@ -459,9 +459,29 @@ def _find_aggregates(e, acc: list) -> None:
 class QueryCompiler:
     """Compiles one query against a TripleStore's statements DataFrame."""
 
-    def __init__(self, store, dataset=None, backchain: bool = True):
+    def __init__(self, store, dataset=None, backchain: bool = True,
+                 star_survivors: dict | None = None):
         self.store = store
         self.dataset = dataset  # A.Dataset from FROM / FROM NAMED
+        #: two-pass star-form selection (store.query): pass 1 compiles
+        #: every functional star member as per-field firsts (the probe —
+        #: Catalyst's ColumnPruning then reveals exactly which term
+        #: fields the rest of the query touches) and records them in
+        #: ``star_probes``; pass 2 receives ``star_survivors``
+        #: ({star_seq: {pattern_idx: frozenset(field_names)}}) and
+        #: compiles each member as ONE first() over a struct of only the
+        #: surviving fields — r9's aggregation-buffer economics with
+        #: r10's scan pruning.  Both forms are exact, so a wrong/missing
+        #: entry can only cost performance, never correctness (missing
+        #: defaults to the full struct).
+        self._star_survivors = star_survivors
+        self._star_seq = 0
+        self.star_probes: dict[int, list[int]] = {}
+        #: True once compilation executed Spark jobs (named-set /
+        #: path-closure checkpoints, runtime join sampling, DESCRIBE
+        #: expansion) — store.query skips the second star pass then, so
+        #: eager work is never done twice.
+        self.eager_compiled = False
         # virtual sameAs closure over a canonical-mode store
         # (inf/BackchainAccessPath.java): triple-pattern scans rewrite
         # alias constants to canonical ids and fan variable bindings
@@ -628,6 +648,9 @@ class QueryCompiler:
         from bigdata_old_spark.registry import lookup_service, resolve_service_alias
 
         self.cache_carry_safe = False
+        # remote endpoints are contacted DURING compile (vectored
+        # requests) — never compile twice
+        self.eager_compiled = True
 
         if isinstance(node.iri, Term) and node.iri.lex == BDS + "search":
             # SERVICE bds:search { ?lit bds:search "q" . … } — the
@@ -1369,6 +1392,10 @@ class QueryCompiler:
         fans s before the joins, which multiply identically)."""
         if self._backchain_mem is not None:
             patterns = [self._canon_pattern_consts(t) for t in patterns]
+        star_id = self._star_seq
+        self._star_seq += 1
+        survivors = (None if self._star_survivors is None
+                     else self._star_survivors.get(star_id))
         preds = sorted({t.p.lex for t in patterns})
         df = self._scan(graph, preds).where(F.col("p").isin(preds))
         # range pushdown at the star scan (RangeBOp analog — the join
@@ -1380,10 +1407,16 @@ class QueryCompiler:
         # dropped row either nulls the member's existence marker —
         # dropping the subject exactly like the post-agg FILTER would —
         # or removes one multi-value, exactly the exploded row the
-        # FILTER would reject.
+        # FILTER would reject.  Only when the predicate appears ONCE in
+        # the group: two patterns with the same predicate share the scan
+        # rows, so pushing one var's range would also strip the other
+        # var's values (ADVICE r10).
+        n_with_pred = {p: sum(1 for t2 in patterns if t2.p.lex == p)
+                       for p in preds}
         if ranges:
             for t in patterns:
-                if isinstance(t.o, A.Var) and t.o.name in ranges:
+                if (isinstance(t.o, A.Var) and t.o.name in ranges
+                        and n_with_pred[t.p.lex] == 1):
                     for flat_cond in ranges[t.o.name]:
                         df = df.where((F.col("p") != t.p.lex) | flat_cond)
         keys = [F.col("s")]
@@ -1409,7 +1442,12 @@ class QueryCompiler:
         for p_iri, n in pred_ord.items():
             pi = (F.when(F.col("p") == p_iri, n) if pi is None
                   else pi.when(F.col("p") == p_iri, n))
-        df = df.withColumn("__pi", pi.cast("tinyint"))
+        # ordinal width sized to the group — a tinyint would wrap past
+        # 127 predicates and silently drop every pattern's rows
+        # (ADVICE r10)
+        pi_t = "tinyint" if len(preds) <= 127 else (
+            "smallint" if len(preds) <= 32767 else "int")
+        df = df.withColumn("__pi", pi.cast(pi_t))
         aggs = []
         const_flags = []
         var_lists = []
@@ -1428,46 +1466,93 @@ class QueryCompiler:
                 aggs.append(F.max(F.when(m, 1).otherwise(0)).alias(f"__c{i}"))
                 const_flags.append(f"__c{i}")
             elif functional(t.p.lex):
-                # PER-FIELD firsts, not first(struct(all 8 object
-                # columns)): a struct-valued aggregate pins every
-                # object column into ReadSchema (q03 read 10 columns
-                # for a 4-column query) and widens the sort rows.
-                # Field-wise firsts rebuild the term struct AFTER the
-                # aggregate, so SimplifyExtractValueOps turns each
-                # downstream `var.field` into its own first() column
-                # and ColumnPruning drops the untouched fields all the
-                # way into the parquet scan.  Exact for FUNCTIONAL
-                # predicates: at most one row matches (p,s), so the
-                # fields can never mix across rows, and o_kind — never
-                # NULL on a statement — is the row-existence marker.
-                for fname in TERM_FIELD_NAMES:
+                # FUNCTIONAL member (≤1 row per (p,s)) — two exact
+                # forms, chosen by the two-pass protocol (see __init__):
+                #
+                # PROBE (pass 1, no survivors): one first() PER TERM
+                # FIELD.  A struct-valued aggregate pins every object
+                # column into ReadSchema (q03 read 10 columns for a
+                # 4-column query); field-wise firsts rebuild the term
+                # struct AFTER the aggregate, so SimplifyExtractValueOps
+                # + ColumnPruning drop the untouched fields all the way
+                # into the parquet scan — and the surviving aliases
+                # reveal EXACTLY which fields the rest of the query
+                # touches.
+                #
+                # FINAL (pass 2, survivors known): ONE first() over a
+                # struct of only the surviving fields.  The scan still
+                # prunes to the union of surviving fields, but the
+                # aggregate carries one buffer per pattern instead of
+                # one per (pattern × field) — the r10 decomposition
+                # quadrupled q03's aggregation state (20 firsts / 40
+                # buffer slots vs 5/10) for a single pruned column,
+                # which the driver measured as a 4× regression
+                # (VERDICT r10 #1).
+                #
+                # Exact either way: at most one row matches (p,s), so
+                # fields cannot mix across rows; o_kind — never NULL on
+                # a statement — doubles as the row-existence marker.
+                if survivors is None:
+                    self.star_probes.setdefault(star_id, []).append(i)
+                    for fname in TERM_FIELD_NAMES:
+                        aggs.append(
+                            F.first(F.when(cond, F.col(f"o_{fname}")),
+                                    ignorenulls=True)
+                            .alias(f"__v{star_id}_{i}_{fname}")
+                        )
+                    var_scalars.append((f"__v{star_id}_{i}", t.o.name, None))
+                else:
+                    fields = survivors.get(i)
+                    # missing / unparseable probe → full struct (exact;
+                    # only pruning is lost).  kind always rides along as
+                    # the existence marker.
+                    fields = (frozenset(TERM_FIELD_NAMES) if fields is None
+                              else frozenset(fields) | {"kind"})
                     aggs.append(
-                        F.first(F.when(cond, F.col(f"o_{fname}")),
-                                ignorenulls=True).alias(f"__v{i}_{fname}")
+                        F.first(
+                            F.when(cond, F.struct(
+                                *[F.col(f"o_{fn}").alias(fn)
+                                  for fn in TERM_FIELD_NAMES if fn in fields]
+                            )),
+                            ignorenulls=True,
+                        ).alias(f"__v{star_id}_{i}")
                     )
-                var_scalars.append((f"__v{i}", t.o.name))
+                    var_scalars.append((f"__v{star_id}_{i}", t.o.name, fields))
             else:
                 aggs.append(F.collect_list(F.when(cond, obj_cols_to_term())).alias(f"__l{i}"))
                 var_lists.append((f"__l{i}", t.o.name))
         g = df.groupBy(*keys).agg(*aggs)
         for flag in const_flags:
             g = g.where(F.col(flag) == 1)
-        for col, _ in var_scalars:
+        for col, _, fields in var_scalars:
             # pattern must match: a subject missing the predicate drops
-            # (kind is the existence marker — see the per-field aggs)
-            g = g.where(F.col(f"{col}_kind").isNotNull())
+            # (probe form: kind is the existence marker; struct form:
+            # the when() left the whole struct NULL on no-match)
+            if fields is None:
+                g = g.where(F.col(f"{col}_kind").isNotNull())
+            else:
+                g = g.where(F.col(col).isNotNull())
         for list_col, var in var_lists:
             g = g.select("*", F.explode(list_col).alias(f"__e_{var}")).drop(list_col)
         proj = [F.col("s").alias(s_name)]
         names = [s_name]
         flat_vars = {s_name}
-        for col, var in var_scalars:
-            # reassemble the term struct from the per-field firsts —
-            # rows here all matched (kind filtered non-null above), so
-            # the plain struct is exactly the old first(struct) value
-            proj.append(F.struct(
-                *[F.col(f"{col}_{fn}").alias(fn) for fn in TERM_FIELD_NAMES]
-            ).alias(var))
+        for col, var, fields in var_scalars:
+            # reassemble the full term struct — rows here all matched
+            # (existence filtered above), so this is exactly the old
+            # first(struct) value.  Non-surviving fields are typed NULL
+            # literals: Catalyst itself proved (pass-1 pruning) the rest
+            # of the query never reads them.
+            if fields is None:
+                proj.append(F.struct(
+                    *[F.col(f"{col}_{fn}").alias(fn) for fn in TERM_FIELD_NAMES]
+                ).alias(var))
+            else:
+                proj.append(F.struct(
+                    *[(F.col(col)[fn] if fn in fields
+                       else F.lit(None).cast(TERM_TYPE[fn].dataType)).alias(fn)
+                      for fn in TERM_FIELD_NAMES]
+                ).alias(var))
             names.append(var)
         for _, var in var_lists:
             proj.append(F.col(f"__e_{var}").alias(var))
@@ -1485,7 +1570,8 @@ class QueryCompiler:
             from bigdata_old_spark.inference import expand_member_bindings
 
             cols = [(s_name, True)] + [
-                (v, False) for _, v in var_scalars + var_lists]
+                (vs[1], False) for vs in var_scalars] + [
+                (v, False) for _, v in var_lists]
             unit = Compiled(
                 expand_member_bindings(unit.df, self._backchain_mem, cols),
                 unit.certain, unit.flat)
@@ -1542,6 +1628,7 @@ class QueryCompiler:
         sampling jobs at plan time, exactly the price the reference RTO
         pays, and earns it only on queries whose static estimates
         mislead."""
+        self.eager_compiled = True  # sampling jobs run at compile time
         limit = int(self.hints.get("RTO-limit") or 100)
         cutoff = max(limit * 10, 1000)
         cards = [self._estimate_card(t) for t in triples]
@@ -2257,6 +2344,7 @@ class QueryCompiler:
     ) -> DataFrame:
         # the closure's edge relation is the FULL inner-path pair set —
         # endpoint bounds seed the fixpoint below, they never filter edges
+        self.eager_compiled = True  # driver-side fixpoint at compile time
         edges = self._path_pairs(p.path, graph).dropDuplicates().localCheckpoint(eager=True)
         min_len, max_len = p.min_len, p.max_len
 
@@ -2350,6 +2438,7 @@ class QueryCompiler:
         # reference's evaluate-once named-solution-set contract).  Later
         # named subqueries may INCLUDE earlier ones (declaration order).
         for name, pat in q.named:
+            self.eager_compiled = True  # materialized at compile time
             nc = self.compile_pattern(pat)
             self._named_sets[name] = Compiled(
                 nc.df.localCheckpoint(eager=True), nc.certain, nc.flat
@@ -2863,6 +2952,7 @@ class QueryCompiler:
                               directions
         """
         spark = self.store.spark
+        self.eager_compiled = True  # expansion may run jobs at compile time
         var_names = [t.name for t in q.terms if isinstance(t, A.Var)]
         const_rows = [(t.lex,) for t in q.terms if isinstance(t, Term)]
         nodes = None

@@ -16,6 +16,69 @@ from pyspark.sql import functions as F
 from bigdata_old_spark.model import STATEMENTS_SCHEMA, statements_df_from_terms
 
 
+#: volatile SPARQL builtins: ``_reserve_optimized`` must NOT pre-run
+#: Catalyst on queries using them — the optimizer's ComputeCurrentTime
+#: folds NOW() into a literal, and a cached pre-optimized plan would
+#: serve that compile-time timestamp forever (ADVICE r10).  Textual
+#: check is conservative: a false positive only skips plan re-serving.
+import re as _re
+
+_VOLATILE_RE = _re.compile(r"\b(NOW|RAND|UUID|STRUUID)\s*\(", _re.IGNORECASE)
+
+
+def _star_survivors_from_plan(df: DataFrame, probes: dict) -> dict | None:
+    """Read Catalyst's verdict on the star probe pass: which per-field
+    first() aliases (``__v<star>_<pattern>_<field>``) survived column
+    pruning in the OPTIMIZED plan.  Every field the rest of the query
+    touches survives (it feeds a downstream expression); every field it
+    never touches is pruned.  The result drives the second compile pass
+    (compiler.compile_star FINAL form) — a wrong/missing entry can only
+    widen the struct back to all 8 fields, never drop a used one,
+    except via the sanity guard below, which refuses any per-pattern
+    answer that lost the always-referenced ``kind`` marker (the
+    existence filter references it, so a parse that misses it saw an
+    incomplete plan).  Returns None when the plan cannot be inspected.
+    """
+    from bigdata_old_spark.model import TERM_FIELD_NAMES
+
+    try:
+        jplan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return None
+    text = None
+    names: set[str] = set()
+    try:
+        text = jplan.toJSON()  # full-fidelity: no toString truncation
+    except Exception:
+        try:  # fallback: walk the tree, collect every node's output
+            stack = [jplan]
+            while stack:
+                n = stack.pop()
+                out = n.output()
+                for k in range(out.size()):
+                    names.add(out.apply(k).name())
+                ch = n.children()
+                for k in range(ch.size()):
+                    stack.append(ch.apply(k))
+        except Exception:
+            return None
+
+    def has(alias: str) -> bool:
+        return (f'"{alias}"' in text) if text is not None else (alias in names)
+
+    surv: dict = {}
+    for sid, pats in probes.items():
+        per = {}
+        for i in pats:
+            fields = frozenset(
+                f for f in TERM_FIELD_NAMES if has(f"__v{sid}_{i}_{f}"))
+            # the existence filter always references kind — if it is
+            # missing we inspected an incomplete plan: full struct
+            per[i] = fields if "kind" in fields else None
+        surv[sid] = per
+    return surv
+
+
 def _reserve_optimized(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Re-wrap a compiled query over its OPTIMIZED logical plan.
 
@@ -211,6 +274,31 @@ class TripleStore:
         st = TripleStore(
             spark, statements_df_from_terms(rows, spark), has_named_graphs=has_ng
         )
+        if len(rows) <= 200_000:
+            # the rows are already on the driver: the planner stats the
+            # first query needs (cardinalities + the exact functionality
+            # bit) cost ZERO jobs here, instead of a full-scan
+            # aggregation job against a DataFrame we just shipped OUT of
+            # this process.  Same tuple convention as _stats_by_p.
+            from collections import defaultdict
+
+            from bigdata_old_spark.model import Term as _Term
+
+            per: dict = defaultdict(lambda: [0, set(), set()])
+            for r in rows:
+                o = _Term.from_python(r[3])
+                e = per[r[2]]
+                e[0] += 1
+                e[1].add(r[1])
+                if o.lex is not None:
+                    e[2].add(o.lex)
+            by_p = {
+                p: (e[0], max(len(e[1]), 1), max(len(e[2]), 1),
+                    1 if e[0] == len(e[1]) else 2)
+                for p, e in per.items()
+            }
+            st._stats = {"total": sum(v[0] for v in by_p.values()),
+                         "by_p": by_p}
         return _apply_load_closure(st, closure)
 
     @staticmethod
@@ -288,42 +376,47 @@ class TripleStore:
             if not preds:
                 return {}
             df = df.where(F.col("p").isin(*preds))
-        # the two aggregation passes are independent full scans — run
-        # them as concurrent jobs so the second back-fills the first's
-        # straggler tail (guide §2.6); one-time per store, halves the
-        # stats wall that every cold query session pays
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _card():
-            return (
-                df.groupBy("p")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.approx_count_distinct("s").alias("ns"),
-                    F.approx_count_distinct("o_lex").alias("no"),
-                )
-                .collect()
+        # Small-store fast path: a bounded limit-probe collect (one job,
+        # no shuffle, LocalLimit early-exits on big stores) and exact
+        # driver-side aggregation.  The planner's one-time stats build
+        # was a full groupBy job even for a 10-row in-memory store —
+        # ~1.4 s of shuffle/scheduling floor paid by EVERY fresh tiny
+        # store's first query (the dominant cost of the test suite and
+        # of small OLTP stores).  Above the cap the distributed
+        # aggregation below runs unchanged.
+        cap = 200_000
+        try:
+            pdf = df.select("p", "s", "o_lex").limit(cap + 1).toPandas()
+        except Exception:
+            pdf = None
+        if pdf is not None and len(pdf) <= cap:
+            out = {}
+            for p, grp in pdf.groupby("p", sort=False):
+                n = len(grp)
+                ns = grp["s"].nunique()
+                no = grp["o_lex"].nunique()  # pandas nunique drops NaN
+                out[p] = (n, max(ns, 1), max(int(no), 1),
+                          1 if n == ns else 2)
+            return out
+        # ONE full scan (was two concurrent ones, r10): exact
+        # countDistinct(s) answers BOTH the subject-cardinality estimate
+        # and the functionality test the star planner needs — a
+        # predicate is strictly functional (max statements per (p,s)
+        # == 1) iff its statement count equals its exact distinct
+        # subject count.  Exact, never guessed from a sketch: a wrong
+        # "functional" would silently drop multi-value solutions.
+        rows = (
+            df.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("s").alias("ns"),
+                F.approx_count_distinct("o_lex").alias("no"),
             )
-
-        # exact functionality test per predicate (star-join planning
-        # must NOT guess: first(when) on a multi-valued predicate
-        # would drop solutions).  max statements per (p,s) == 1 ⇔
-        # strictly functional; two-phase agg, one pass, cached.
-        def _fn():
-            return (
-                df.groupBy("p", "s")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .groupBy("p")
-                .agg(F.max("c").alias("maxn"))
-                .collect()
-            )
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_card, f_fn = pool.submit(_card), pool.submit(_fn)
-            rows, fn_rows = f_card.result(), f_fn.result()
-        maxn = {r["p"]: r["maxn"] for r in fn_rows}
+            .collect()
+        )
         return {
-            r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1), maxn.get(r["p"], 1))
+            r["p"]: (r["n"], max(r["ns"], 1), max(r["no"], 1),
+                     1 if r["n"] == r["ns"] else 2)
             for r in rows
         }
 
@@ -526,7 +619,24 @@ class TripleStore:
                 pass
         comp = QueryCompiler(self, backchain=expand_sameas)
         df = comp.compile_query(q)
-        df = _reserve_optimized(self.spark, df)
+        if comp.star_probes and not comp.eager_compiled:
+            # two-pass star-form selection: pass 1 (above) compiled each
+            # functional star member as per-field firsts; Catalyst's
+            # pruning of those aliases is an exact record of which term
+            # fields the rest of the query touches.  Pass 2 recompiles
+            # with ONE narrow-struct first() per member — same results
+            # (both forms are exact), minimal aggregation state AND
+            # minimal scan width.  Skipped when compilation ran eager
+            # work (paths/named sets/sampling/DESCRIBE/SERVICE) so jobs
+            # are never executed twice.
+            surv = _star_survivors_from_plan(df, comp.star_probes)
+            if surv is not None:
+                comp2 = QueryCompiler(
+                    self, backchain=expand_sameas, star_survivors=surv)
+                df = comp2.compile_query(q)
+                comp = comp2
+        if _VOLATILE_RE.search(sparql) is None:
+            df = _reserve_optimized(self.spark, df)
         if len(self._plan_cache) >= 256:  # bounded; oldest-first evict
             self._plan_cache.pop(next(iter(self._plan_cache)))
         # entry = (df, carried-predicate set | None).  A non-None set
