@@ -98,8 +98,6 @@ def main() -> None:
     st = entry_mod._store(spark, sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     do_mix = os.path.isdir(warm_dir) and warm_dir != sf_dir
-    if do_mix:
-        entry_mod._store(spark, warm_dir)  # build once, before the pool races
 
     def _warm(name: str) -> None:
         try:
@@ -107,14 +105,22 @@ def main() -> None:
         except Exception:
             pass
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    def _mix() -> None:
+        # the sf0.001 store build runs INSIDE the pool (overlapping the
+        # sf0.1-side warm-up jobs), exactly once (_store memoizes);
+        # the mix queries start only after it completes
+        entry_mod._store(spark, warm_dir)
+        with ThreadPoolExecutor(max_workers=4) as inner:
+            list(inner.map(_warm, HEADLINE))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
             pool.submit(lambda: qs["q09_distinct"](spark, sf_dir).count()),
             pool.submit(st.statements.count),
             pool.submit(st.stats),
         ]
         if do_mix:
-            futs += [pool.submit(_warm, n) for n in HEADLINE]
+            futs.append(pool.submit(_mix))
         for f in futs:
             try:
                 f.result()
@@ -148,6 +154,31 @@ def main() -> None:
         timings[name] = round(med, 3)
         spread[name] = [round(vals[0], 3), round(med, 3), round(vals[-1], 3)]
         total += med
+
+    # micro-bench ADDITIONS (reported in "queries", excluded from the
+    # headline metric, which stays the sum of the HEADLINE medians):
+    # x01 exercises the non-certain EXISTS marker path (shared var
+    # bound under OPTIONAL), single-left-evaluation since r11.
+    x_queries = {
+        "x01_exists_noncertain": entry_mod.PREFIXES + """
+            SELECT ?k WHERE {
+              ?c c:c_custkey ?k .
+              OPTIONAL { ?c c:c_nationkey_ref ?n }
+              FILTER EXISTS { ?s s:s_nationkey_ref ?n }
+            }""",
+    }
+    st_m = entry_mod._store(spark, sf_dir)
+    for name, sparql in x_queries.items():
+        try:
+            st_m.query(sparql).count()  # warm (compile + codegen)
+            vals = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                st_m.query(sparql).count()
+                vals.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(vals), 3)
+        except Exception:
+            pass
 
     try:
         la = [round(x, 2) for x in os.getloadavg()]

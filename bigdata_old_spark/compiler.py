@@ -1996,10 +1996,29 @@ class QueryCompiler:
             ).drop("__exm", *[f"__r_{v}" for v in shared])
             return out, F.col(marker)
         # unbound-compatible matching can hit many key rows per input
-        # row — the semi+anti pair is the duplication-free form there
-        pos = c.df.join(keys, compat, "left_semi").withColumn(marker, F.lit(True))
-        neg_ = c.df.join(keys, compat, "left_anti").withColumn(marker, F.lit(False))
-        return pos.unionByName(neg_), F.col(marker)
+        # row, so a plain left join would duplicate.  EXISTS in the
+        # projection plans an ExistenceJoin: duplication-free AND one
+        # pass over the (possibly expensive) left side, where the old
+        # semi+anti union pair evaluated it twice (guide §2.3, VERDICT
+        # r10 #6).  The condition is rendered to SQL over two temp
+        # views; falls back to the pair if rendering/resolution fails.
+        try:
+            if set(c.df.columns) & set(keys.columns):
+                raise ValueError("ambiguous column names across sides")
+            cond_sql = compat._jc.expr().sql()
+            lv, rv = _fresh("exl"), _fresh("exr")
+            c.df.createOrReplaceTempView(lv)
+            keys.createOrReplaceTempView(rv)
+            cols = ", ".join(f"`{lv}`.`{x}`" for x in c.df.columns)
+            out = self.store.spark.sql(
+                f"SELECT {cols}, EXISTS(SELECT 1 FROM `{rv}` WHERE {cond_sql}) "
+                f"AS `{marker}` FROM `{lv}`"
+            )
+            return out, F.col(marker)
+        except Exception:
+            pos = c.df.join(keys, compat, "left_semi").withColumn(marker, F.lit(True))
+            neg_ = c.df.join(keys, compat, "left_anti").withColumn(marker, F.lit(False))
+            return pos.unionByName(neg_), F.col(marker)
 
     def extend(self, c: Compiled, var: str, expr) -> Compiled:
         # Deeply nested FuncCalls are linearized into bound temp columns

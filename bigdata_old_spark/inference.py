@@ -1191,7 +1191,8 @@ def _fire_instance_rules(fr: DataFrame, acc: DataFrame, snap: _SchemaSnap, cols)
 
 
 def incremental_closure(
-    closed: DataFrame, delta: DataFrame, max_rounds: int = 50
+    closed: DataFrame, delta: DataFrame, max_rounds: int = 50,
+    snap: _SchemaSnap | None = None,
 ) -> DataFrame:
     """Close ``closed ∪ delta`` incrementally — work proportional to the
     DELTA, not the store (the reference's assertion-path truth
@@ -1241,7 +1242,15 @@ def incremental_closure(
     if delta_new.isEmpty():
         return out
 
-    snap = _schema_snapshot(closed, probe_extra=delta)
+    # ``snap`` may be carried from an earlier closed store in the same
+    # TM chain (update._apply_tm): every successful incremental path
+    # provably touched no schema vocabulary (schema deltas raise
+    # NeedsFullClosure above), so the schema closures are identical.
+    # A carried with_owl=False is sound even if this delta's object
+    # IRIs are owl-namespace: with no owl SCHEMA rows every owl rule
+    # derives nothing — the flag only gates rule compilation.
+    if snap is None:
+        snap = _schema_snapshot(closed, probe_extra=delta)
     cols = closed.columns
     frontier = delta_new
     for _ in range(max_rounds):
@@ -1285,7 +1294,8 @@ def _semi_stmt(base: DataFrame, keys: DataFrame) -> DataFrame:
 
 
 def retraction_closure(
-    closed: DataFrame, removed: DataFrame, max_rounds: int = 50
+    closed: DataFrame, removed: DataFrame, max_rounds: int = 50,
+    snap: _SchemaSnap | None = None,
 ) -> DataFrame:
     """Close ``closed − removed`` with work scoped to the retracted
     delta's CONE, not the store — the reference's retraction-path truth
@@ -1321,7 +1331,8 @@ def retraction_closure(
     removed = removed.dropDuplicates(_STMT_KEYS)
     if _delta_touches_schema(removed):
         raise NeedsFullClosure("retracted delta touches schema vocabulary")
-    snap = _schema_snapshot(closed)
+    if snap is None:  # may be carried across the TM chain (see
+        snap = _schema_snapshot(closed)  # incremental_closure's note)
     cols = closed.columns
 
     # ---- 1. affected cone (⊆ old closure by construction) -----------------

@@ -177,12 +177,25 @@ def triplify_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = No
         path = f"{sf_dir}/{t}.parquet"
         df = read_table(spark, path)
         try:
+            import math
+            import os
+
             import pyarrow.parquet as pq
 
             est_out = pq.read_metadata(path).num_rows * (len(df.columns) + 1)
             want = min(max(est_out // TRIPLIFY_ROWS_PER_TASK, 1), 2 * par)
-            if want > df.rdd.getNumPartitions():
-                df = df.repartition(int(want))
+            if want > 1:
+                # driver-side estimate of the scan's split count (file
+                # bytes / maxPartitionBytes) — df.rdd.getNumPartitions()
+                # forced a full DataFrame→RDD conversion per table at
+                # plan-build time.  Still a no-op when the source is
+                # already split finer (the 100 TB case).
+                mpb = spark._jvm.org.apache.spark.network.util.JavaUtils.\
+                    byteStringAsBytes(spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "128m"))
+                splits = max(1, math.ceil(os.path.getsize(path) / max(mpb, 1)))
+                if want > splits:
+                    df = df.repartition(int(want))
         except Exception:
             pass  # directory inputs / missing footer: keep the scan split
         dfs.append(triplify_table(df, t))

@@ -39,6 +39,23 @@ def get_spark(app_name: str = "bigdata-old-spark", shuffle_partitions: int | Non
         # Arrow for the (rare) pandas-UDF paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd parquet: 40% smaller store than snappy (224 vs 378 MB at
+        # sf0.1) at equal warm write time (5.4 vs 5.1-5.4 s) and equal
+        # or better scan time — at 100 TB that is 40% less read I/O for
+        # free (guide §6).  Parameterized for deployments that must
+        # match an existing lake codec.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+        # Large scan splits (guide §9): fewer map tasks per scan cuts
+        # task-launch overhead locally (q01/q08/q16 medians 0.19 →
+        # ≤0.15 s, q03 unchanged — interleaved A/B) and reduces the map
+        # side of every shuffle at scale (§2.2).  Bucketed serving
+        # scans keep their per-bucket parallelism regardless.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1g"))
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES",
+                               str(16 * 1024 * 1024)))
         # xsd:dateTime lexical handling is UTC-normalized (parse strips
         # a trailing Z, STR() renders with a 'Z' suffix) — that is only
         # correct when the session timezone IS UTC, so pin it rather

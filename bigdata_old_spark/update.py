@@ -688,19 +688,33 @@ def _execute_one_tm(store, op, change_log):
         isinstance(op, LoadOp) and store.load_closure != "batch"
     )
     new_full = None
+    snap_used = None
     if delta_op and store.closed:
         rec = _DeltaRecorder()
         tmp = _execute_one(store.with_statements(explicit), op, rec, pattern_store=store)
         try:
+            from bigdata_old_spark.inference import _schema_snapshot
+
+            # schema snapshot carried across the TM chain: every
+            # successful incremental op provably leaves the schema
+            # untouched (schema deltas raise NeedsFullClosure), so the
+            # closures it holds stay exact — recomputing them cost ~5
+            # jobs per tiny UPDATE
+            snap_used = getattr(store, "_tm_snap", None)
             cur = old_full
             # delete-before-insert, the op's own evaluation order
             if rec.removed is not None and not rec.removed.isEmpty():
-                cur = retraction_closure(cur, rec.removed)
+                if snap_used is None:
+                    snap_used = _schema_snapshot(old_full, probe_extra=rec.added)
+                cur = retraction_closure(cur, rec.removed, snap=snap_used)
             if rec.added is not None and not rec.added.isEmpty():
-                cur = incremental_closure(cur, rec.added)
+                if snap_used is None:
+                    snap_used = _schema_snapshot(old_full, probe_extra=rec.added)
+                cur = incremental_closure(cur, rec.added, snap=snap_used)
             new_full = cur
         except NeedsFullClosure:
             new_full = None
+            snap_used = None
     else:
         tmp = _execute_one(store.with_statements(explicit), op, None, pattern_store=store)
     if new_full is None:
@@ -708,6 +722,8 @@ def _execute_one_tm(store, op, change_log):
     new_full = new_full.localCheckpoint(eager=True)
     out = store.with_statements(new_full)
     out.closed = True  # TM invariant: the store IS the closure
+    # carry (or reset) the schema snapshot for the next op in the chain
+    out._tm_snap = snap_used
     added = removed = None
     if change_log is not None or store._text_index is not None:
         added, removed, updated = _tm_diff(old_full, new_full)

@@ -165,6 +165,35 @@ def test_star_scan_range_pushdown(gate, spark):
     assert re.search(r"Condition : [^\n]*l_shipdate[^\n]*o_dtm", p), p
 
 
+def test_exists_noncertain_single_left_evaluation(gate, spark):
+    """The non-certain EXISTS marker path (shared var bound under
+    OPTIONAL) must evaluate the left side ONCE (r11: EXISTS projection
+    → Catalyst ExistenceJoin/semi rewrite), not as the old semi+anti
+    union pair that scanned the left side twice."""
+    from bigdata_old_spark.store import TripleStore
+
+    st = TripleStore.from_turtle(spark, """
+        @prefix : <http://ex/> .
+        :a :p :v1 . :a :q :w1 .
+        :b :p :v2 .
+        :c :p :v3 . :c :q :w3 .
+        :x :r :w1 .
+    """)
+    df = st.query("""PREFIX : <http://ex/>
+        SELECT ?s WHERE {
+          ?s :p ?v .
+          OPTIONAL { ?s :q ?w }
+          FILTER EXISTS { ?y :r ?w }
+        }""")
+    # semantics: ?w unbound (b) → EXISTS pattern unconstrained → true;
+    # w1 matched → true; w3 unmatched → false
+    rows = sorted(r["s"]["lex"] for r in df.collect())
+    assert rows == ["http://ex/a", "http://ex/b"], rows
+    p = plan_text(df)
+    # the double-evaluation signature was a Union of semi+anti branches
+    assert "Union" not in p, p
+
+
 def test_not_exists_subquery_scan_prunes_to_key_fields(gate, spark):
     """The NOT EXISTS subquery side dedups the flat resource key, not
     the 8-field term struct (r10): its scan must read only the graph
